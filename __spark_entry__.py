@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()   — flagship extraction pipeline over spans derived from the
+            sf0.001 documents table.
+queries() — every oracle-checked operator (SURVEY.md §2 + the
+            training-data-pipeline set), one callable per name.
+oracle_sql() — matching DuckDB ANSI SQL for each (omitted only for
+            the full media/OCR pipeline, which is pinned instead by
+            the pytest golden suite against the pure-Python oracle).
 """
 
 from __future__ import annotations
@@ -12,27 +14,89 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_intern_spark.functions import text as text_q
+from ocr_intern_spark.operators import analytics, dedup, extract_queries, similarity
+from ocr_intern_spark.operators.extract import extract
+from ocr_intern_spark.sources.corpus import stub_ocr_tokens
+
+_MODULES = (extract_queries, analytics, dedup, similarity, text_q)
+
+
+def derive_spans(docs: DataFrame) -> DataFrame:
+    """Native derivation of the canonical spans schema from the
+    driver's flat documents table: 8-word text chunks + one media span
+    + one synthesized field span per doc. Pure Catalyst — no UDFs."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(nchunks - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " ").alias("text"),
+            F.lit("").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    media = F.array(
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias(
+                "media_ref"
+            ),
+            nchunks.alias("offset"),
+        ),
+        F.struct(
+            F.lit("field").alias("kind"),
+            F.concat(
+                F.lit("date: "),
+                (F.col("doc_id") % 28 + 1).cast("string"),
+                F.lit("/"),
+                (F.col("doc_id") % 12 + 1).cast("string"),
+                F.lit("/20"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ).alias("text"),
+            F.lit("").alias("media_ref"),
+            (nchunks + 1).alias("offset"),
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(chunks, media).alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline at sf0.001."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return extract(derive_spans(docs), stub_ocr_tokens)
+
+
+def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (media OCR included) — rows-only check; exact
+    semantics are pinned by tests/test_extract_e2e.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract(derive_spans(docs), stub_ocr_tokens)
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("ord", "s")
+    ).select("doc_id", "ord", F.col("s.kind").alias("kind"), F.col("s.text").alias("text"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        for name, (fn, _sql) in mod.QUERIES.items():
+            out[name] = fn
+    out["extract_full_pipeline"] = _q_extract_full
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        for name, (_fn, sql) in mod.QUERIES.items():
+            if sql is not None:
+                out[name] = sql
+    return out

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2
+"beyond the reference" set): language ID, quality scoring, token
+counting, fingerprinting. All native Catalyst expressions — JVM-side,
+vectorized, codegen-friendly.
+
+Each query here has a DuckDB oracle (ANSI SQL on the same parquet) so
+the driver's correctness gate covers it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_intern_spark.functions.normalizers import guess_lang
+
+# Tiny deterministic stopword set (shared with the SQL oracle).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    no_punct = F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(text) - F.length(no_punct)).cast("double") / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    return stop.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punct +
+    sane stopword mass (Gopher/C4-style rules, simplified and
+    deterministic)."""
+    n = token_count(text)
+    len_ok = F.when(n.between(10, 5000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + stop_ok
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text (portable across engines)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# Query registry (name -> ((spark, sf_dir) -> DataFrame, oracle_sql))
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       round(
+         CAST(length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 w -> list_contains({list(STOPWORDS)!r}, w))) AS DOUBLE)
+         / length(regexp_split_to_array(lower(trim(text)), '\\s+')), 6) AS stop_ratio,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V13 language guess, with deterministic Arabic injection so the
+    Arabic branch is exercised on the latin-only testdata."""
+    d = _docs(spark, sf_dir)
+    probe = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" شهادة"))
+    ).when(F.col("doc_id") % 4 == 1, F.lit("123 456 !!")).otherwise(F.col("text"))
+    return d.select("doc_id", guess_lang(probe).alias("lang_guess"))
+
+
+_LANG_GUESS_SQL = """
+SELECT doc_id,
+       CASE
+         WHEN regexp_matches(probe, '[؀-ۿ]') THEN 'arabic'
+         WHEN regexp_matches(lower(probe), '[a-z]') THEN 'french'
+         ELSE NULL
+       END AS lang_guess
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' شهادة'
+              WHEN doc_id % 4 = 1 THEN '123 456 !!'
+              ELSE text END AS probe
+  FROM documents
+)
+"""
+
+QUERIES = {
+    "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
+    "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
+}

@@ -1,0 +1,251 @@
+"""Relational analytics surface (SURVEY.md §2.7 A8-A11) plus the
+TPC-H-style aggregate/join/window queries that prove the engine's
+relational coverage.
+
+Design-for-scale notes per query are inline; the shared rules:
+* aggregates are expressed so Catalyst plans partial (map-side)
+  aggregation before the shuffle;
+* small dimension tables are broadcast explicitly;
+* top-K is ORDER BY + LIMIT so Spark plans TakeOrderedAndProject
+  (no global sort materialization);
+* every ORDER BY carries a unique tiebreaker so results are
+  deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A8: windowed perf summary (performance_analytics.py:58-89) -----------
+
+_CUTOFF = "2024-01-15 00:00:00"
+
+
+def q_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("ts") > F.lit(_CUTOFF).cast("timestamp"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_EVENTS_SUMMARY_SQL = f"""
+SELECT round(avg(value), 6) AS avg_value,
+       round(sum(value), 4) AS sum_value,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE ts > TIMESTAMP '{_CUTOFF}'
+"""
+
+
+# --- A9: per-group stats (performance_analytics.py:124-150) ---------------
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.avg(F.when(F.col("value") > 100, 1.0).otherwise(0.0)), 6
+            ).alias("high_value_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_BY_TYPE_SQL = """
+SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
+       round(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 6) AS high_value_rate
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- A10: error analysis w/ HAVING + ORDER BY rate desc -------------------
+
+
+def q_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+    return (
+        agg.where(F.col("n_errors") > 0)
+        .select(
+            "user_id",
+            "n",
+            "n_errors",
+            F.round(F.col("n_errors") / F.col("n"), 6).alias("error_rate"),
+        )
+        .orderBy(F.desc("error_rate"), "user_id")
+    )
+
+
+_ERROR_USERS_SQL = """
+SELECT user_id, n, n_errors, round(n_errors / CAST(n AS DOUBLE), 6) AS error_rate
+FROM (
+  SELECT user_id, count(*) AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY user_id
+) WHERE n_errors > 0
+ORDER BY error_rate DESC, user_id
+"""
+
+
+# --- A11: top-N recency scan (TakeOrderedAndProject) ----------------------
+
+
+def q_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # ORDER BY + LIMIT → TakeOrderedAndProject: per-partition top-100
+    # then merge on driver; never a global sort. event_id breaks ts ties.
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(100)
+    )
+
+
+_RECENT_EVENTS_SQL = """
+SELECT event_id, ts, user_id, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+# --- TPC-H Q1-style pricing summary (hash aggregate) ----------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Join pipeline with explicit broadcast of the small dims --------------
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem ⋈ nation. nation (25 rows) and
+    customer (smallest fact side) broadcast-able; lineitem, the big
+    fact, is never shuffled by the dimension joins at scale — only
+    the final groupBy aggregates, with map-side partials."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+    return rev
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# --- Window function: top customer per nation -----------------------------
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "spend", "rk")
+        .orderBy("n_name", "rk")
+    )
+
+
+_TOP_CUSTOMER_SQL = """
+SELECT n_name, c_custkey, spend, rk FROM (
+  SELECT n_name, c_custkey, spend,
+         row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey) AS rk
+  FROM (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey
+  ) s
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+) WHERE rk <= 3 ORDER BY n_name, rk
+"""
+
+
+QUERIES = {
+    "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
+    "events_by_type": (q_events_by_type, _EVENTS_BY_TYPE_SQL),
+    "error_users": (q_error_users, _ERROR_USERS_SQL),
+    "recent_events_top100": (q_recent_events, _RECENT_EVENTS_SQL),
+    "pricing_summary": (q_pricing_summary, _PRICING_SUMMARY_SQL),
+    "revenue_by_nation": (q_revenue_by_nation, _REVENUE_BY_NATION_SQL),
+    "top_customer_per_nation": (q_top_customer_per_nation, _TOP_CUSTOMER_SQL),
+}

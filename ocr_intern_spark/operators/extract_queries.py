@@ -1,0 +1,241 @@
+"""SQL-expressible slices of the extraction semantics, as
+oracle-checked queries over the driver's `documents` testdata table.
+
+These pin the NATIVE-expression implementations (doc-type cascade,
+field normalizers, reading-order sort) against an independent ANSI-SQL
+oracle in DuckDB — complementing the pytest golden suite, which pins
+the full pipeline (incl. the non-SQL media/OCR path) against the
+pure-Python oracle.
+
+The testdata `documents.text` is keyword-free word soup, so keyword/
+field inputs are INJECTED deterministically from doc_id / custkey
+arithmetic — identical expressions on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ocr_intern_spark.functions.normalizers import (
+    ACCENTED,
+    UNACCENTED,
+    classify_doc_type,
+    normalize_field,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A1 doc-type classification (postprocess.py:77-97) --------------------
+
+
+def q_doc_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    probe = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" Certificat de résidence")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" Demande d'autorisation")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.col("text"), F.lit(" Autorisation de construire")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.col("text"), F.lit(" DÉCLARATION!")))
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", classify_doc_type(probe).alias("doc_type"))
+
+
+_DOC_TYPE_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN contains(fold, 'certificat') OR contains(low, 'شهادة') THEN 'certificate'
+    WHEN contains(fold, 'demande') OR contains(low, 'طلب') THEN 'application'
+    WHEN contains(fold, 'autorisation') OR contains(low, 'رخصة') THEN 'authorization'
+    WHEN regexp_matches(regexp_replace(fold, '[^a-z]+', '', 'g'), 'd[e]?claration')
+         OR contains(low, 'تصريح') THEN 'declaration'
+    ELSE NULL
+  END AS doc_type
+FROM (
+  SELECT doc_id, lower(probe) AS low,
+         translate(lower(probe), '{ACCENTED}', '{UNACCENTED}') AS fold
+  FROM (
+    SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN text || ' Certificat de résidence'
+        WHEN 1 THEN text || ' Demande d''autorisation'
+        WHEN 2 THEN text || ' Autorisation de construire'
+        WHEN 3 THEN text || ' DÉCLARATION!'
+        ELSE text
+      END AS probe
+    FROM documents
+  )
+)
+"""
+
+
+# --- V3-V6 field normalizers over synthesized raw values ------------------
+
+
+def q_field_normalizers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cin_raw = F.concat(F.lit("ab-"), (F.lit(12345) + k % 80000).cast("string"))
+    date_raw = F.concat(
+        (k % 31 + 1).cast("string"), F.lit("."),
+        (k % 12 + 1).cast("string"), F.lit("."),
+        F.when(k % 3 == 0, F.lpad((k % 100).cast("string"), 2, "0"))
+        .otherwise((F.lit(1925) + k % 100).cast("string")),
+    )
+    phone_raw = F.when(
+        k % 5 == 0, F.lit("123")
+    ).otherwise(F.concat(F.lit("06"), F.lpad((k % 100000000).cast("string"), 8, "0")))
+    receipt_raw = F.concat(
+        (F.lit(2020) + k % 6).cast("string"), F.lit("-"),
+        (F.lit(100) + k % 900).cast("string"),
+    )
+    cin = normalize_field(F.lit("cin"), cin_raw)
+    dat = normalize_field(F.lit("date"), date_raw)
+    tel = normalize_field(F.lit("tel"), phone_raw)
+    rec = normalize_field(F.lit("receipt"), receipt_raw)
+    return c.select(
+        "c_custkey",
+        cin["value"].alias("cin_value"), cin["valid"].alias("cin_valid"),
+        dat["value"].alias("date_value"), dat["valid"].alias("date_valid"),
+        tel["value"].alias("tel_value"), tel["valid"].alias("tel_valid"),
+        rec["value"].alias("receipt_value"), rec["valid"].alias("receipt_valid"),
+    )
+
+
+_FIELD_NORM_SQL = """
+WITH raws AS (
+  SELECT c_custkey,
+         'ab-' || CAST(12345 + c_custkey % 80000 AS VARCHAR) AS cin_raw,
+         CAST(c_custkey % 31 + 1 AS VARCHAR) || '.' ||
+         CAST(c_custkey % 12 + 1 AS VARCHAR) || '.' ||
+         CASE WHEN c_custkey % 3 = 0
+              THEN lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+              ELSE CAST(1925 + c_custkey % 100 AS VARCHAR) END AS date_raw,
+         CASE WHEN c_custkey % 5 = 0 THEN '123'
+              ELSE '06' || lpad(CAST(c_custkey % 100000000 AS VARCHAR), 8, '0')
+         END AS phone_raw,
+         CAST(2020 + c_custkey % 6 AS VARCHAR) || '-' ||
+         CAST(100 + c_custkey % 900 AS VARCHAR) AS receipt_raw
+  FROM customer
+), parsed AS (
+  SELECT c_custkey, cin_raw, date_raw, phone_raw, receipt_raw,
+         regexp_extract(upper(cin_raw), '([A-Z]{1,2})\\s*[- ]?([0-9]{5,6})', 1) AS cg1,
+         regexp_extract(upper(cin_raw), '([A-Z]{1,2})\\s*[- ]?([0-9]{5,6})', 2) AS cg2,
+         regexp_extract(replace(replace(date_raw, '.', '/'), '-', '/'),
+                        '([0-9]{1,2})/([0-9]{1,2})/([0-9]{2,4})', 1) AS dd,
+         regexp_extract(replace(replace(date_raw, '.', '/'), '-', '/'),
+                        '([0-9]{1,2})/([0-9]{1,2})/([0-9]{2,4})', 2) AS dm,
+         regexp_extract(replace(replace(date_raw, '.', '/'), '-', '/'),
+                        '([0-9]{1,2})/([0-9]{1,2})/([0-9]{2,4})', 3) AS dy,
+         regexp_replace(phone_raw, '\\D+', '', 'g') AS pd,
+         regexp_extract(receipt_raw, '([0-9]{1,6}(?:[/-][0-9]{2,4}){1,3})', 1) AS rg
+  FROM raws
+), phone2 AS (
+  SELECT *,
+         CASE WHEN pd LIKE '212%' THEN substring(pd, 4) ELSE pd END AS pd1
+  FROM parsed
+), phone3 AS (
+  SELECT *, CASE WHEN pd1 LIKE '0%' THEN substring(pd1, 2) ELSE pd1 END AS pd2
+  FROM phone2
+), dated AS (
+  SELECT *,
+         CAST(dd AS INTEGER) AS d_i, CAST(dm AS INTEGER) AS m_i,
+         CASE WHEN CAST(dy AS INTEGER) < 50 THEN CAST(dy AS INTEGER) + 2000
+              WHEN CAST(dy AS INTEGER) < 100 THEN CAST(dy AS INTEGER) + 1900
+              ELSE CAST(dy AS INTEGER) END AS y_i
+  FROM phone3
+)
+SELECT c_custkey,
+       CASE WHEN cg1 != '' THEN cg1 || cg2
+            ELSE trim(regexp_replace(cin_raw, '\\s+', ' ', 'g')) END AS cin_value,
+       cg1 != '' AS cin_valid,
+       CASE WHEN dd != '' AND d_i BETWEEN 1 AND 31 AND m_i BETWEEN 1 AND 12
+                 AND y_i BETWEEN 1900 AND 2100
+            THEN printf('%04d-%02d-%02d', y_i, m_i, d_i)
+            ELSE trim(regexp_replace(date_raw, '\\s+', ' ', 'g')) END AS date_value,
+       (dd != '' AND d_i BETWEEN 1 AND 31 AND m_i BETWEEN 1 AND 12
+        AND y_i BETWEEN 1900 AND 2100) AS date_valid,
+       CASE WHEN length(pd2) = 9 THEN '+212' || pd2
+            ELSE trim(regexp_replace(phone_raw, '\\s+', ' ', 'g')) END AS tel_value,
+       length(pd2) = 9 AS tel_valid,
+       CASE WHEN rg != '' THEN replace(rg, '-', '/')
+            ELSE trim(regexp_replace(receipt_raw, '\\s+', ' ', 'g')) END AS receipt_value,
+       rg != '' AS receipt_valid
+FROM dated
+"""
+
+
+# --- R2 reading order as pure relational ops (window functions) -----------
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 line-binning + RTL-majority sort (reading_order.py:44-59)
+    expressed with window functions over synthesized token positions:
+    x = (i%6)*90, line = i//6, lang arabic iff (doc_id + i*i) % 5 < 2.
+    row_number gives the reading order."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 24)
+    w = d.select("doc_id", F.posexplode(toks).alias("i", "word"))
+    w = w.select(
+        "doc_id", "i", "word",
+        (F.col("i") % 6 * 90).alias("x"),
+        (F.col("i") / 6).cast("int").alias("line"),
+        ((F.col("doc_id") + F.col("i") * F.col("i")) % 5 < 2).alias("is_ar"),
+    )
+    lw = Window.partitionBy("doc_id", "line")
+    w = w.withColumn(
+        "rtl",
+        F.sum(F.col("is_ar").cast("int")).over(lw)
+        > F.count("*").over(lw) / F.lit(2.0),
+    )
+    ow = Window.partitionBy("doc_id").orderBy(
+        "line", F.when(F.col("rtl"), -F.col("x")).otherwise(F.col("x")), "i"
+    )
+    return (
+        w.withColumn("ord", F.row_number().over(ow) - 1)
+        .select("doc_id", "ord", "word")
+        .orderBy("doc_id", "ord")
+    )
+
+
+_READING_ORDER_SQL = """
+WITH toks AS (
+  SELECT doc_id, u.i - 1 AS i, u.w AS word
+  FROM (
+    SELECT doc_id,
+           list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 24) AS tl
+    FROM documents
+  ), LATERAL (
+    SELECT unnest(tl) AS w, generate_subscripts(tl, 1) AS i
+  ) u
+), pos AS (
+  SELECT doc_id, i, word,
+         (i % 6) * 90 AS x,
+         i // 6 AS line,
+         ((doc_id + i * i) % 5) < 2 AS is_ar
+  FROM toks
+), voted AS (
+  SELECT *,
+         sum(CASE WHEN is_ar THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id, line)
+           > count(*) OVER (PARTITION BY doc_id, line) / 2.0 AS rtl
+  FROM pos
+)
+SELECT doc_id,
+       row_number() OVER (
+         PARTITION BY doc_id
+         ORDER BY line, CASE WHEN rtl THEN -x ELSE x END, i) - 1 AS ord,
+       word
+FROM voted ORDER BY doc_id, ord
+"""
+
+
+QUERIES = {
+    "extract_doc_type": (q_doc_type, _DOC_TYPE_SQL),
+    "extract_field_normalizers": (q_field_normalizers, _FIELD_NORM_SQL),
+    "extract_reading_order": (q_reading_order, _READING_ORDER_SQL),
+}

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+* Brute-force cosine top-k: the exact baseline. Dot products run as
+  native higher-order functions (zip_with + aggregate) — JVM-side,
+  no Python. Top-k is ORDER BY + LIMIT → TakeOrderedAndProject
+  (per-partition heap, no global sort).
+* LSH-bucketed ANN: random-hyperplane signatures (SimHash for
+  vectors) built from deterministic md5-derived hyperplanes — the
+  scale path: candidates come from one groupBy on the signature,
+  re-ranked exactly within buckets.
+
+All float math is done in DOUBLE and rounded before comparison so
+the DuckDB oracle (which evaluates in its own order) agrees.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERY_VEC_ID = 0
+TOP_K = 20
+N_HYPERPLANES = 16
+EMBED_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-K by cosine against the QUERY_VEC_ID embedding.
+    The 1-row query side is broadcast; scoring is a narrow map over
+    the table — at 100 TB this is a single scan, no shuffle except
+    the final top-K merge."""
+    e = _emb(spark, sf_dir)
+    q = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    scored = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos"),
+        )
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(TOP_K)
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round(
+         list_sum(list_transform(list_zip(embedding, qvec),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * x)))),
+         6) AS cos
+FROM embeddings, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cos DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component h[p][d] is
+    derived from md5(p,d) → [-1, 1). Same values everywhere, no RNG
+    state, no Date.now — reproducible across engines and runs."""
+    planes = []
+    for p in range(N_HYPERPLANES):
+        row = []
+        for d in range(EMBED_DIM):
+            h = int(hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 2**31 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec: Column) -> Column:
+    """16-bit sign signature against the fixed hyperplanes, packed as
+    a bit string (portable to SQL)."""
+    bits = []
+    for row in _hyperplanes():
+        plane = F.array(*[F.lit(v) for v in row])
+        bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN candidate buckets: signature → groupBy. Bucket stats only
+    (the re-rank reuses q_cosine_topk within buckets)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("vec_id", lsh_signature(F.col("embedding")).alias("sig"))
+        .groupBy("sig")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("first_vec"))
+        .where(F.col("n_vecs") > 1)
+        .orderBy("sig")
+    )
+
+
+def _ann_lsh_sql() -> str:
+    bit_exprs = []
+    for row in _hyperplanes():
+        arr = "[" + ", ".join(f"{v!r}" for v in row) + "]"
+        bit_exprs.append(
+            "CASE WHEN list_sum(list_transform(list_zip(embedding, "
+            f"{arr}::DOUBLE[]), p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    sig = " || ".join(bit_exprs)
+    return f"""
+SELECT sig, count(*) AS n_vecs, min(vec_id) AS first_vec
+FROM (SELECT vec_id, {sig} AS sig FROM embeddings)
+GROUP BY sig HAVING count(*) > 1 ORDER BY sig
+"""
+
+
+QUERIES = {
+    "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    "sim_ann_lsh_buckets": (q_ann_lsh_buckets, _ann_lsh_sql()),
+}
