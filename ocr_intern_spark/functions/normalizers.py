@@ -124,12 +124,34 @@ def _commune_pairs() -> Column:
     )
 
 
+def title_case(c: Column) -> Column:
+    """Python ``str.title()`` semantics, natively: a cased letter is
+    uppercased iff the PREVIOUS char is not a cased letter (so
+    ``0a``→``0A``, ``m'sick``→``M'Sick``), else lowercased —
+    ``initcap`` only breaks on whitespace and diverges on digits/
+    apostrophes (caught by the hypothesis cross-check vs the
+    oracle)."""
+    chars = F.split(c, "")
+    cased = "[\\p{Lu}\\p{Ll}\\p{Lt}]"
+    titled = F.transform(
+        chars,
+        lambda ch, i: F.when(i == 0, F.upper(ch)).otherwise(
+            # element_at is 1-based: index i (>=1 here) IS the
+            # previous character of 0-based position i
+            F.when(F.element_at(chars, i).rlike(cased), F.lower(ch)).otherwise(
+                F.upper(ch)
+            )
+        ),
+    )
+    return F.array_join(titled, "")
+
+
 def normalize_commune(c: Column) -> tuple[Column, Column]:
     """V9 (validators.py:88-93) — bidirectional substring against the
     14-commune list; always valid. Expressed as a higher-order
     ``filter`` over a literal array (compiles to one tight loop,
     vs a 14-deep when-chain that blows the 64KB codegen method cap)."""
-    base = F.initcap(squash_spaces(c))
+    base = title_case(squash_spaces(c))
     low = F.lower(base)
     hits = F.filter(
         _commune_pairs(),

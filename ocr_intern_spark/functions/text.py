@@ -19,7 +19,8 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.repartition(spark.sparkContext.defaultParallelism)
 
 
 def token_count(text: Column) -> Column:

@@ -29,7 +29,10 @@ MAX_SHINGLE_DF = 1000  # drop shingles appearing in more docs (skew cut)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the (small-file) scan across cores before the CPU-heavy
+    # shingle/hash expressions; a no-op cost at real input sizes
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _shingles(d: DataFrame, blur: bool = True) -> DataFrame:
@@ -180,14 +183,13 @@ def minhash_signature_cols() -> list:
     ]
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    return (
-        _shingles(d, blur=False)
-        .groupBy("doc_id")
-        .agg(*minhash_signature_cols())
-        .orderBy("doc_id")
-    )
+    return _shingles(d, blur=False).groupBy("doc_id").agg(*minhash_signature_cols())
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sig(spark, sf_dir).orderBy("doc_id")
 
 
 _MINHASH_SQL_COLS = ",\n       ".join(
@@ -205,26 +207,27 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 
 def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: md5 over each band's signature rows → bucket id;
-    emit buckets holding >1 doc (the candidate groups). One extra
-    groupBy over the signature frame — candidates without any
-    pairwise comparison."""
+    emit buckets holding >1 doc (the candidate groups).
+
+    Single pass: the signature frame is computed ONCE and the bands
+    are exploded from an inline array — a per-band union would
+    re-run the whole shingle+minhash pipeline LSH_BANDS times."""
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
-    sig = q_minhash_signatures(spark, sf_dir)
-    bands = []
+    sig = _minhash_sig(spark, sf_dir)
+    band_structs = []
     for band in range(LSH_BANDS):
         cols = [
             F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)
         ]
-        bands.append(
-            sig.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(band).alias("band"),
                 F.md5(F.concat_ws("|", *cols)).alias("bucket"),
             )
         )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+    allb = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
     return (
         allb.groupBy("band", "bucket")
         .agg(
@@ -258,8 +261,69 @@ FROM bands GROUP BY band, bucket HAVING count(*) > 1 ORDER BY band, bucket
 """
 
 
+SIMHASH_BITS = 16
+
+
+def _hex_nibble_bit_spark(h, b: int):
+    """bit b (MSB-first) of the md5 hex string h, via nibble lookup —
+    portable construction mirrored in the SQL oracle."""
+    ch = F.substring(h, 1 + b // 4, 1)
+    nibble = F.instr(F.lit("0123456789abcdef"), ch) - 1
+    return F.shiftright(nibble, 3 - b % 4).bitwiseAND(F.lit(1))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMHASH_BITS-bit SimHash over word tokens: per bit, sum +1/-1
+    by the token-hash bit, sign → fingerprint bit. One explode + one
+    groupBy with 16 conditional sums (all map-side combinable)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).where(F.length("w") > 0)
+    h = F.md5(F.col("w"))
+    aggs = [
+        F.sum(
+            F.when(_hex_nibble_bit_spark(h, b) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    bits = [
+        F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(SIMHASH_BITS)
+    ]
+    return sums.select(
+        "doc_id", F.concat(*bits).alias("simhash")
+    ).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    bit_exprs = []
+    for b in range(SIMHASH_BITS):
+        nib = f"(instr('0123456789abcdef', substr(md5(w), {1 + b // 4}, 1)) - 1)"
+        bit_exprs.append(f"sum(CASE WHEN ({nib} >> {3 - b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}")
+    sums = ",\n         ".join(bit_exprs)
+    bits = " || ".join(
+        f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), filtered AS (SELECT * FROM toks WHERE length(w) > 0),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM filtered GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash FROM sums ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_prefix": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_simhash": (q_simhash, _simhash_sql()),
     "dedup_fingerprint_count": (q_dedup_fingerprint_count, _DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _JACCARD_SQL),
     "dedup_minhash_signatures": (q_minhash_signatures, _MINHASH_SQL),

@@ -129,81 +129,94 @@ def transform_plain_spans(flat: DataFrame) -> DataFrame:
 # Media OCR stage — the one mapInPandas stage (Arrow-batched).
 # ---------------------------------------------------------------------------
 
-_AR_RANGE = re.compile("[؀-ۿ]")
-_LATIN = re.compile("[a-zA-Z]")
+_AR_RANGE = "[\u0600-\u06ff]"
+_LATIN = "[a-zA-Z]"
 
 Recognizer = Callable[[str], Iterable[Any]]
 
 
-def _fuse_tokens(toks: list[Any]) -> list[tuple[str, str]]:
-    """Hybrid fusion for ONE media ref, numpy-vectorized.
+def _fuse_batch(rows: pd.DataFrame, recognize: Recognizer) -> pd.DataFrame:
+    """Hybrid fusion for one Arrow batch of media rows — vectorized
+    across ALL refs at once (no per-ref Python work beyond the
+    recognizer call itself).
 
-    Independent reimplementation of parse-filter → F1 → F4 → R2
-    (hybrid.py:27-128, reading_order.py:44-59); the oracle implements
-    the same spec with reference-shaped Python loops.
-    Returns [(kind, text)] in reading order.
+    Independent reimplementation of parse-filter → F1 script filter →
+    F4 overlap dedupe → R2 reading order (hybrid.py:27-128,
+    reading_order.py:44-59); the pure-Python oracle implements the
+    same spec with reference-shaped loops. Returns FLAT_DDL rows.
+
+    Vectorization scheme:
+    * one flat token frame for the whole batch, keyed by the media
+      row index `rid`;
+    * F4 via an intra-ref pandas merge (arabic × french pairs exist
+      only within a rid — group sizes are word counts, so the pair
+      frame stays linear-ish);
+    * R2 via groupby-transform votes + one stable lexsort keyed
+      (rid, line, signed_x, merged-order).
     """
-    if not toks:
-        return []
-    text = np.array([(t.text or "") for t in toks], dtype=object)
-    conf = np.array([t.conf for t in toks], dtype=np.float64)
-    x = np.array([t.x for t in toks], dtype=np.int64)
-    y = np.array([t.y for t in toks], dtype=np.int64)
-    w = np.array([t.w for t in toks], dtype=np.int64)
-    h = np.array([t.h for t in toks], dtype=np.int64)
-    lang = np.array([t.lang for t in toks], dtype=object)
+    cols = ["doc_id", "offset", "pos", "seq", "kind", "text", "media_ref"]
+    tok_rows: list[tuple] = []
+    for rid, ref in enumerate(rows["media_ref"]):
+        for j, t in enumerate(recognize(ref)):
+            tok_rows.append((rid, j, t.text or "", float(t.conf),
+                             int(t.x), int(t.y), int(t.w), int(t.h), t.lang))
+    if not tok_rows:
+        return pd.DataFrame({c: [] for c in cols})
+    tf = pd.DataFrame(
+        tok_rows, columns=["rid", "j", "text", "conf", "x", "y", "w", "h", "lang"]
+    )
 
-    stripped = np.array([s.strip() for s in text], dtype=object)
-    parse_ok = (stripped != "") & (conf >= 0)
-    has_ar = np.array([bool(_AR_RANGE.search(s)) for s in text])
-    has_lat = np.array([bool(_LATIN.search(s)) for s in text])
-    ar_m = parse_ok & (lang == "ara") & has_ar
-    fr_m = parse_ok & (lang == "fra") & has_lat
+    # parse filter (base.py:189-211) + F1 script filter (hybrid.py:27-44)
+    stripped = tf["text"].str.strip()
+    parse_ok = (stripped != "") & (tf["conf"] >= 0)
+    is_ar = parse_ok & (tf["lang"] == "ara") & tf["text"].str.contains(_AR_RANGE, regex=True)
+    is_fr = parse_ok & (tf["lang"] == "fra") & tf["text"].str.contains(_LATIN, regex=True)
 
-    ai = np.flatnonzero(ar_m)
-    fi = np.flatnonzero(fr_m)
+    ar = tf[is_ar].reset_index(drop=True)
+    fr = tf[is_fr].reset_index(drop=True)
 
-    # F4: overlap matrix (|ar| × |fr|), open-interval intersection
-    if ai.size and fi.size:
-        ov = (
-            (x[ai][:, None] < (x[fi] + w[fi])[None, :])
-            & ((x[ai] + w[ai])[:, None] > x[fi][None, :])
-            & (y[ai][:, None] < (y[fi] + h[fi])[None, :])
-            & ((y[ai] + h[ai])[:, None] > y[fi][None, :])
+    # F4 dedupe: pairs within the same rid (hybrid.py:88-128)
+    if len(ar) and len(fr):
+        pairs = ar.reset_index().merge(
+            fr.reset_index(), on="rid", suffixes=("_a", "_f")
         )
-        ar_drop = (ov & (conf[ai][:, None] <= conf[fi][None, :])).any(axis=1)
-        ai_kept = ai[~ar_drop]
-        if ai_kept.size:
-            ov2 = (
-                (x[ai_kept][:, None] < (x[fi] + w[fi])[None, :])
-                & ((x[ai_kept] + w[ai_kept])[:, None] > x[fi][None, :])
-                & (y[ai_kept][:, None] < (y[fi] + h[fi])[None, :])
-                & ((y[ai_kept] + h[ai_kept])[:, None] > y[fi][None, :])
-            )
-            fr_drop = (ov2 & (conf[fi][None, :] < conf[ai_kept][:, None])).any(axis=0)
-        else:
-            fr_drop = np.zeros(fi.size, dtype=bool)
-        fi_kept = fi[~fr_drop]
-    else:
-        ai_kept, fi_kept = ai, fi
+        ov = (
+            (pairs["x_a"] < pairs["x_f"] + pairs["w_f"])
+            & (pairs["x_a"] + pairs["w_a"] > pairs["x_f"])
+            & (pairs["y_a"] < pairs["y_f"] + pairs["h_f"])
+            & (pairs["y_a"] + pairs["h_a"] > pairs["y_f"])
+        )
+        ar_lost = pairs.loc[ov & (pairs["conf_a"] <= pairs["conf_f"]), "index_a"].unique()
+        ar_keep_mask = ~ar.index.isin(ar_lost)
+        # french compares against the SURVIVING arabic set only
+        surv = pairs[ov & pairs["index_a"].isin(ar.index[ar_keep_mask])]
+        fr_lost = surv.loc[surv["conf_f"] < surv["conf_a"], "index_f"].unique()
+        ar = ar[ar_keep_mask]
+        fr = fr[~fr.index.isin(fr_lost)]
 
-    # merged order = arabic then french (flatten_results dict order)
-    merged = np.concatenate([ai_kept, fi_kept]) if ai_kept.size or fi_kept.size else np.array([], dtype=np.int64)
-    if merged.size == 0:
-        return []
+    # merged order: arabic block then french block per ref
+    # (flatten_results over {"arabic": …, "french": …})
+    ar = ar.assign(blk=0)
+    fr = fr.assign(blk=1)
+    m = pd.concat([ar, fr], ignore_index=True)
+    if not len(m):
+        return pd.DataFrame({c: [] for c in cols})
+    m = m.sort_values(["rid", "blk", "j"], kind="stable").reset_index(drop=True)
 
-    line = y[merged] // np.maximum(1, h[merged])
-    is_ar_tok = np.array([str(s).lower().startswith("arab") or s == "ara" for s in lang[merged]])
-    # RTL vote per line: strict majority of arabic tokens
-    df = pd.DataFrame({"line": line, "ar": is_ar_tok, "x": x[merged]})
-    grp = df.groupby("line")["ar"]
-    rtl = (grp.transform("sum") > grp.transform("size") / 2).to_numpy()
-    signed_x = np.where(rtl, -df["x"].to_numpy(), df["x"].to_numpy())
-    # stable lexsort: primary=line, secondary=signed_x, ties keep
-    # merged (arabic-then-french, insertion) order
-    perm = np.lexsort((signed_x, line))
-    ordered = merged[perm]
-    return [("ocr", str(text[j]).strip()) for j in ordered]
+    # R2: line binning + per-line RTL strict-majority vote
+    line = m["y"] // np.maximum(1, m["h"])
+    m = m.assign(line=line, arab=(m["blk"] == 0))
+    grp = m.groupby(["rid", "line"])["arab"]
+    rtl = grp.transform("sum") > grp.transform("size") / 2
+    signed_x = np.where(rtl, -m["x"], m["x"])
+    perm = np.lexsort((signed_x, m["line"].to_numpy(), m["rid"].to_numpy()))
+    m = m.iloc[perm].reset_index(drop=True)
+    m["seq"] = m.groupby("rid").cumcount()
+
+    meta = rows.reset_index(drop=True)
+    out = m[["rid", "seq"]].assign(text=m["text"].str.strip(), kind="ocr")
+    out = out.join(meta[["doc_id", "offset", "pos", "media_ref"]], on="rid")
+    return out[cols]
 
 
 def make_ocr_stage(
@@ -214,23 +227,7 @@ def make_ocr_stage(
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "offset": [], "pos": [], "seq": [],
-                "kind": [], "text": [], "media_ref": [],
-            }
-            for doc_id, offset, pos, ref in zip(
-                pdf["doc_id"], pdf["offset"], pdf["pos"], pdf["media_ref"]
-            ):
-                toks = list(recognize(ref))
-                for seq, (kind, txt) in enumerate(_fuse_tokens(toks)):
-                    out["doc_id"].append(doc_id)
-                    out["offset"].append(offset)
-                    out["pos"].append(pos)
-                    out["seq"].append(seq)
-                    out["kind"].append(kind)
-                    out["text"].append(txt)
-                    out["media_ref"].append(ref)
-            yield pd.DataFrame(out)
+            yield _fuse_batch(pdf, recognize)
 
     return stage
 
@@ -277,6 +274,7 @@ def extract(
     docs: DataFrame,
     recognize: Recognizer,
     ocr_partitions: int | None = None,
+    partitions: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans[kind,text,media_ref,offset]) →
     extracted(doc_id, spans[kind,text,media_ref,order]).
@@ -287,9 +285,18 @@ def extract(
     anti-join against the extracted table must see every processed
     doc (SURVEY.md §4 item 3).
     """
-    flat = explode_spans(docs)
+    sc = docs.sparkSession.sparkContext
+    p = partitions or sc.defaultParallelism
+    # Small inputs (or few splits) would otherwise serialize the
+    # CPU-heavy stages; at real scale the scan already yields many
+    # splits and this round-robin shuffle of doc rows is cheap
+    # relative to the work it balances.
+    flat = explode_spans(docs.repartition(p))
     plain = transform_plain_spans(flat)
-    ocr = ocr_media_spans(flat, recognize, ocr_partitions=ocr_partitions)
+    # Python stages want exactly one partition per worker slot:
+    # exceeding it (e.g. 2×cores) thrashes worker startup/memory and
+    # measured 4× slower — see BENCH/BASELINE.md.
+    ocr = ocr_media_spans(flat, recognize, ocr_partitions=ocr_partitions or p)
     assembled = assemble(plain.unionByName(ocr))
     empty = F.array().cast(assembled.schema["spans"].dataType)
     return (

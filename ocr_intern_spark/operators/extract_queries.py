@@ -177,7 +177,9 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed with window functions over synthesized token positions:
     x = (i%6)*90, line = i//6, lang arabic iff (doc_id + i*i) % 5 < 2.
     row_number gives the reading order."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 24)
     w = d.select("doc_id", F.posexplode(toks).alias("i", "word"))
     w = w.select(

@@ -121,6 +121,23 @@ def stub_ocr_tokens(media_ref: str, seed: int = 42) -> list[Token]:
     return tokens
 
 
+def costed_stub_ocr_tokens(media_ref: str, seed: int = 42) -> list[Token]:
+    """Stub recognizer with REPRESENTATIVE compute cost for scaling
+    benchmarks: adds ~1-2 ms of deterministic CPU work (sha256 chain)
+    per media ref, standing in for real image decode + OCR inference
+    (the reference budgets up to 10 s/doc —
+    /root/reference/tests/integration/test_ocr_integration.py:103-105;
+    we simulate a fraction of that). Token OUTPUT is identical to
+    ``stub_ocr_tokens``, so correctness goldens are unaffected; only
+    the cost profile changes. Without this, per-doc work is so light
+    that fixed job overheads dominate and no parallelism level can
+    show its real scaling."""
+    h = hashlib.sha256(media_ref.encode("utf-8")).digest()
+    for _ in range(6000):
+        h = hashlib.sha256(h).digest()
+    return stub_ocr_tokens(media_ref, seed=seed)
+
+
 def make_document(doc_id: str, seed: int = 42, oversized: bool = False) -> dict[str, Any]:
     """One synthetic document row: interleaved, shuffled spans."""
     rng = _rng_for(f"doc:{doc_id}", seed)
@@ -190,28 +207,43 @@ def corpus_to_spark(spark, n_docs: int, seed: int = 42, partitions: int | None =
     return df
 
 
-def write_corpus_parquet(path: str, n_docs: int, seed: int = 42) -> None:
+def write_corpus_parquet(
+    path: str, n_docs: int, seed: int = 42, n_files: int = 32
+) -> None:
     """Driver-side parquet writer (pyarrow; no Spark needed) for bench
-    inputs."""
+    inputs. Writes a DIRECTORY of ``n_files`` part files so the Spark
+    scan gets parallel splits — a single-file corpus serializes the
+    scan stage and caps scaling (Amdahl), which is an artifact of the
+    generator, not the pipeline."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    docs = make_corpus(n_docs, seed=seed)
     span_type = pa.struct(
         [("kind", pa.string()), ("text", pa.string()),
          ("media_ref", pa.string()), ("offset", pa.int32())]
     )
-    table = pa.table(
-        {
-            "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
-            "spans": pa.array(
-                [
-                    [(s["kind"], s["text"], s["media_ref"], s["offset"])
-                     for s in d["spans"]]
-                    for d in docs
-                ],
-                pa.list_(span_type),
-            ),
-        }
-    )
-    pq.write_table(table, path)
+
+    def to_table(docs: list[dict[str, Any]]) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
+                "spans": pa.array(
+                    [
+                        [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                         for s in d["spans"]]
+                        for d in docs
+                    ],
+                    pa.list_(span_type),
+                ),
+            }
+        )
+
+    docs = make_corpus(n_docs, seed=seed)
+    os.makedirs(path, exist_ok=True)
+    chunk = (len(docs) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = docs[i * chunk : (i + 1) * chunk]
+        if part:
+            pq.write_table(to_table(part), f"{path}/part-{i:04d}.parquet")

@@ -1,0 +1,131 @@
+"""Storage adapter: checkpointed, idempotent, metric-emitting writes.
+
+Mirrors the reference's result cache + metrics sink semantics at
+partition granularity (SURVEY.md §2.9 B3/B4, §4 items 2-3):
+
+* reference: JSON file cache keyed per document, probed before OCR
+  (/root/reference/src/gui/components/hybrid_ocr_gui.py:56-61,
+  src/utils/document_management.py:38-47) → here: an
+  ``extracted`` table + ANTI-JOIN resume — only unprocessed docs
+  re-enter the pipeline; the MERGE is append-only because the
+  anti-join guarantees key disjointness (idempotent under re-runs).
+* reference: SQLite ``performance_metrics`` INSERT per document
+  (src/utils/performance_analytics.py:20-56) → here: one metrics row
+  per task partition per run, written to a parquet metrics table.
+
+The adapter is plain parquet + directory layout so it runs anywhere;
+on a real deployment the same call sites map 1:1 onto Iceberg
+``MERGE INTO`` / snapshot reads — the logic is behind this interface
+precisely so that swap is a config change, not a rewrite
+(SURVEY.md §7 design stance).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+class ExtractionStore:
+    """Checkpoint/resume + lineage metrics for the extraction job."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.extracted_path = os.path.join(root, "extracted")
+        self.metrics_path = os.path.join(root, "metrics")
+
+    # -- resume ------------------------------------------------------------
+
+    def processed_docs(self, spark: SparkSession) -> DataFrame | None:
+        if not self._has_data(self.extracted_path):
+            return None
+        return spark.read.parquet(self.extracted_path).select("doc_id")
+
+    def pending(self, docs: DataFrame) -> DataFrame:
+        """Anti-join the input against already-extracted docs (B3
+        cache-probe semantics, set-at-a-time instead of per doc)."""
+        done = self.processed_docs(docs.sparkSession)
+        if done is None:
+            return docs
+        return docs.join(done, "doc_id", "left_anti")
+
+    # -- write -------------------------------------------------------------
+
+    def commit(self, extracted: DataFrame) -> int:
+        """Append newly extracted docs. Caller must have produced
+        ``extracted`` from :meth:`pending` input — key disjointness
+        makes append == MERGE WHEN NOT MATCHED INSERT."""
+        before = extracted.count()
+        extracted.write.mode("append").parquet(self.extracted_path)
+        return before
+
+    def run_resumable(
+        self,
+        docs: DataFrame,
+        extract_fn: Callable[[DataFrame], DataFrame],
+        run_id: str | None = None,
+    ) -> dict:
+        """One idempotent batch: probe → extract pending → append +
+        metrics. Re-running after any failure (or success) never
+        duplicates a document."""
+        spark = docs.sparkSession
+        run_id = run_id or uuid.uuid4().hex[:12]
+        t0 = time.perf_counter()
+        todo = self.pending(docs)
+        out = extract_fn(todo)
+        n_new = self.commit(out)
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        self._write_run_metrics(spark, run_id, out, n_new, wall_ms)
+        return {"run_id": run_id, "docs_written": n_new, "wall_ms": wall_ms}
+
+    # -- metrics -----------------------------------------------------------
+
+    def _write_run_metrics(
+        self, spark: SparkSession, run_id: str, out: DataFrame, n_new: int,
+        wall_ms: float,
+    ) -> None:
+        """Partition-level lineage: (run, partition) → docs, spans,
+        errors. Computed relationally from the output (one extra
+        cheap aggregation over data already produced — no Python
+        accumulators, no driver loops)."""
+        back = spark.read.parquet(self.extracted_path) if n_new else out
+        stats = (
+            back.select(
+                F.spark_partition_id().alias("partition_id"),
+                F.size("spans").alias("n_spans"),
+                F.size(
+                    F.filter("spans", lambda s: s["kind"] == F.lit("error"))
+                ).alias("n_errors"),
+            )
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("docs"),
+                F.sum("n_spans").alias("spans_out"),
+                F.lit(0).cast("long").alias("spans_in"),
+                F.sum("n_errors").alias("errors"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                "partition_id",
+                "docs",
+                "spans_in",
+                "spans_out",
+                F.col("errors").cast("long"),
+                F.lit(float(wall_ms)).alias("wall_ms"),
+                F.current_timestamp().alias("ts"),
+            )
+        )
+        stats.write.mode("append").parquet(self.metrics_path)
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.metrics_path)
+
+    @staticmethod
+    def _has_data(path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )

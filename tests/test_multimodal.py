@@ -1,0 +1,69 @@
+"""Multimodal plumbing: schema, batch shape, determinism, metadata
+pruning. Codec is the deterministic fake (real codecs unavailable —
+the Spark-side dataflow is what's under test)."""
+
+import pytest
+
+from ocr_intern_spark.operators.multimodal import (
+    DeterministicFakeCodec,
+    MediaCodec,
+    filter_by_meta,
+    image_features,
+    sample_video_frames,
+    synth_media_table,
+)
+
+
+def test_real_codec_is_stubbed():
+    c = MediaCodec()
+    with pytest.raises(NotImplementedError):
+        c.decode_image(b"x")
+    with pytest.raises(NotImplementedError):
+        c.sample_frames(b"x", 2)
+
+
+def test_image_features_schema_and_determinism(spark):
+    media = synth_media_table(spark, 20)
+    out = image_features(media, resize_to=4)
+    assert out.schema.simpleString() == (
+        "struct<media_id:string,kind:string,feature:array<float>,"
+        "out_width:int,out_height:int>"
+    )
+    a = {r["media_id"]: r["feature"] for r in out.collect()}
+    b = {r["media_id"]: r["feature"] for r in image_features(
+        synth_media_table(spark, 20), resize_to=4).collect()}
+    assert a == b
+    assert all(len(v) == 16 for v in a.values())
+    assert len(a) == 20
+
+
+def test_frame_sampling(spark):
+    media = synth_media_table(spark, 12)
+    frames = sample_video_frames(media, frames_per_video=3).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(len(v))) for v in by_media.values())
+    # deterministic shas
+    again = sample_video_frames(synth_media_table(spark, 12), frames_per_video=3).collect()
+    assert {(r["media_id"], r["frame_idx"], r["frame_sha"]) for r in frames} == {
+        (r["media_id"], r["frame_idx"], r["frame_sha"]) for r in again}
+
+
+def test_meta_filter_native_and_pruned(spark, tmp_path):
+    path = str(tmp_path / "media.parquet")
+    synth_media_table(spark, 40).write.parquet(path)
+    media = spark.read.parquet(path)
+    imgs = filter_by_meta(media, "image/", min_pixels=1)
+    got = imgs.select("media_id", "meta.mime").collect()
+    assert len(got) == 20  # png + jpeg = 2 of 4 mimes
+    assert all(r["mime"].startswith("image/") for r in got)
+    # payload must be pruned out of the parquet scan when only
+    # metadata is selected (ReadSchema excludes it)
+    physical = (
+        imgs.select("media_id", "meta.mime")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    read_schema = re.search(r"ReadSchema: ([^\n]*)", physical)
+    assert read_schema and "payload" not in read_schema.group(1), physical

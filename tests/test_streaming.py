@@ -1,0 +1,95 @@
+"""Streaming extraction: stream output must equal batch output."""
+
+import pytest
+
+from ocr_intern_spark.operators.extract import (
+    explode_spans,
+    extract,
+    ocr_media_spans,
+    transform_plain_spans,
+)
+from ocr_intern_spark.sources.corpus import (
+    corpus_to_spark,
+    stub_ocr_tokens,
+    write_corpus_parquet,
+)
+from ocr_intern_spark.sources.storage import ExtractionStore
+from ocr_intern_spark.streaming.extract_stream import (
+    read_documents_stream,
+    stream_extract_flat,
+    stream_extract_to_store,
+    windowed_event_stats,
+)
+
+N_DOCS = 24
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_corpus")
+    write_corpus_parquet(str(d / "docs"), N_DOCS, seed=42, n_files=4)
+    return str(d / "docs")
+
+
+def test_stream_flat_equals_batch_flat(spark, corpus_dir):
+    stream = read_documents_stream(spark, corpus_dir, max_files_per_trigger=1)
+    q = (
+        stream_extract_flat(stream, stub_ocr_tokens)
+        .writeStream.format("memory")
+        .queryName("flat_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "select doc_id, offset, pos, seq, kind, text, media_ref from flat_out"
+        ).collect()
+    }
+    batch_docs = spark.read.parquet(corpus_dir)
+    flat = explode_spans(batch_docs)
+    expected = {
+        tuple(r)
+        for r in transform_plain_spans(flat)
+        .unionByName(ocr_media_spans(flat, stub_ocr_tokens))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_stream_to_store_idempotent(spark, corpus_dir, tmp_path):
+    store = ExtractionStore(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_documents_stream(spark, corpus_dir, max_files_per_trigger=2)
+    q = stream_extract_to_store(stream, stub_ocr_tokens, store, ckpt).start()
+    q.awaitTermination(180)
+
+    back = spark.read.parquet(store.extracted_path)
+    assert back.count() == N_DOCS
+    assert back.select("doc_id").distinct().count() == N_DOCS
+
+    # restart the stream over the same input: checkpoint + anti-join
+    # → zero new docs
+    q2 = stream_extract_to_store(
+        read_documents_stream(spark, corpus_dir), stub_ocr_tokens, store, ckpt
+    ).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(store.extracted_path).count() == N_DOCS
+
+
+def test_windowed_event_stats_batch_semantics(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, m), "a" if m % 2 else "b", float(m))
+        for m in range(0, 60, 5)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = windowed_event_stats(ev, window="20 minutes").collect()
+    # 3 windows × ≤2 types
+    assert len(out) == 6
+    w0a = [r for r in out if r["event_type"] == "a"
+           and r["window_start"].minute == 0][0]
+    assert w0a["n"] == 2 and w0a["sum_value"] == 5.0 + 15.0
