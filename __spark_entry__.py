@@ -84,12 +84,22 @@ def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "ord", F.col("s.kind").alias("kind"), F.col("s.text").alias("text"))
 
 
+def _q_template_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+A2-A5 template-field extraction — rows-only check; exact
+    semantics pinned by tests/test_template_fields.py vs the oracle."""
+    from ocr_intern_spark.operators.template_fields import template_fields
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return template_fields(derive_spans(docs), stub_ocr_tokens)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
     out["extract_full_pipeline"] = _q_extract_full
+    out["extract_template_fields"] = _q_template_fields
     return out
 
 

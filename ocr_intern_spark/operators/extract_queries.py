@@ -236,8 +236,27 @@ FROM voted ORDER BY doc_id, ord
 """
 
 
+def q_french_ocr_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 French OCR confusion fixes (french.py:59-68) as native
+    translate: '|'→'I', '1'→'l', trim — applied to text with injected
+    confusables."""
+    from ocr_intern_spark.functions.normalizers import fix_french_ocr
+
+    d = _t(spark, sf_dir, "documents")
+    noisy = F.concat(F.lit(" |dent1f1ant| "), F.col("text"), F.lit(" v1lle "))
+    return d.select("doc_id", fix_french_ocr(noisy).alias("fixed"))
+
+
+_FRENCH_FIX_SQL = """
+SELECT doc_id,
+       trim(translate(' |dent1f1ant| ' || text || ' v1lle ', '|1', 'Il')) AS fixed
+FROM documents
+"""
+
+
 QUERIES = {
     "extract_doc_type": (q_doc_type, _DOC_TYPE_SQL),
     "extract_field_normalizers": (q_field_normalizers, _FIELD_NORM_SQL),
     "extract_reading_order": (q_reading_order, _READING_ORDER_SQL),
+    "extract_french_ocr_fixes": (q_french_ocr_fixes, _FRENCH_FIX_SQL),
 }

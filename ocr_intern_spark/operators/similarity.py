@@ -141,7 +141,97 @@ GROUP BY sig HAVING count(*) > 1 ORDER BY sig
 """
 
 
+NEARDUP_THRESHOLD = 0.4
+NEARDUP_BANDS = 4  # 4 bands × 4 bits of the 16-bit signature
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via BANDED hyperplane LSH:
+    candidates share at least one 4-bit signature band (explode bands
+    → self-join per band → distinct pair), then exact cosine re-rank.
+    Approximate by design (band recall ~50% at cos 0.4) — the
+    blocking keeps it linear-ish where an all-pairs cross join is
+    impossible at 10^12 rows."""
+    e = _emb(spark, sf_dir)
+    band_width = N_HYPERPLANES // NEARDUP_BANDS
+    sig = e.select(
+        "vec_id", "embedding", lsh_signature(F.col("embedding")).alias("sig")
+    )
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.substring("sig", 1 + i * band_width, band_width),
+                    )
+                    for i in range(NEARDUP_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+        .agg(
+            F.first(F.col("a.embedding")).alias("ea"),
+            F.first(F.col("b.embedding")).alias("eb"),
+        )
+        .select(
+            "va", "vb", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos")
+        )
+    )
+    return pairs.where(F.col("cos") >= NEARDUP_THRESHOLD).orderBy("va", "vb")
+
+
+def _neardup_sql() -> str:
+    bit_exprs = []
+    for row in _hyperplanes():
+        arr = "[" + ", ".join(f"{v!r}" for v in row) + "]"
+        bit_exprs.append(
+            "CASE WHEN list_sum(list_transform(list_zip(embedding, "
+            f"{arr}::DOUBLE[]), p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    sig = " || ".join(bit_exprs)
+    band_width = N_HYPERPLANES // NEARDUP_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, '{i}:' || substr(sig, {1 + i * band_width}, {band_width}) AS band FROM sig"
+        for i in range(NEARDUP_BANDS)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(ea, eb), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE) * x)))"
+        " * sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE) * x))))"
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+bands AS ({band_rows}),
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         any_value(a.embedding) AS ea, any_value(b.embedding) AS eb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT va, vb, round({cos}, 6) AS cos
+FROM cand WHERE round({cos}, 6) >= {NEARDUP_THRESHOLD}
+ORDER BY va, vb
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_ann_lsh_buckets": (q_ann_lsh_buckets, _ann_lsh_sql()),
+    "sim_embedding_neardup": (q_embedding_neardup_pairs, _neardup_sql()),
 }
