@@ -205,6 +205,28 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path MinHash: xxhash64(seed, shingle) → min over BIGINT.
+    Long-typed buffers keep the aggregation in HashAggregateExec with
+    map-side partials; the md5-string variant (portable to the DuckDB
+    oracle) degrades to SortAggregate because var-length min/max
+    buffers aren't hash-aggregable. Same banding downstream. No SQL
+    oracle (xxhash64 is Spark-specific) — signatures are checked
+    rows-only; the md5 variant pins the algorithm exactly."""
+    d = _docs(spark, sf_dir)
+    sig = (
+        _shingles(d, blur=False)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"mh{s}")
+                for s in range(MINHASH_SEEDS)
+            ]
+        )
+    )
+    return sig.orderBy("doc_id")
+
+
 def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: md5 over each band's signature rows → bucket id;
     emit buckets holding >1 doc (the candidate groups).
@@ -327,5 +349,6 @@ QUERIES = {
     "dedup_fingerprint_count": (q_dedup_fingerprint_count, _DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _JACCARD_SQL),
     "dedup_minhash_signatures": (q_minhash_signatures, _MINHASH_SQL),
+    "dedup_minhash_fast": (q_minhash_fast, None),
     "dedup_minhash_lsh_buckets": (q_minhash_lsh_buckets, _minhash_lsh_sql()),
 }

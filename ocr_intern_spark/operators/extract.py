@@ -246,10 +246,20 @@ def ocr_media_spans(
     return media.mapInPandas(make_ocr_stage(recognize), schema=FLAT_DDL)
 
 
+_SENTINEL_KIND = "\x7f__doc__"
+
+
 def assemble(flat_out: DataFrame) -> DataFrame:
     """Re-assemble per-document span arrays with the final 0-based
     ``order`` (spec step 7). One hash shuffle; sort key
-    (offset, pos, seq) reproduces the oracle's stable emission order."""
+    (offset, pos, seq) reproduces the oracle's stable emission order.
+
+    Rows with the sentinel kind (one per input doc, injected by
+    ``extract``) guarantee every doc_id survives with an empty array
+    — WITHOUT a join against the input (a join would need either a
+    broadcast of all doc_ids — impossible at 10^12 docs — or a second
+    shuffle of the full input). The sentinel rides the existing
+    shuffle as one extra row per doc and is dropped here."""
     return (
         flat_out.groupBy("doc_id")
         .agg(
@@ -262,7 +272,8 @@ def assemble(flat_out: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                "transform(arr, (e, i) -> struct("
+                f"transform(filter(arr, e -> e.kind != '{_SENTINEL_KIND}'),"
+                " (e, i) -> struct("
                 "e.kind as kind, e.text as text, "
                 "e.media_ref as media_ref, cast(i as int) as `order`))"
             ).alias("spans"),
@@ -291,19 +302,25 @@ def extract(
     # CPU-heavy stages; at real scale the scan already yields many
     # splits and this round-robin shuffle of doc rows is cheap
     # relative to the work it balances.
-    flat = explode_spans(docs.repartition(p))
+    repartitioned = docs.repartition(p)
+    flat = explode_spans(repartitioned)
     plain = transform_plain_spans(flat)
     # Python stages want exactly one partition per worker slot:
     # exceeding it (e.g. 2×cores) thrashes worker startup/memory and
     # measured 4× slower — see BENCH/BASELINE.md.
     ocr = ocr_media_spans(flat, recognize, ocr_partitions=ocr_partitions or p)
-    assembled = assemble(plain.unionByName(ocr))
-    empty = F.array().cast(assembled.schema["spans"].dataType)
-    return (
-        docs.select("doc_id")
-        .join(assembled, "doc_id", "left")
-        .select("doc_id", F.coalesce("spans", empty).alias("spans"))
+    # one sentinel row per doc → every doc_id survives assembly with
+    # an empty array, no join (see assemble docstring)
+    sentinels = repartitioned.select(
+        "doc_id",
+        F.lit(2147483647).alias("offset"),
+        F.lit(2147483647).alias("pos"),
+        F.lit(0).alias("seq"),
+        F.lit(_SENTINEL_KIND).alias("kind"),
+        F.lit("").alias("text"),
+        F.lit("").alias("media_ref"),
     )
+    return assemble(plain.unionByName(ocr).unionByName(sentinels))
 
 
 def classify_documents(extracted: DataFrame) -> DataFrame:
