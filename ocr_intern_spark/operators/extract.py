@@ -219,21 +219,60 @@ def _fuse_batch(rows: pd.DataFrame, recognize: Recognizer) -> pd.DataFrame:
     return out[cols]
 
 
+class ListAccumulator:
+    """pyspark AccumulatorParam appending task-local lists — carries
+    per-partition timing rows back to the driver (B4 semantics,
+    hybrid_ocr_gui.py:66-69/155-164, at partition granularity)."""
+
+    # implements pyspark.accumulators.AccumulatorParam duck-typed
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
 def make_ocr_stage(
     recognize: Recognizer,
+    timing_acc=None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """mapInPandas function: (doc_id, offset, pos, media_ref) batches →
-    FLAT_DDL rows, one per surviving OCR token, seq = reading order."""
+    FLAT_DDL rows, one per surviving OCR token, seq = reading order.
+
+    ``timing_acc`` (optional, from ``ListAccumulator``): each task
+    appends ``(partition_id, media_rows, wall_ms)`` on completion."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _fuse_batch(pdf, recognize)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        rows = 0
+        try:
+            for pdf in batches:
+                rows += len(pdf)
+                yield _fuse_batch(pdf, recognize)
+        finally:
+            if timing_acc is not None:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                timing_acc.add(
+                    [(
+                        ctx.partitionId() if ctx else -1,
+                        rows,
+                        (_time.perf_counter() - t0) * 1000.0,
+                    )]
+                )
 
     return stage
 
 
 def ocr_media_spans(
-    flat: DataFrame, recognize: Recognizer, ocr_partitions: int | None = None
+    flat: DataFrame,
+    recognize: Recognizer,
+    ocr_partitions: int | None = None,
+    timing_acc=None,
 ) -> DataFrame:
     media = flat.where(
         (F.col("kind") == "media")
@@ -243,7 +282,9 @@ def ocr_media_spans(
     if ocr_partitions:
         # balance recognizer work independent of document skew
         media = media.repartition(ocr_partitions, F.hash("media_ref"))
-    return media.mapInPandas(make_ocr_stage(recognize), schema=FLAT_DDL)
+    return media.mapInPandas(
+        make_ocr_stage(recognize, timing_acc=timing_acc), schema=FLAT_DDL
+    )
 
 
 _SENTINEL_KIND = "\x7f__doc__"
@@ -286,6 +327,7 @@ def extract(
     recognize: Recognizer,
     ocr_partitions: int | None = None,
     partitions: int | None = None,
+    ocr_timing_acc=None,
 ) -> DataFrame:
     """documents(doc_id, spans[kind,text,media_ref,offset]) →
     extracted(doc_id, spans[kind,text,media_ref,order]).
@@ -308,7 +350,12 @@ def extract(
     # Python stages want exactly one partition per worker slot:
     # exceeding it (e.g. 2×cores) thrashes worker startup/memory and
     # measured 4× slower — see BENCH/BASELINE.md.
-    ocr = ocr_media_spans(flat, recognize, ocr_partitions=ocr_partitions or p)
+    ocr = ocr_media_spans(
+        flat,
+        recognize,
+        ocr_partitions=ocr_partitions or p,
+        timing_acc=ocr_timing_acc,
+    )
     # one sentinel row per doc → every doc_id survives assembly with
     # an empty array, no join (see assemble docstring)
     sentinels = repartitioned.select(

@@ -230,8 +230,121 @@ ORDER BY va, vb
 """
 
 
+IVF_CELLS = 8       # coarse centroids
+IVF_NPROBE = 2      # cells searched per query
+IVF_TOPK = 10
+
+
+def _cos_expr(a: Column, b: Column) -> Column:
+    return F.round(cosine(a, b), 6)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization into IVF_CELLS cells
+    (centroids = the embeddings of the IVF_CELLS smallest vec_ids —
+    deterministic and engine-portable), then exact top-K within the
+    query's IVF_NPROBE nearest cells.
+
+    Scale shape: the centroid table is tiny and broadcast; assignment
+    is a narrow map (argmax over IVF_CELLS codegen'd dot products);
+    the search scans ONLY the probed cells (cell is the partition/
+    cluster key at real scale, so pruning skips ~(1-nprobe/cells) of
+    the data)."""
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.where(F.col("vec_id") < IVF_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    # assignment: best (cos desc, cid asc) per vector
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "embedding", "cid",
+        _cos_expr(F.col("embedding"), F.col("cvec")).alias("ccos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))).alias("b")
+    ).select("vec_id", (-F.col("b.ncid")).alias("cell"))
+    assigned = e.join(best, "vec_id")
+
+    # probe cells for the query vector
+    qrow = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qrow))
+        .select("cid", _cos_expr(F.col("cvec"), F.col("qvec")).alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc("cid"))
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cands = assigned.join(
+        F.broadcast(probe), assigned.cell == probe.cid
+    ).where(F.col("vec_id") != QUERY_VEC_ID)
+    return (
+        cands.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id", "label", "cell",
+            _cos_expr(F.col("embedding"), F.col("qvec")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(IVF_TOPK)
+    )
+
+
+_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {IVF_CELLS}
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * x)))), 6
+         ) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           round(
+             list_sum(list_transform(list_zip(c.cvec, q.qvec),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * x)))
+              * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * x)))), 6
+           ) AS qcos
+    FROM cents c CROSS JOIN q
+    ORDER BY qcos DESC, cid ASC LIMIT {IVF_NPROBE}
+  )
+),
+cands AS (
+  SELECT e.vec_id, e.label, b.cell, e.embedding
+  FROM embeddings e JOIN best b USING (vec_id) JOIN probe p ON b.cell = p.cid
+  WHERE e.vec_id != {QUERY_VEC_ID}
+)
+SELECT vec_id, label, cell,
+       round(
+         list_sum(list_transform(list_zip(embedding, q.qvec),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+          * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * x)))), 6
+       ) AS cos
+FROM cands CROSS JOIN q
+ORDER BY cos DESC, vec_id ASC LIMIT {IVF_TOPK}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_ann_lsh_buckets": (q_ann_lsh_buckets, _ann_lsh_sql()),
     "sim_embedding_neardup": (q_embedding_neardup_pairs, _neardup_sql()),
+    "sim_ivf_topk": (q_ivf_topk, _IVF_SQL),
 }
