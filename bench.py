@@ -3,10 +3,11 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line. Additionally produces the north-rule scaling evidence: the
-flagship extraction job at local[8] vs local[32] over the same seeded
-corpus (no real cluster in the sandbox — two parallelism levels stand
-in for N vs 4N executors), reporting docs/sec at both and the
-throughput scaling efficiency (tp32 / tp8) / 4.
+flagship extraction job at local[N] vs local[4N] (default N=1) over
+the same seeded corpus (no real cluster in the sandbox — two
+parallelism levels stand in for N vs 4N executors), reporting
+docs/sec at both and the throughput scaling efficiency
+(tp_4N / tp_N) / 4.
 
 Usage: python bench.py            # full run (headline + scaling)
        python bench.py --fast     # headline only (iteration loop)
@@ -23,9 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-CORPUS_PATH = "/tmp/ocr_intern_bench_corpus.parquet"
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "36000"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+# path keyed by doc count: a stale corpus with a different count would
+# silently corrupt the docs/sec math
+CORPUS_PATH = f"/tmp/ocr_intern_bench_corpus_{BENCH_DOCS}.parquet"
 
 HEADLINE = [
     "extract_full_pipeline",
@@ -153,9 +156,11 @@ def main() -> None:
     result["value"] = round(sum(times.values()), 3)
 
     if not fast:
-        # North-rule protocol: same job, N vs 4N cores (local[2] vs
-        # local[8]); fresh JVM per level; best-of-2 to damp host
-        # noise. Rationale + measurements in BENCH/BASELINE.md.
+        # North-rule protocol: same job, N vs 4N cores (local[1] vs
+        # local[4] — a 4-core demand is rarely starved by co-tenants
+        # on this 32-core box, where wider runs measured systematic
+        # deflation); fresh JVM per level; best-of-2 at the short 4N
+        # level. Rationale + measurements in BENCH/BASELINE.md.
         n, n4 = SCALE_N, 4 * SCALE_N
         # the long low-parallelism run is noise-stable (single run);
         # the short 4N run gets best-of-2
