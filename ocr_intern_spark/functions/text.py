@@ -113,7 +113,34 @@ FROM (
 )
 """
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       round(
+         (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN punct_ratio < 0.2 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN stop_ratio > 0.01 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END), 6) AS quality
+FROM (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         CAST(length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 w -> list_contains({list(STOPWORDS)!r}, w))) AS DOUBLE)
+           / length(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stop_ratio
+  FROM documents
+)
+"""
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
+    "text_quality_score": (q_quality_score, _QUALITY_SQL),
 }

@@ -23,12 +23,14 @@ TABLES = (
 
 
 def norm_cell(v) -> str:
+    import decimal
+
     if v is None:
         return "∅"
     if isinstance(v, bool):
         return str(int(v))
-    if isinstance(v, float):
-        return f"{v:.9g}"
+    if isinstance(v, (float, decimal.Decimal)):
+        return f"{float(v):.9g}"
     return str(v)
 
 
