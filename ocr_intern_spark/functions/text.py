@@ -139,8 +139,60 @@ FROM (
 )
 """
 
+def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data survival funnel per source: how many documents
+    pass the quality gate, the language gate, and both — the canonical
+    shape of a pretraining-corpus filter stage. One scan, one hash
+    aggregate with map-side partials (conditional sums, no joins,
+    no second pass per gate)."""
+    d = _docs(spark, sf_dir)
+    q = quality_score(F.col("text"))
+    lang_ok = guess_lang(F.col("text")) == "french"  # latin-script gate
+    pass_q = (q >= 0.75).cast("int")
+    pass_l = lang_ok.cast("int")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(pass_q).alias("n_pass_quality"),
+            F.sum(pass_l).alias("n_pass_lang"),
+            F.sum(pass_q * pass_l).alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN punct_ratio < 0.2 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN stop_ratio > 0.01 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END) AS quality,
+         lang_ok
+  FROM (
+    SELECT source,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   w -> list_contains({list(STOPWORDS)!r}, w))) AS DOUBLE)
+             / length(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stop_ratio,
+           (NOT regexp_matches(text, '[؀-ۿ]')) AND regexp_matches(lower(text), '[a-z]') AS lang_ok
+    FROM documents
+  )
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN quality >= 0.75 THEN 1 ELSE 0 END) AS n_pass_quality,
+       sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS n_pass_lang,
+       sum(CASE WHEN quality >= 0.75 AND lang_ok THEN 1 ELSE 0 END) AS n_keep
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
     "text_quality_score": (q_quality_score, _QUALITY_SQL),
+    "text_corpus_filter_funnel": (q_corpus_filter_funnel, _FUNNEL_SQL),
 }

@@ -240,6 +240,160 @@ SELECT n_name, c_custkey, spend, rk FROM (
 """
 
 
+# --- TPC-H Q4-style: EXISTS semi-join with a non-equi component -----------
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having ≥1 lineitem shipped after the order date, counted
+    per priority. LEFT SEMI join: the probe side (orders) is emitted at
+    most once per row regardless of matching lineitem multiplicity, so
+    no post-join distinct is needed — at scale this is one shuffle on
+    the join key and the big lineitem side never materializes a join
+    output wider than the match bit."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- Grouping sets: ROLLUP over (status, priority) -------------------------
+
+
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority): per-(status,priority), per-status and
+    grand-total rows in one pass — Catalyst plans a single Expand +
+    hash aggregate, i.e. one shuffle for all three granularities
+    (vs three separate jobs). NULL group keys mark the rollup levels
+    exactly as in ANSI SQL."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            # decimal sum: exact and order-independent — the grand-total
+            # row aggregates every order, where a double sum's FP error
+            # could flip the rounded cent between engines/partitionings
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "total_price"
+            ),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_ORDER_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+# --- Window lag: inter-order gap per customer -------------------------------
+
+
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average days between consecutive orders per customer — lag()
+    window over (customer, order date). One hash shuffle on o_custkey
+    feeds BOTH the window sort and the subsequent groupBy (same key:
+    Catalyst reuses the partitioning, no second exchange)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    gap = F.datediff(F.col("o_orderdate"), prev)
+    return (
+        orders.select("o_custkey", gap.alias("gap"))
+        .where(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_ORDER_GAPS_SQL = """
+SELECT o_custkey, count(*) AS n_gaps, round(avg(gap), 6) AS avg_gap_days
+FROM (
+  SELECT o_custkey,
+         date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap
+  FROM orders
+) WHERE gap IS NOT NULL
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# --- Set operations: INTERSECT / EXCEPT -------------------------------------
+
+
+def q_users_click_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users present in BOTH the click and error event streams —
+    INTERSECT plans as a distinct-aggregate + hash semi-join, one
+    shuffle per side on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    errors = ev.where(F.col("event_type") == "error").select("user_id")
+    return clicks.intersect(errors).orderBy("user_id")
+
+
+_USERS_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+def q_users_click_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickers with no HIGH-VALUE error events — EXCEPT (anti-join
+    plan). The same shape implements checkpoint-resume's 'pending
+    work' query. (value > 150 keeps the result non-trivially split:
+    every user has some error at small SF, so unqualified EXCEPT
+    would be empty.)"""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    errors = ev.where(
+        (F.col("event_type") == "error") & (F.col("value") > 150)
+    ).select("user_id")
+    # subtract == ANSI EXCEPT (distinct set semantics)
+    return clicks.subtract(errors).orderBy("user_id")
+
+
+_USERS_EXCEPT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 150
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_by_type": (q_events_by_type, _EVENTS_BY_TYPE_SQL),
@@ -248,4 +402,9 @@ QUERIES = {
     "pricing_summary": (q_pricing_summary, _PRICING_SUMMARY_SQL),
     "revenue_by_nation": (q_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "top_customer_per_nation": (q_top_customer_per_nation, _TOP_CUSTOMER_SQL),
+    "order_priority_counts": (q_order_priority_counts, _ORDER_PRIORITY_SQL),
+    "order_rollup": (q_order_rollup, _ORDER_ROLLUP_SQL),
+    "customer_order_gaps": (q_customer_order_gaps, _ORDER_GAPS_SQL),
+    "users_click_and_error": (q_users_click_and_error, _USERS_INTERSECT_SQL),
+    "users_click_no_error": (q_users_click_no_error, _USERS_EXCEPT_SQL),
 }

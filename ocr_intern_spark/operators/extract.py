@@ -50,13 +50,25 @@ _ANCHOR_TAGS = r"(?s)</?a\b[^>]*>"
 
 
 def _linked_chars(text: Column) -> Column:
-    """Total characters inside <a>…</a> anchors — native HOF."""
+    """Total characters inside <a>…</a> anchors — native HOF.
+
+    Guarded by a cheap instr() probe: spans with no '<a' at all (the
+    common case in a web corpus after upstream block splitting) skip
+    the two regex passes entirely — when() branches evaluate lazily
+    per row in codegen, so this is a real skip, not a hint."""
     inners = F.regexp_extract_all(text, F.lit(_ANCHOR_INNER), 1)
-    return F.aggregate(inners, F.lit(0), lambda acc, x: acc + F.length(x))
+    total = F.aggregate(inners, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.instr(text, "<a") > 0, total).otherwise(F.lit(0))
 
 
 def _clean_text(text: Column) -> Column:
-    return squash_spaces(F.regexp_replace(text, _ANCHOR_TAGS, ""))
+    # probe both open and close forms: a lone '</a>' (no '<a') must
+    # still be stripped to match the oracle's _TAG_RE semantics
+    has_tag = (F.instr(text, "<a") > 0) | (F.instr(text, "</a") > 0)
+    stripped = F.when(
+        has_tag, F.regexp_replace(text, _ANCHOR_TAGS, "")
+    ).otherwise(text)
+    return squash_spaces(stripped)
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:

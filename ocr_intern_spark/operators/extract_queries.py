@@ -254,9 +254,82 @@ FROM documents
 """
 
 
+# --- F2/north-star: link-density boilerplate strip -------------------------
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The block-classification core of the pipeline (Boilerpipe-style
+    link-density cut + anchor strip), oracle-checked against DuckDB on
+    anchor-rich text synthesized from the documents table: the first
+    five words are wrapped in an <a> tag, so short documents cross the
+    1/3 linked-chars threshold and long ones don't.
+
+    Uses the PRODUCTION helpers (`_linked_chars`, `_clean_text` from
+    operators/extract.py), so this pins the exact expressions the
+    flagship pipeline runs — including the instr() fast-path guard."""
+    from ocr_intern_spark.operators.extract import (
+        LINK_DENSITY_CUTOFF,
+        _clean_text,
+        _linked_chars,
+    )
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    head = F.array_join(F.slice(toks, 1, 5), " ")
+    tail = F.array_join(
+        F.slice(toks, 6, F.greatest(F.size(toks) - 5, F.lit(0))), " "
+    )
+    html = F.concat(
+        F.lit('<a href="/nav">'), head, F.lit("</a> "), tail
+    )
+    d = d.select("doc_id", html.alias("html"))
+    density = _linked_chars(F.col("html")).cast("double") / F.length("html")
+    cleaned = _clean_text(F.col("html"))
+    return d.select(
+        "doc_id",
+        F.round(density, 6).alias("link_density"),
+        ((density <= F.lit(LINK_DENSITY_CUTOFF)) & (F.length(cleaned) > 0)).alias(
+            "keep"
+        ),
+        cleaned.alias("cleaned"),
+    )
+
+
+_BOILERPLATE_SQL = """
+WITH html AS (
+  SELECT doc_id,
+         '<a href="/nav">'
+         || array_to_string(list_slice(toks, 1, 5), ' ')
+         || '</a> '
+         || array_to_string(list_slice(toks, 6, len(toks)), ' ') AS html
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+  )
+), scored AS (
+  SELECT doc_id, html,
+         CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(html, '(?s)<a\\b[^>]*>(.*?)</a>', 1),
+             s -> length(s))), 0) AS DOUBLE) / length(html) AS density,
+         trim(regexp_replace(
+             regexp_replace(html, '(?s)</?a\\b[^>]*>', '', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned
+  FROM html
+)
+SELECT doc_id,
+       round(density, 6) AS link_density,
+       (density <= 1.0/3.0 AND length(cleaned) > 0) AS keep,
+       cleaned
+FROM scored
+"""
+
+
 QUERIES = {
     "extract_doc_type": (q_doc_type, _DOC_TYPE_SQL),
     "extract_field_normalizers": (q_field_normalizers, _FIELD_NORM_SQL),
     "extract_reading_order": (q_reading_order, _READING_ORDER_SQL),
     "extract_french_ocr_fixes": (q_french_ocr_fixes, _FRENCH_FIX_SQL),
+    "extract_boilerplate_strip": (q_boilerplate_strip, _BOILERPLATE_SQL),
 }
