@@ -80,6 +80,13 @@ def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # Warm-up at sf0.001: pays JVM JIT, janino codegen, Arrow channel
+    # and Python-worker startup ONCE before any timed query — otherwise
+    # the first headline entry absorbs ~20-60 s of one-time constants
+    # that amortize to zero at real scale and only add inter-round
+    # noise here (see BENCH/BASELINE.md).
+    _materialize(qs["extract_full_pipeline"](spark, "/root/testdata/sf0.001"))
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

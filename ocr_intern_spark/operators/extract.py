@@ -171,12 +171,19 @@ def _fuse_batch(rows: pd.DataFrame, recognize: Recognizer) -> pd.DataFrame:
     for rid, ref in enumerate(rows["media_ref"]):
         for j, t in enumerate(recognize(ref)):
             tok_rows.append((rid, j, t.text or "", float(t.conf),
-                             int(t.x), int(t.y), int(t.w), int(t.h), t.lang))
+                             int(t.x), int(t.y), int(t.w), int(t.h), t.lang,
+                             getattr(t, "kind", "ocr") or "ocr"))
     if not tok_rows:
         return pd.DataFrame({c: [] for c in cols})
-    tf = pd.DataFrame(
-        tok_rows, columns=["rid", "j", "text", "conf", "x", "y", "w", "h", "lang"]
+    af = pd.DataFrame(
+        tok_rows,
+        columns=["rid", "j", "text", "conf", "x", "y", "w", "h", "lang", "kind"],
     )
+    # detector candidates (F7 handwriting / F8 stamp — see
+    # oracle.semantics.Token): bypass the fusion, appended after the
+    # ocr spans of their media ref in emission order
+    det = af[af["kind"] != "ocr"]
+    tf = af[af["kind"] == "ocr"]
 
     # parse filter (base.py:189-211) + F1 script filter (hybrid.py:27-44)
     stripped = tf["text"].str.strip()
@@ -211,22 +218,43 @@ def _fuse_batch(rows: pd.DataFrame, recognize: Recognizer) -> pd.DataFrame:
     ar = ar.assign(blk=0)
     fr = fr.assign(blk=1)
     m = pd.concat([ar, fr], ignore_index=True)
-    if not len(m):
+    if not len(m) and not len(det):
         return pd.DataFrame({c: [] for c in cols})
-    m = m.sort_values(["rid", "blk", "j"], kind="stable").reset_index(drop=True)
 
-    # R2: line binning + per-line RTL strict-majority vote
-    line = m["y"] // np.maximum(1, m["h"])
-    m = m.assign(line=line, arab=(m["blk"] == 0))
-    grp = m.groupby(["rid", "line"])["arab"]
-    rtl = grp.transform("sum") > grp.transform("size") / 2
-    signed_x = np.where(rtl, -m["x"], m["x"])
-    perm = np.lexsort((signed_x, m["line"].to_numpy(), m["rid"].to_numpy()))
-    m = m.iloc[perm].reset_index(drop=True)
-    m["seq"] = m.groupby("rid").cumcount()
+    parts: list[pd.DataFrame] = []
+    if len(m):
+        m = m.sort_values(["rid", "blk", "j"], kind="stable").reset_index(
+            drop=True
+        )
+        # R2: line binning + per-line RTL strict-majority vote
+        line = m["y"] // np.maximum(1, m["h"])
+        m = m.assign(line=line, arab=(m["blk"] == 0))
+        grp = m.groupby(["rid", "line"])["arab"]
+        rtl = grp.transform("sum") > grp.transform("size") / 2
+        signed_x = np.where(rtl, -m["x"], m["x"])
+        perm = np.lexsort((signed_x, m["line"].to_numpy(), m["rid"].to_numpy()))
+        m = m.iloc[perm].reset_index(drop=True)
+        m["seq"] = m.groupby("rid").cumcount()
+        parts.append(
+            m[["rid", "seq"]].assign(text=m["text"].str.strip(), kind="ocr")
+        )
+
+    if len(det):
+        det = det.sort_values(["rid", "j"], kind="stable").reset_index(drop=True)
+        ocr_counts = m.groupby("rid").size() if len(m) else pd.Series(dtype=int)
+        base = det["rid"].map(ocr_counts).fillna(0).astype(int)
+        bbox_text = (
+            det["x"].astype(str) + "," + det["y"].astype(str)
+            + "," + det["w"].astype(str) + "," + det["h"].astype(str)
+        )
+        parts.append(
+            det[["rid", "kind"]].assign(
+                seq=det.groupby("rid").cumcount() + base, text=bbox_text
+            )
+        )
 
     meta = rows.reset_index(drop=True)
-    out = m[["rid", "seq"]].assign(text=m["text"].str.strip(), kind="ocr")
+    out = pd.concat(parts, ignore_index=True)
     out = out.join(meta[["doc_id", "offset", "pos", "media_ref"]], on="rid")
     return out[cols]
 

@@ -35,6 +35,60 @@ FIELDS_DDL = (
 _RECEIPT_FMT = re.compile(r"\d{4}/\d{3,5}")
 
 
+def abs_region(
+    height: int, width: int, rel: dict[str, float]
+) -> tuple[int, int, int, int]:
+    """T1: relative template region (0-1 floats) → absolute pixel box,
+    clamped inside the image with a 1px minimum size — exact
+    reproduction of TemplateExtractor._abs_box
+    (template_extractor.py:108-119). Lives at the recognizer boundary:
+    a real image engine crops ``image[y:y+h, x:x+w]`` from this before
+    OCR; the deterministic stub addresses regions by name instead."""
+    x = int(rel["x"] * width)
+    y = int(rel["y"] * height)
+    w = int(rel["w"] * width)
+    h = int(rel["h"] * height)
+    x = max(0, min(x, width - 1))
+    y = max(0, min(y, height - 1))
+    w = max(1, min(w, width - x))
+    h = max(1, min(h, height - y))
+    return x, y, w, h
+
+
+_LATIN_LETTERS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
+
+def build_engine_config(rel: dict) -> str:
+    """T2: assemble the per-region recognizer config string — exact
+    reproduction of _build_tess_config (template_extractor.py:41-66),
+    including the Arabic special case that APPENDS a second --oem and
+    the Latin blacklist (the duplicate flag is reference behavior;
+    tesseract takes the last occurrence). Recognizer-boundary utility:
+    the pipeline itself never parses this string."""
+    cfg: list[str] = []
+    if (psm := rel.get("psm")) is not None:
+        cfg += ["--psm", str(psm)]
+    if (oem := rel.get("oem")) is not None:
+        cfg += ["--oem", str(oem)]
+    if (dpi := rel.get("dpi")) is not None:
+        cfg += ["-c", f"user_defined_dpi={int(dpi)}"]
+    if rel.get("preserve_spaces"):
+        cfg += ["-c", "preserve_interword_spaces=1"]
+    if wl := rel.get("whitelist"):
+        cfg += ["-c", f"tessedit_char_whitelist={wl}"]
+    if bl := rel.get("blacklist"):
+        cfg += ["-c", f"tessedit_char_blacklist={bl}"]
+    if rel.get("lang") == "arabic":
+        cfg += [
+            "--oem", "1",
+            "-c", "preserve_interword_spaces=1",
+            "-c", f"tessedit_char_blacklist={_LATIN_LETTERS}",
+        ]
+    return " ".join(cfg)
+
+
 def _choose(group: pd.DataFrame, field_key: str) -> tuple[str, str, bool, str, float]:
     """A4 candidate scoring + A5 receipt boost from per-field
     aggregates (template_extractor.py:197-250)."""

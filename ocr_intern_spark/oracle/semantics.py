@@ -62,7 +62,17 @@ from ocr_intern_spark.oracle.validators import normalize_field, squash_spaces
 
 class Token(NamedTuple):
     """One OCR word box (shape of pytesseract image_to_data rows,
-    base.py:177-211)."""
+    base.py:177-211).
+
+    ``kind`` extends the engine interface to the reference's region
+    DETECTORS: ``"ocr"`` (default) tokens flow through the hybrid
+    fusion; any other kind (``"handwriting"`` per
+    main_window.py:66-95 F7, ``"stamp"`` per
+    tests/unit/test_morocco_documents.py:248-265 F8) is a geometry
+    candidate — the reference attaches those to the Document as
+    separate region lists, so they bypass the parse/script/dedupe
+    path and are emitted after the media's ocr spans, in emission
+    order, with the bbox serialized as the span text."""
 
     text: str
     conf: float
@@ -71,6 +81,7 @@ class Token(NamedTuple):
     w: int
     h: int
     lang: str  # "ara" | "fra"
+    kind: str = "ocr"
 
 
 class Span(NamedTuple):
@@ -251,7 +262,13 @@ def extract_document(
             if not ref:
                 out.append(("error", "missing media_ref", ""))
                 continue
-            for tok in ocr_media(recognize(ref)):
+            toks = list(recognize(ref))
+            for tok in ocr_media(t for t in toks if t.kind == "ocr"):
                 out.append(("ocr", tok.text.strip(), ref))
+            # detector candidates (F7/F8): after the ocr spans,
+            # emission order, bbox as text (see Token docstring)
+            for t in toks:
+                if t.kind != "ocr":
+                    out.append((t.kind, f"{t.x},{t.y},{t.w},{t.h}", ref))
         # unknown kinds are dropped
     return [Span(k, t, r, i) for i, (k, t, r) in enumerate(out)]
