@@ -93,6 +93,16 @@ def _q_template_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_fields(derive_spans(docs), stub_ocr_tokens)
 
 
+def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 overall doc confidence — rows-only check; exact semantics
+    pinned by tests/test_doc_confidence.py vs the oracle."""
+    from ocr_intern_spark.operators.extract import doc_confidence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = doc_confidence(derive_spans(docs), stub_ocr_tokens)
+    return out.select("doc_id", "n_tokens", F.round("mean_conf", 6).alias("mean_conf"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
@@ -100,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[name] = fn
     out["extract_full_pipeline"] = _q_extract_full
     out["extract_template_fields"] = _q_template_fields
+    out["extract_doc_confidence"] = _q_doc_confidence
     return out
 
 

@@ -147,26 +147,20 @@ _LATIN = "[a-zA-Z]"
 Recognizer = Callable[[str], Iterable[Any]]
 
 
-def _fuse_batch(rows: pd.DataFrame, recognize: Recognizer) -> pd.DataFrame:
-    """Hybrid fusion for one Arrow batch of media rows — vectorized
-    across ALL refs at once (no per-ref Python work beyond the
-    recognizer call itself).
-
-    Independent reimplementation of parse-filter → F1 script filter →
-    F4 overlap dedupe → R2 reading order (hybrid.py:27-128,
-    reading_order.py:44-59); the pure-Python oracle implements the
-    same spec with reference-shaped loops. Returns FLAT_DDL rows.
-
-    Vectorization scheme:
-    * one flat token frame for the whole batch, keyed by the media
-      row index `rid`;
-    * F4 via an intra-ref pandas merge (arabic × french pairs exist
-      only within a rid — group sizes are word counts, so the pair
-      frame stays linear-ish);
-    * R2 via groupby-transform votes + one stable lexsort keyed
-      (rid, line, signed_x, merged-order).
-    """
-    cols = ["doc_id", "offset", "pos", "seq", "kind", "text", "media_ref"]
+def _fused_tokens(
+    rows: pd.DataFrame, recognize: Recognizer
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Run the recognizer over one Arrow batch of media rows and apply
+    parse filter → F1 script filter → F4 overlap dedupe. Returns
+    ``(m, det)``: the surviving ocr-token frame (columns rid/j/text/
+    conf/x/y/w/h/lang/blk — blk 0=arabic 1=french, NOT yet
+    reading-ordered) and the raw detector-candidate frame (F7/F8).
+    Shared by the span-emitting fusion (`_fuse_batch`) and the A6
+    confidence aggregate (`make_conf_stage`)."""
+    empty = pd.DataFrame(
+        {c: [] for c in
+         ["rid", "j", "text", "conf", "x", "y", "w", "h", "lang", "kind", "blk"]}
+    )
     tok_rows: list[tuple] = []
     for rid, ref in enumerate(rows["media_ref"]):
         for j, t in enumerate(recognize(ref)):
@@ -174,7 +168,7 @@ def _fuse_batch(rows: pd.DataFrame, recognize: Recognizer) -> pd.DataFrame:
                              int(t.x), int(t.y), int(t.w), int(t.h), t.lang,
                              getattr(t, "kind", "ocr") or "ocr"))
     if not tok_rows:
-        return pd.DataFrame({c: [] for c in cols})
+        return empty, empty
     af = pd.DataFrame(
         tok_rows,
         columns=["rid", "j", "text", "conf", "x", "y", "w", "h", "lang", "kind"],
@@ -218,6 +212,30 @@ def _fuse_batch(rows: pd.DataFrame, recognize: Recognizer) -> pd.DataFrame:
     ar = ar.assign(blk=0)
     fr = fr.assign(blk=1)
     m = pd.concat([ar, fr], ignore_index=True)
+    return m, det
+
+
+def _fuse_batch(rows: pd.DataFrame, recognize: Recognizer) -> pd.DataFrame:
+    """Hybrid fusion for one Arrow batch of media rows — vectorized
+    across ALL refs at once (no per-ref Python work beyond the
+    recognizer call itself).
+
+    Independent reimplementation of parse-filter → F1 script filter →
+    F4 overlap dedupe → R2 reading order (hybrid.py:27-128,
+    reading_order.py:44-59); the pure-Python oracle implements the
+    same spec with reference-shaped loops. Returns FLAT_DDL rows.
+
+    Vectorization scheme:
+    * one flat token frame for the whole batch, keyed by the media
+      row index `rid`;
+    * F4 via an intra-ref pandas merge (arabic × french pairs exist
+      only within a rid — group sizes are word counts, so the pair
+      frame stays linear-ish);
+    * R2 via groupby-transform votes + one stable lexsort keyed
+      (rid, line, signed_x, merged-order).
+    """
+    cols = ["doc_id", "offset", "pos", "seq", "kind", "text", "media_ref"]
+    m, det = _fused_tokens(rows, recognize)
     if not len(m) and not len(det):
         return pd.DataFrame({c: [] for c in cols})
 
@@ -324,6 +342,81 @@ def ocr_media_spans(
         media = media.repartition(ocr_partitions, F.hash("media_ref"))
     return media.mapInPandas(
         make_ocr_stage(recognize, timing_acc=timing_acc), schema=FLAT_DDL
+    )
+
+
+def make_conf_stage(
+    recognize: Recognizer,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas function for A6: per media row, the count and sum
+    of surviving ocr-token confidences — a MAP-SIDE PARTIAL aggregate,
+    so the per-doc combine downstream shuffles two numbers per media
+    row instead of one row per token."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m, _det = _fused_tokens(pdf, recognize)
+            meta = pdf.reset_index(drop=True)
+            idx = pd.RangeIndex(len(meta))
+            if len(m):
+                g = m.groupby("rid")["conf"].agg(["count", "sum"]).reindex(
+                    idx, fill_value=0.0
+                )
+                counts, sums = g["count"].astype("int64"), g["sum"]
+            else:
+                counts = pd.Series(0, index=idx, dtype="int64")
+                sums = pd.Series(0.0, index=idx)
+            yield pd.DataFrame(
+                {"doc_id": meta["doc_id"], "n_tokens": counts, "sum_conf": sums}
+            )
+
+    return stage
+
+
+def doc_confidence(
+    docs: DataFrame,
+    recognize: Recognizer,
+    ocr_partitions: int | None = None,
+) -> DataFrame:
+    """A6 overall document confidence (hybrid_ocr_gui.py:96-102): mean
+    confidence over all tokens surviving the hybrid fusion across the
+    document's media spans; 0.0 when none (including docs with no
+    media at all, matching the reference's empty-list branch).
+
+    Shape: media rows → partial (count,sum) in Python → ONE hash
+    aggregate on doc_id → left join back to the doc list (broadcast
+    at small scale; at 10^12 docs this side-output would instead be
+    merged into the extraction pass — kept separate here because the
+    reference exposes it as its own accessor)."""
+    sc = docs.sparkSession.sparkContext
+    p = ocr_partitions or sc.defaultParallelism
+    media = (
+        explode_spans(docs)
+        .where(
+            (F.col("kind") == "media")
+            & F.col("media_ref").isNotNull()
+            & (F.col("media_ref") != "")
+        )
+        .select("doc_id", "media_ref")
+        .repartition(p, F.hash("media_ref"))
+    )
+    parts = media.mapInPandas(
+        make_conf_stage(recognize),
+        schema="doc_id string, n_tokens long, sum_conf double",
+    )
+    agg = parts.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("n_tokens"), F.sum("sum_conf").alias("s")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.when(F.col("n_tokens") > 0, F.col("s") / F.col("n_tokens"))
+            .otherwise(F.lit(0.0))
+            .alias("mean_conf"),
+        )
     )
 
 

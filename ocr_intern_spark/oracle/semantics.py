@@ -221,6 +221,19 @@ def ocr_media(tokens: Iterable[Token]) -> list[Token]:
     return sort_for_reading(merged)
 
 
+def doc_confidence(spans: list[dict[str, Any]], recognize: Any) -> float:
+    """A6 overall document confidence (hybrid_ocr_gui.py:96-102):
+    mean of the confidences of every token surviving the hybrid
+    fusion, across all the document's media spans; 0.0 when none."""
+    confs: list[float] = []
+    for s in spans:
+        if (s.get("kind") or "") == "media" and (s.get("media_ref") or ""):
+            toks = list(recognize(s["media_ref"]))
+            for t in ocr_media(t for t in toks if t.kind == "ocr"):
+                confs.append(t.conf)
+    return sum(confs) / len(confs) if confs else 0.0
+
+
 def extract_document(
     spans: list[dict[str, Any]],
     recognize: Any,
