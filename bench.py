@@ -166,19 +166,27 @@ def main() -> None:
         # North-rule protocol: same job, N vs 4N cores (local[1] vs
         # local[4] — a 4-core demand is rarely starved by co-tenants
         # on this 32-core box, where wider runs measured systematic
-        # deflation); fresh JVM per level; best-of-2 at the short 4N
-        # level. Rationale + measurements in BENCH/BASELINE.md.
+        # deflation); fresh JVM per attempt; INTERLEAVED best-of runs
+        # per level (host noise is multiplicative per-run and only
+        # ever DEFLATES throughput — measured same-boot swings of
+        # 142→302 docs/s at local[4] — so max-of-attempts converges on
+        # the noise-free value and interleaving guards against drift).
+        # Rationale + measurements in BENCH/BASELINE.md.
         n, n4 = SCALE_N, 4 * SCALE_N
-        # the long low-parallelism run is noise-stable (single run);
-        # the short 4N run gets best-of-2
-        tp_n = run_extract_throughput_subprocess(n)
-        tp_4n = max(run_extract_throughput_subprocess(n4) for _ in range(2))
+        attempts: dict[int, list[float]] = {n: [], n4: []}
+        for level in (n4, n, n4, n, n4):
+            attempts[level].append(run_extract_throughput_subprocess(level))
+        tp_n, tp_4n = max(attempts[n]), max(attempts[n4])
         eff = (tp_4n / tp_n) / 4.0
         result["scaling"] = {
             "corpus_docs": BENCH_DOCS,
             f"docs_per_sec_local{n}": round(tp_n, 1),
             f"docs_per_sec_local{n4}": round(tp_4n, 1),
             f"scaling_efficiency_{n}_to_{n4}": round(eff, 3),
+            "attempts": {
+                f"local{lvl}": [round(v, 1) for v in vals]
+                for lvl, vals in attempts.items()
+            },
         }
 
     print(json.dumps(result))

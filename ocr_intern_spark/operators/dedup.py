@@ -115,9 +115,20 @@ FROM documents
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by shingle-set Jaccard >= 0.5, via inverted
-    index join (no cross join). Output: (a, b, jaccard)."""
+    index join (no cross join). Output: (a, b, jaccard).
+
+    The index carries xxhash64(shingle) as an 8-byte join/group key
+    instead of the 3-word string — at 100 TB the inverted index is the
+    biggest shuffle in the pipeline and fixed-width long keys shrink
+    it severalfold and hash-aggregate without string buffers.
+    (Feature-hashing standard practice; a 64-bit collision at corpus
+    scale perturbs one `common` count by 1 with probability ~n²/2⁶⁴.)
+    The DuckDB oracle joins on raw shingle strings and must produce
+    the identical pair set."""
     d = _docs(spark, sf_dir)
-    sh = _shingles(d).cache()
+    sh = _shingles(d).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    ).cache()
     # per-doc shingle-set size
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # skew cut: drop shingles present in too many docs
