@@ -67,6 +67,99 @@ def stream_extract_to_store(
     )
 
 
+FLAT_TOTAL_DDL = (
+    "doc_id string, offset int, pos int, seq int, kind string, "
+    "text string, media_ref string, total int"
+)
+ASSEMBLED_DDL = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,order:int>>, complete boolean"
+)
+_STATE_DDL = (
+    "offsets array<int>, poss array<int>, seqs array<int>, "
+    "kinds array<string>, texts array<string>, refs array<string>, "
+    "total int"
+)
+
+
+def stateful_assemble(
+    flat_with_total: DataFrame, timeout_ms: int = 600_000
+) -> DataFrame:
+    """Custom stateful operator (`applyInPandasWithState`): assemble
+    per-document span arrays from a stream where one document's spans
+    ARRIVE ACROSS MICRO-BATCHES (pages/blocks emitted independently by
+    upstream producers — the streaming analogue of the batch
+    ``assemble`` shuffle, which cannot see across triggers).
+
+    Each span row carries ``total`` (the producer-known span count of
+    its document). State per doc_id accumulates spans; when the count
+    is reached the document is emitted with ``complete=true`` and the
+    state cleared, reproducing the batch pipeline's
+    ``(offset, pos, seq) → 0-based order`` semantics exactly. Docs
+    that never complete are flushed by a processing-time timeout with
+    ``complete=false`` (B2 semantics: never lose or wedge a document).
+
+    Scale: state per key is bounded by document size; keys are
+    hash-distributed by doc_id exactly like the batch re-assembly
+    shuffle; timeouts bound total state under producer failure."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        doc_id = key[0]
+        if state.hasTimedOut:
+            offs, poss, seqs, kinds, texts, refs, _total = state.get
+            yield _emit(pd, doc_id, offs, poss, seqs, kinds, texts, refs,
+                        complete=False)
+            state.remove()
+            return
+        offs, poss, seqs, kinds, texts, refs, total = (
+            state.get if state.exists else ([], [], [], [], [], [], None)
+        )
+        offs, poss, seqs = list(offs), list(poss), list(seqs)
+        kinds, texts, refs = list(kinds), list(texts), list(refs)
+        for pdf in pdfs:
+            offs.extend(int(v) for v in pdf["offset"])
+            poss.extend(int(v) for v in pdf["pos"])
+            seqs.extend(int(v) for v in pdf["seq"])
+            kinds.extend(pdf["kind"])
+            texts.extend(pdf["text"])
+            refs.extend(pdf["media_ref"])
+            if len(pdf):
+                total = int(pdf["total"].iloc[-1])
+        if total is not None and len(offs) >= total:
+            yield _emit(pd, doc_id, offs, poss, seqs, kinds, texts, refs,
+                        complete=True)
+            state.remove()
+        else:
+            state.update((offs, poss, seqs, kinds, texts, refs, total))
+            state.setTimeoutDuration(timeout_ms)
+
+    def _emit(pd, doc_id, offs, poss, seqs, kinds, texts, refs, complete):
+        df = pd.DataFrame(
+            {"offset": offs, "pos": poss, "seq": seqs,
+             "kind": kinds, "text": texts, "media_ref": refs}
+        ).sort_values(["offset", "pos", "seq"], kind="stable")
+        spans = [
+            {"kind": k, "text": t, "media_ref": r, "order": i}
+            for i, (k, t, r) in enumerate(
+                zip(df["kind"], df["text"], df["media_ref"])
+            )
+        ]
+        return pd.DataFrame(
+            {"doc_id": [doc_id], "spans": [spans], "complete": [complete]}
+        )
+
+    return flat_with_total.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType=ASSEMBLED_DDL,
+        stateStructType=_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_event_stats(
     events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:
