@@ -174,7 +174,7 @@ def main() -> None:
         # Rationale + measurements in BENCH/BASELINE.md.
         n, n4 = SCALE_N, 4 * SCALE_N
         attempts: dict[int, list[float]] = {n: [], n4: []}
-        for level in (n4, n, n4, n, n4):
+        for level in (n4, n, n4, n, n4, n4):
             attempts[level].append(run_extract_throughput_subprocess(level))
         tp_n, tp_4n = max(attempts[n]), max(attempts[n4])
         eff = (tp_4n / tp_n) / 4.0

@@ -76,25 +76,32 @@ class ExtractionStore:
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.perf_counter()
         todo = self.pending(docs)
-        out = extract_fn(todo)
-        n_new = self.commit(out)
-        wall_ms = (time.perf_counter() - t0) * 1000.0
-        self._write_run_metrics(spark, run_id, out, n_new, wall_ms)
+        # Persist THIS run's output and collect its (tiny, one row per
+        # task partition) lineage stats BEFORE committing: the commit
+        # writes to the same path the plan's anti-join READS, which
+        # makes Spark recache-by-path — i.e. re-run the plan, whose
+        # anti-join then excludes everything just written. Collecting
+        # first pins true per-run lineage; the cache guarantees the
+        # commit writes the exact rows the stats described.
+        out = extract_fn(todo).persist()
+        try:
+            stats_rows = self._partition_stats(out)
+            n_new = self.commit(out)
+            wall_ms = (time.perf_counter() - t0) * 1000.0
+            self._append_metrics(spark, run_id, stats_rows, wall_ms)
+        finally:
+            out.unpersist()
         return {"run_id": run_id, "docs_written": n_new, "wall_ms": wall_ms}
 
     # -- metrics -----------------------------------------------------------
 
-    def _write_run_metrics(
-        self, spark: SparkSession, run_id: str, out: DataFrame, n_new: int,
-        wall_ms: float,
-    ) -> None:
-        """Partition-level lineage: (run, partition) → docs, spans,
-        errors. Computed relationally from the output (one extra
-        cheap aggregation over data already produced — no Python
-        accumulators, no driver loops)."""
-        back = spark.read.parquet(self.extracted_path) if n_new else out
-        stats = (
-            back.select(
+    def _partition_stats(self, out: DataFrame) -> list:
+        """Partition-level lineage over THIS run's (persisted) output:
+        (partition_id, docs, spans, errors). Relational aggregation —
+        no Python accumulators — collected to the driver (one row per
+        task partition, thousands at most at any scale)."""
+        return (
+            out.select(
                 F.spark_partition_id().alias("partition_id"),
                 F.size("spans").alias("n_spans"),
                 F.size(
@@ -105,19 +112,26 @@ class ExtractionStore:
             .agg(
                 F.count("*").alias("docs"),
                 F.sum("n_spans").alias("spans_out"),
-                F.lit(0).cast("long").alias("spans_in"),
                 F.sum("n_errors").alias("errors"),
             )
-            .select(
-                F.lit(run_id).alias("run_id"),
-                "partition_id",
-                "docs",
-                "spans_in",
-                "spans_out",
-                F.col("errors").cast("long"),
-                F.lit(float(wall_ms)).alias("wall_ms"),
-                F.current_timestamp().alias("ts"),
-            )
+            .collect()
+        )
+
+    def _append_metrics(
+        self, spark: SparkSession, run_id: str, stats_rows: list,
+        wall_ms: float,
+    ) -> None:
+        rows = [
+            (run_id, int(r["partition_id"]), int(r["docs"]), 0,
+             int(r["spans_out"]), int(r["errors"]), float(wall_ms))
+            for r in stats_rows
+        ]
+        schema = (
+            "run_id string, partition_id int, docs long, spans_in long, "
+            "spans_out long, errors long, wall_ms double"
+        )
+        stats = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.current_timestamp()
         )
         stats.write.mode("append").parquet(self.metrics_path)
 

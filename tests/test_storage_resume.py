@@ -19,12 +19,17 @@ def _extract_fn(docs):
 def test_resume_is_idempotent(spark, store):
     docs = corpus_to_spark(spark, 30, seed=42)
 
-    first = store.run_resumable(docs.limit(10), _extract_fn)
+    first = store.run_resumable(docs.limit(10), _extract_fn, run_id="r1")
     assert first["docs_written"] == 10
 
     # re-run over the FULL input: only the 20 new docs are processed
-    second = store.run_resumable(docs, _extract_fn)
+    second = store.run_resumable(docs, _extract_fn, run_id="r2")
     assert second["docs_written"] == 20
+
+    # lineage is PER RUN: r2's metrics cover its 20 docs, not the
+    # cumulative table
+    m2 = store.metrics(spark).where("run_id = 'r2'").collect()
+    assert sum(r["docs"] for r in m2) == 20
 
     # third run: nothing left
     third = store.run_resumable(docs, _extract_fn)
