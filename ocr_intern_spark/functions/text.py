@@ -190,9 +190,156 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between adjacent chunks
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split each document into overlapping
+    CHUNK_TOKENS-token windows at CHUNK_STRIDE (the standard
+    pretraining context-window prep). Pure Catalyst — sequence +
+    transform + posexplode, no Python; one narrow stage, nothing to
+    shuffle. Emits (doc_id, chunk_id, n_tokens, chunk)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= CHUNK_TOKENS, F.lit(1)
+    ).otherwise(
+        F.ceil((n - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+            ).alias("chunk"),
+            F.least(n - i * CHUNK_STRIDE, F.lit(CHUNK_TOKENS)).alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        "doc_id", "chunk_id", F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tl
+  FROM documents
+), counted AS (
+  SELECT doc_id, tl,
+         CASE WHEN len(tl) <= {CHUNK_TOKENS} THEN 1
+              ELSE CAST(ceil((len(tl) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT) + 1
+         END AS n_chunks
+  FROM toks
+)
+SELECT doc_id, i AS chunk_id,
+       least(len(tl) - i * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS n_tokens,
+       array_to_string(
+         list_slice(tl, i * {CHUNK_STRIDE} + 1,
+                    i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk
+FROM counted, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
+"""
+
+
+SAMPLE_BUCKETS = 100
+SAMPLE_KEEP = 7  # keep ~7%
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling: keep a doc iff
+    md5(doc_id)-prefix % 100 < K — stable across runs, engines,
+    partition layouts, and cluster sizes (unlike TABLESAMPLE /
+    rand(seed), which are partition-layout-dependent). The standard
+    way to carve held-out slices from a 10^12-doc corpus so reruns and
+    downstream joins see the identical sample."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % SAMPLE_BUCKETS
+    )
+    return (
+        d.where(bucket < SAMPLE_KEEP)
+        .select("doc_id", bucket.cast("int").alias("bucket"), "source")
+        .orderBy("doc_id")
+    )
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, CAST(bucket AS INT) AS bucket, source
+FROM (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+           % {SAMPLE_BUCKETS} AS bucket
+  FROM documents
+)
+WHERE bucket < {SAMPLE_KEEP}
+ORDER BY doc_id
+"""
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"(?:\+?\d[\d \-]{7,}\d)"
+
+
+def redact_pii(text: Column) -> Column:
+    """PII scrubbing: emails then long digit-runs/phones → typed
+    placeholder tokens. Native regexp_replace (codegen, no Python)."""
+    no_email = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, _PHONE_RE, "<PHONE>")
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text with deterministically injected
+    emails/phones (testdata is PII-free word soup)."""
+    d = _docs(spark, sf_dir)
+    probe = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit("@example.org ou +212 612-345-678"),
+            ),
+        ).when(
+            F.col("doc_id") % 3 == 1, F.lit(" tel: 0522 33 44 55 fixe")
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", redact_pii(probe).alias("clean"))
+
+
+_REDACT_SQL = f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(probe, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+FROM (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+                                     || '@example.org ou +212 612-345-678'
+           WHEN doc_id % 3 = 1 THEN ' tel: 0522 33 44 55 fixe'
+           ELSE ''
+         END AS probe
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
     "text_quality_score": (q_quality_score, _QUALITY_SQL),
     "text_corpus_filter_funnel": (q_corpus_filter_funnel, _FUNNEL_SQL),
+    "text_chunk_documents": (q_chunk_documents, _CHUNK_SQL),
+    "text_deterministic_sample": (q_deterministic_sample, _SAMPLE_SQL),
+    "text_redact_pii": (q_redact_pii, _REDACT_SQL),
 }
