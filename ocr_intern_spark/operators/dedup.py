@@ -294,6 +294,108 @@ FROM bands GROUP BY band, bucket HAVING count(*) > 1 ORDER BY band, bucket
 """
 
 
+# --- duplicate clusters: connected components over near-dup pairs ----------
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every near-duplicated doc a cluster id = min doc_id of
+    its connected component over the Jaccard>=0.5 pair graph — the
+    step real dedup pipelines run after candidate generation (keep
+    one doc per cluster, drop the rest).
+
+    Iterative min-label propagation, Pregel-style but in plain
+    DataFrames: each round joins current labels across edges and takes
+    the elementwise min; converges in <= diameter rounds (near-dup
+    components are tiny and star-like, so 2-4 rounds in practice;
+    the loop is capped and checked via a cheap changed-count). Labels
+    are persisted per round and the previous round unpersisted — at
+    10^12 docs this is the standard large-scale CC recipe (the
+    large-star/small-star optimization drops rounds to O(log n) but
+    needs the same join primitive).
+
+    This is the one driver-side LOOP in the engine: each iteration is
+    fully distributed; only the convergence flag (one long) ever
+    reaches the driver."""
+    return connected_components(
+        q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    )
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair list (a, b) →
+    (doc_id, cluster_id = component min). See q_dup_clusters."""
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .persist()
+    )
+    for _ in range(20):  # cap >> any real component diameter
+        neigh = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM (
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}),
+    shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    common AS (
+      SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
+      FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT da AS a, db AS b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+  )
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach(doc_id, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id
+FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SIMHASH_BITS = 16
 
 
@@ -362,4 +464,5 @@ QUERIES = {
     "dedup_minhash_signatures": (q_minhash_signatures, _MINHASH_SQL),
     "dedup_minhash_fast": (q_minhash_fast, None),
     "dedup_minhash_lsh_buckets": (q_minhash_lsh_buckets, _minhash_lsh_sql()),
+    "dedup_dup_clusters": (q_dup_clusters, _DUP_CLUSTERS_SQL),
 }
