@@ -190,6 +190,69 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+REP_N = 2  # bigram repetition
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of bigrams that are
+    repeats (1 - distinct/total), plus the same for unigrams — the
+    standard filter for degenerate/looping text. Pure higher-order
+    array functions, one narrow stage. Probe text doubles every 5th
+    doc's tail so the filter fires on the latin word-soup testdata."""
+    d = _docs(spark, sf_dir)
+    probe = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" "), F.col("text")),
+    ).otherwise(F.col("text"))
+    toks = F.split(F.trim(F.lower(probe)), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - REP_N, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, REP_N), " "),
+    )
+    rep_uni = F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    rep_bi = F.when(
+        F.size(grams) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.round(rep_uni, 6).alias("rep_unigram"),
+        F.round(rep_bi, 6).alias("rep_bigram"),
+        (rep_bi > 0.3).alias("degenerate"),
+    )
+
+
+_REPETITION_SQL = f"""
+SELECT doc_id,
+       round(CASE WHEN len(toks) > 0
+             THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END, 6) AS rep_unigram,
+       round(CASE WHEN len(grams) > 0
+             THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+             ELSE 0.0 END, 6) AS rep_bigram,
+       (CASE WHEN len(grams) > 0
+             THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+             ELSE 0.0 END) > 0.3 AS degenerate
+FROM (
+  SELECT doc_id, toks,
+         list_transform(range(0, greatest(len(toks) - {REP_N}, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i + 1, i + {REP_N}), ' ')) AS grams
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(
+             CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text ELSE text END
+           )), '\\s+') AS toks
+    FROM documents
+  )
+)
+"""
+
+
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap between adjacent chunks
 
@@ -342,4 +405,5 @@ QUERIES = {
     "text_chunk_documents": (q_chunk_documents, _CHUNK_SQL),
     "text_deterministic_sample": (q_deterministic_sample, _SAMPLE_SQL),
     "text_redact_pii": (q_redact_pii, _REDACT_SQL),
+    "text_repetition_ratio": (q_repetition_ratio, _REPETITION_SQL),
 }
