@@ -394,6 +394,84 @@ ORDER BY user_id
 """
 
 
+# --- TPC-H Q17-style: correlated scalar subquery (decorrelated) ------------
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below 20% of their
+    part's average quantity. The correlated scalar subquery
+    decorrelates into a per-part aggregate joined back to the fact —
+    expressed directly in that shape so the join input is one row per
+    part (aggregate-before-join), never a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_SMALL_QTY_SQL = """
+SELECT count(*) AS n_items,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+)
+"""
+
+
+# --- TPC-H Q19-style: disjunctive multi-clause predicate --------------------
+
+
+def q_brand_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part ⋈ lineitem under an OR-of-ANDs predicate (brand × size ×
+    quantity bands). part is broadcast; the disjunction references
+    both sides so it evaluates as the join's residual condition, while
+    the single-sided conjuncts (quantity floor, size floor) split out
+    and PUSH DOWN to the scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(10, 40))
+        & (F.col("l_quantity").between(10, 35))
+    )
+    return j.where(clause1 | clause2).agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("revenue"),
+    )
+
+
+_BRAND_PROMO_SQL = """
+SELECT count(*) AS n_items,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+       AND l_quantity BETWEEN 10 AND 35)
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_by_type": (q_events_by_type, _EVENTS_BY_TYPE_SQL),
@@ -407,4 +485,6 @@ QUERIES = {
     "customer_order_gaps": (q_customer_order_gaps, _ORDER_GAPS_SQL),
     "users_click_and_error": (q_users_click_and_error, _USERS_INTERSECT_SQL),
     "users_click_no_error": (q_users_click_no_error, _USERS_EXCEPT_SQL),
+    "small_quantity_revenue": (q_small_quantity_revenue, _SMALL_QTY_SQL),
+    "brand_promo_revenue": (q_brand_promo_revenue, _BRAND_PROMO_SQL),
 }
