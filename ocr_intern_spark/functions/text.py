@@ -183,9 +183,9 @@ WITH scored AS (
   )
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN quality >= 0.75 THEN 1 ELSE 0 END) AS n_pass_quality,
-       sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS n_pass_lang,
-       sum(CASE WHEN quality >= 0.75 AND lang_ok THEN 1 ELSE 0 END) AS n_keep
+       CAST(sum(CASE WHEN quality >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+       CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_lang,
+       CAST(sum(CASE WHEN quality >= 0.75 AND lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM scored GROUP BY source ORDER BY source
 """
 

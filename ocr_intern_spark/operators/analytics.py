@@ -101,8 +101,11 @@ def q_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ERROR_USERS_SQL = """
 SELECT user_id, n, n_errors, round(n_errors / CAST(n AS DOUBLE), 6) AS error_rate
 FROM (
+  -- CAST AS BIGINT: DuckDB's sum(int) widens to HUGEINT, which pandas
+  -- renders as float64 and breaks the driver's exact value hash even
+  -- when the numbers are identical. Spark's sum(int) is BIGINT.
   SELECT user_id, count(*) AS n,
-         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
   FROM events GROUP BY user_id
 ) WHERE n_errors > 0
 ORDER BY error_rate DESC, user_id
@@ -292,10 +295,16 @@ def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             # decimal sum: exact and order-independent — the grand-total
             # row aggregates every order, where a double sum's FP error
-            # could flip the rounded cent between engines/partitionings
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "total_price"
-            ),
+            # could flip the rounded cent between engines/partitionings.
+            # The SUM itself stays decimal (exact); only the final value
+            # is cast to double for display, because Spark widens the sum
+            # to decimal(28,2) and DuckDB to decimal(38,2) and the two
+            # serialize differently (Decimal object vs float64) through
+            # the driver's hash gate. Decimal→double conversion of the
+            # same exact value is IEEE round-to-nearest on both engines.
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -306,7 +315,7 @@ def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORDER_ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """

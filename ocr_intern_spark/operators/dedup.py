@@ -238,6 +238,57 @@ def q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.orderBy("doc_id")
 
 
+def q_minhash_fast_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path LSH banding over the xxhash64 signatures
+    (q_minhash_fast): the whole signature aggregation stays in
+    HashAggregateExec (long min buffers), and the band bucket is
+    xxhash64 over the band's longs — no md5 strings anywhere. This is
+    what a 100 TB dedup run would execute; the md5 variant exists to
+    pin the algorithm against the DuckDB oracle. No SQL oracle
+    (xxhash64 is Spark-specific) — candidate-group recall vs the md5
+    family is pinned by tests/test_minhash_fast.py."""
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    d = _docs(spark, sf_dir)
+    sig = (
+        _shingles(d, blur=False)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"mh{s}")
+                for s in range(MINHASH_SEEDS)
+            ]
+        )
+    )
+    band_structs = []
+    for band in range(LSH_BANDS):
+        cols = [
+            F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    allb = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        "doc_id",
+        F.col("b.band").alias("band"),
+        F.col("b.bucket").alias("bucket"),
+    )
+    return (
+        allb.groupBy("band", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("band", "bucket")
+    )
+
+
 def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: md5 over each band's signature rows → bucket id;
     emit buckets holding >1 doc (the candidate groups).
@@ -321,45 +372,60 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
     """Min-label propagation over an undirected pair list (a, b) →
-    (doc_id, cluster_id = component min). See q_dup_clusters."""
+    (doc_id, cluster_id = component min). See q_dup_clusters.
+
+    Exactly ONE Spark action per round: the per-row `changed` flag is
+    computed inside the same projection that produces the new labels,
+    so the convergence sum both materializes the round's persist() and
+    reports progress — no separate old-vs-new join + count job.
+
+    Raises RuntimeError if the graph has not converged after
+    `max_rounds` (a component with diameter > max_rounds would
+    otherwise silently get WRONG cluster ids). Near-dup components are
+    star-like (2-4 rounds); raise the cap for pathological graphs."""
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    labels = (
+    cached = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
         .persist()
     )
-    for _ in range(20):  # cap >> any real component diameter
+    labels = cached
+    changed = None
+    for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        best = F.least(F.col("label"), F.coalesce("nlabel", F.col("label")))
         new_labels = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
+                best.alias("label"),
+                (best < F.col("label")).cast("int").alias("changed"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.agg(F.sum("changed")).first()[0] or 0
+        cached.unpersist()  # unpersist the HANDLE that was persisted
+        cached = new_labels
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            f"rounds ({changed} labels still changing); raise max_rounds"
+        )
     return (
         labels.select("doc_id", F.col("label").alias("cluster_id"))
         .orderBy("doc_id")
@@ -463,6 +529,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _JACCARD_SQL),
     "dedup_minhash_signatures": (q_minhash_signatures, _MINHASH_SQL),
     "dedup_minhash_fast": (q_minhash_fast, None),
+    "dedup_minhash_fast_lsh_buckets": (q_minhash_fast_lsh_buckets, None),
     "dedup_minhash_lsh_buckets": (q_minhash_lsh_buckets, _minhash_lsh_sql()),
     "dedup_dup_clusters": (q_dup_clusters, _DUP_CLUSTERS_SQL),
 }

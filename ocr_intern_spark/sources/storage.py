@@ -76,21 +76,26 @@ class ExtractionStore:
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.perf_counter()
         todo = self.pending(docs)
-        # Persist THIS run's output and collect its (tiny, one row per
-        # task partition) lineage stats BEFORE committing: the commit
-        # writes to the same path the plan's anti-join READS, which
-        # makes Spark recache-by-path — i.e. re-run the plan, whose
-        # anti-join then excludes everything just written. Collecting
-        # first pins true per-run lineage; the cache guarantees the
-        # commit writes the exact rows the stats described.
-        out = extract_fn(todo).persist()
+        # STAGE-then-COMMIT barrier: the extraction plan is evaluated
+        # exactly once, into a run-keyed staging directory. Both the
+        # lineage stats and the commit then derive from the staged
+        # FILES, never from the live plan — so there is no path for a
+        # cache eviction (or any recompute) to re-read extracted_path
+        # mid-write and diverge the committed rows from the collected
+        # stats. persist() alone is only a hint; files are a barrier.
+        # On Iceberg this staging table + append is MERGE INTO.
+        stage_path = os.path.join(self.root, f"_staging_{run_id}")
+        extract_fn(todo).write.mode("overwrite").parquet(stage_path)
         try:
-            stats_rows = self._partition_stats(out)
-            n_new = self.commit(out)
+            staged = spark.read.parquet(stage_path)
+            stats_rows = self._partition_stats(staged)
+            n_new = self.commit(staged)
             wall_ms = (time.perf_counter() - t0) * 1000.0
             self._append_metrics(spark, run_id, stats_rows, wall_ms)
         finally:
-            out.unpersist()
+            import shutil
+
+            shutil.rmtree(stage_path, ignore_errors=True)
         return {"run_id": run_id, "docs_written": n_new, "wall_ms": wall_ms}
 
     # -- metrics -----------------------------------------------------------
