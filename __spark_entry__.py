@@ -93,6 +93,34 @@ def _q_template_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_fields(derive_spans(docs), stub_ocr_tokens)
 
 
+def _q_template_fields_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+A7+T3 wired: per-doc template detection feeding per-template
+    region extraction over all 5 production templates — rows-only
+    check; semantics pinned by tests/test_templates.py. A probe span
+    naming one of the five templates (or none) is appended per doc so
+    the synthetic corpus exercises every template."""
+    from ocr_intern_spark.operators.template_fields import template_fields_auto
+    from ocr_intern_spark.sources.templates import TEMPLATES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = derive_spans(docs)
+    probes = [t.name for t in TEMPLATES.values()] + ["aucun document"]
+    pick = F.element_at(
+        F.array(*[F.lit(p) for p in probes]),
+        (F.col("doc_id").cast("long") % 6 + 1).cast("int"),
+    )
+    probe_span = F.struct(
+        F.lit("text").alias("kind"),
+        pick.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(10_000).alias("offset"),
+    )
+    probed = spans.select(
+        "doc_id", F.concat("spans", F.array(probe_span)).alias("spans")
+    )
+    return template_fields_auto(probed, stub_ocr_tokens)
+
+
 def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 overall doc confidence — rows-only check; exact semantics
     pinned by tests/test_doc_confidence.py vs the oracle."""
@@ -110,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[name] = fn
     out["extract_full_pipeline"] = _q_extract_full
     out["extract_template_fields"] = _q_template_fields
+    out["extract_template_fields_auto"] = _q_template_fields_auto
     out["extract_doc_confidence"] = _q_doc_confidence
     return out
 

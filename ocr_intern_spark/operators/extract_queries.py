@@ -326,8 +326,59 @@ FROM scored
 """
 
 
+def q_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 template-type detection over the full 5-template set
+    (hybrid_ocr_gui.py:104-120). The synthetic corpus text never
+    mentions the Moroccan template names, so a deterministic probe
+    phrase — one of the five template names or a no-match filler,
+    picked by doc_id % 6 — is appended to each document before
+    detection; both engines derive the probe identically, making the
+    cascade itself the thing under test. Constant codegen'd
+    when-cascade, zero shuffle besides the final sort."""
+    from ocr_intern_spark.sources.templates import TEMPLATES, detect_template_type
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = [t.name for t in TEMPLATES.values()] + ["aucun document"]
+    pick = F.element_at(
+        F.array(*[F.lit(p) for p in probes]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    probed = F.concat(F.col("text"), F.lit(" "), pick)
+    return d.select(
+        "doc_id", detect_template_type(probed).alias("template_id")
+    ).orderBy("doc_id")
+
+
+def _template_detect_sql() -> str:
+    from ocr_intern_spark.sources.templates import TEMPLATES
+
+    probes = [t.name for t in TEMPLATES.values()] + ["aucun document"]
+    arms = []
+    for tid, t in TEMPLATES.items():
+        fr = t.name.lower().replace("'", "''")
+        ar = t.name_ar.replace("'", "''")
+        arms.append(
+            f"WHEN contains(lower(probed), '{fr}') "
+            f"OR contains(probed, '{ar}') THEN '{tid}'"
+        )
+    case = "CASE " + " ".join(arms) + " ELSE 'unknown' END"
+    probe_arms = " ".join(
+        f"WHEN {i} THEN '{p.replace(chr(39), chr(39) * 2)}'"
+        for i, p in enumerate(probes)
+    )
+    return f"""
+SELECT doc_id, {case} AS template_id
+FROM (
+  SELECT doc_id,
+         text || ' ' || (CASE doc_id % 6 {probe_arms} END) AS probed
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "extract_doc_type": (q_doc_type, _DOC_TYPE_SQL),
+    "extract_template_detect": (q_template_detect, _template_detect_sql()),
     "extract_field_normalizers": (q_field_normalizers, _FIELD_NORM_SQL),
     "extract_reading_order": (q_reading_order, _READING_ORDER_SQL),
     "extract_french_ocr_fixes": (q_french_ocr_fixes, _FRENCH_FIX_SQL),

@@ -89,9 +89,111 @@ def build_engine_config(rel: dict) -> str:
     return " ".join(cfg)
 
 
+def _select_fields(agg: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized A4 candidate scoring + A5 receipt boost over the
+    WHOLE aggregate frame (template_extractor.py:197-250) — no per-gid
+    pandas indexing. The only remaining Python-per-value work is
+    normalize_field (the reference's per-string regex dispatch, V11),
+    applied through a memo cache so repeated OCR outputs in a batch
+    normalize once. ``_choose`` below remains as the oracle-shaped
+    per-field spec (used by tests to pin equivalence).
+
+    Columns in: best_text, base_conf, digit_conf (NaN if absent),
+    joined, field_key. Columns out: value, norm, valid, type, conf."""
+    n = len(agg)
+    best_text = agg["best_text"].to_numpy(dtype=object)
+    base_conf = agg["base_conf"].to_numpy(dtype=float)
+    digit_conf = agg["digit_conf"].to_numpy(dtype=float)
+    joined = agg["joined"].to_numpy(dtype=object)
+    fkey = agg["field_key"].to_numpy(dtype=object)
+    digits_only = (
+        agg["joined"].str.replace(r"[^\d/-]+", "", regex=True)
+        .to_numpy(dtype=object)
+    )
+
+    # running winner, initialized exactly like the reference loop:
+    # (best_text, base_conf, invalid empty norm)
+    cur_text = best_text.copy()
+    cur_score = base_conf.copy()
+    cur_valid = np.zeros(n, dtype=bool)
+    cur_norm = np.full(n, "", dtype=object)
+    cur_type = np.full(n, "text", dtype=object)
+
+    has_digit = ~np.isnan(digit_conf)
+    digit_score = np.where(has_digit, digit_conf, base_conf) + 0.1
+
+    memo: dict[tuple[str, str], tuple[bool, str, str]] = {}
+
+    def _norm(key: str, txt: str) -> tuple[bool, str, str]:
+        hit = memo.get((key, txt))
+        if hit is None:
+            nr = normalize_field(key, txt)
+            hit = (nr.valid, nr.value, nr.type)
+            memo[(key, txt)] = hit
+        return hit
+
+    # candidates IN REFERENCE ORDER; each pass does one vectorized
+    # lexicographic (valid, score, len) strict-greater update
+    for texts, scores in (
+        (joined, base_conf),
+        (digits_only, digit_score),
+        (best_text, base_conf),
+    ):
+        mask = np.fromiter((bool(t) for t in texts), dtype=bool, count=n)
+        if not mask.any():
+            continue
+        nvalid = np.zeros(n, dtype=bool)
+        nvalue = np.full(n, "", dtype=object)
+        ntype = np.full(n, "text", dtype=object)
+        for i in np.nonzero(mask)[0]:
+            nvalid[i], nvalue[i], ntype[i] = _norm(fkey[i], texts[i])
+        clen = np.fromiter((len(t) for t in texts), dtype=int, count=n)
+        curlen = np.fromiter((len(t) for t in cur_text), dtype=int, count=n)
+        cv = nvalid.astype(int)
+        uv = cur_valid.astype(int)
+        better = mask & (
+            (cv > uv)
+            | ((cv == uv)
+               & ((scores > cur_score)
+                  | ((scores == cur_score) & (clen > curlen))))
+        )
+        cur_text = np.where(better, texts, cur_text)
+        cur_score = np.where(better, scores, cur_score)
+        cur_valid = np.where(better, nvalid, cur_valid)
+        cur_norm = np.where(better, nvalue, cur_norm)
+        cur_type = np.where(better, ntype, cur_type)
+
+    # A5 receipt boost
+    is_receipt = np.fromiter(
+        (k.split(".")[-1] == "receipt_no" for k in fkey), dtype=bool, count=n
+    )
+    fullm = np.fromiter(
+        (bool(_RECEIPT_FMT.fullmatch(t)) for t in cur_text),
+        dtype=bool, count=n,
+    )
+    conf = base_conf.copy()
+    rhd = is_receipt & has_digit
+    conf[rhd] = digit_conf[rhd]
+    boost = rhd & fullm
+    conf[boost] = np.maximum(digit_conf[boost] * 2.0, 40.0)
+
+    return pd.DataFrame(
+        {
+            "value": cur_text,
+            "norm": cur_norm,
+            "valid": cur_valid,
+            "type": cur_type,
+            "conf": conf,
+        },
+        index=agg.index,
+    )
+
+
 def _choose(group: pd.DataFrame, field_key: str) -> tuple[str, str, bool, str, float]:
     """A4 candidate scoring + A5 receipt boost from per-field
-    aggregates (template_extractor.py:197-250)."""
+    aggregates (template_extractor.py:197-250). Oracle-shaped
+    per-field spec — the production stage uses the vectorized
+    _select_fields; tests pin their equivalence."""
     best_text = group["best_text"].iloc[0]
     base_conf = group["base_conf"].iloc[0]
     digit_conf = group["digit_conf"].iloc[0]
@@ -132,13 +234,30 @@ def _choose(group: pd.DataFrame, field_key: str) -> tuple[str, str, bool, str, f
 def make_fields_stage(
     recognize: Callable[[str], Iterable],
     template: tuple[tuple[str, str, str | None], ...] = DEFAULT_TEMPLATE,
+    templates_by_id: dict[str, tuple[tuple[str, str, str | None], ...]] | None = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Arrow stage. With ``templates_by_id`` set, each input row picks
+    its template via its ``template_id`` column (A7-driven selection);
+    unknown ids contribute no field rows (the reference records
+    template_type='unknown' and runs no template extraction). Without
+    it, the fixed ``template`` applies to every row."""
+
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             tok_rows = []
             meta = []
-            for rid, (doc_id, ref) in enumerate(zip(pdf["doc_id"], pdf["media_ref"])):
-                for section, name, explicit in template:
+            tids = (
+                pdf["template_id"]
+                if templates_by_id is not None and "template_id" in pdf
+                else [None] * len(pdf)
+            )
+            for doc_id, ref, tid in zip(pdf["doc_id"], pdf["media_ref"], tids):
+                tpl = (
+                    templates_by_id.get(tid, ())
+                    if templates_by_id is not None
+                    else template
+                )
+                for section, name, explicit in tpl:
                     key = f"{section}.{name}"
                     gid = len(meta)
                     meta.append((doc_id, ref, key, field_lang(section, name, explicit)))
@@ -185,25 +304,27 @@ def make_fields_stage(
                     "base_conf": base_conf.reindex(gids).fillna(0.0),
                     "digit_conf": digit_conf.reindex(gids),
                     "joined": joined.reindex(gids, fill_value=""),
+                    "field_key": [m[2] for m in meta],
                 },
                 index=gids,
             )
 
-            out = {c: [] for c in out_cols}
-            for gid, (doc_id, ref, key, lang) in enumerate(meta):
-                value, norm, valid, ftype, conf = _choose(
-                    agg.iloc[[gid]], key
-                )
-                out["doc_id"].append(doc_id)
-                out["media_ref"].append(ref)
-                out["field_key"].append(key)
-                out["value"].append(value)
-                out["norm"].append(norm)
-                out["valid"].append(valid)
-                out["type"].append(ftype)
-                out["conf"].append(conf)
-                out["lang"].append(lang)
-            yield pd.DataFrame(out)
+            sel = _select_fields(agg)
+            res = pd.DataFrame(
+                {
+                    "doc_id": [m[0] for m in meta],
+                    "media_ref": [m[1] for m in meta],
+                    "field_key": [m[2] for m in meta],
+                    "value": sel["value"],
+                    "norm": sel["norm"],
+                    "valid": sel["valid"],
+                    "type": sel["type"],
+                    "conf": sel["conf"],
+                    "lang": [m[3] for m in meta],
+                },
+                index=gids,
+            )
+            yield res[out_cols]
 
     return stage
 
@@ -224,3 +345,60 @@ def template_fields(
         .repartition(p, F.hash("media_ref"))
     )
     return media.mapInPandas(make_fields_stage(recognize, template), schema=FIELDS_DDL)
+
+
+FIELDS_AUTO_DDL = FIELDS_DDL + ", template_id string"
+
+
+def template_fields_auto(
+    docs: DataFrame,
+    recognize: Callable[[str], Iterable],
+    partitions: int | None = None,
+) -> DataFrame:
+    """S3+A7+T3 wired end to end: detect each document's template type
+    from its text spans (A7 keyword cascade over the full 5-template
+    set), then run the per-region extraction with THAT template's
+    regions. Docs detected 'unknown' contribute no field rows — the
+    reference records template_type='unknown' and has no regions to
+    crop (hybrid_ocr_gui.py:104-120).
+
+    Plan shape: the A7 detection is a constant codegen'd when-cascade
+    evaluated during the same scan that explodes media spans — no
+    extra pass over the input, no join (the template id travels as a
+    column into the Arrow stage, where the broadcast-sized template
+    dict resolves it). One shuffle: the media-row repartition that
+    balances recognizer work, identical to template_fields."""
+    from ocr_intern_spark.sources.templates import TEMPLATES, detect_template_type
+
+    p = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    doc_text = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    media = (
+        docs.select(
+            "doc_id",
+            detect_template_type(doc_text).alias("template_id"),
+            F.explode("spans").alias("s"),
+        )
+        .where((F.col("s.kind") == "media") & (F.col("s.media_ref") != ""))
+        .where(F.col("template_id") != "unknown")
+        .select("doc_id", "template_id", F.col("s.media_ref").alias("media_ref"))
+        .repartition(p, F.hash("media_ref"))
+    )
+    by_id = {tid: t.field_tuples() for tid, t in TEMPLATES.items()}
+    stage = make_fields_stage(recognize, templates_by_id=by_id)
+
+    def stage_with_tid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # re-attach template_id to the output rows (field_key alone is
+        # ambiguous across templates sharing section/field names)
+        for pdf in batches:
+            tid_by_ref = dict(zip(pdf["media_ref"], pdf["template_id"]))
+            for out in stage(iter([pdf])):
+                out["template_id"] = out["media_ref"].map(tid_by_ref)
+                yield out
+
+    return media.mapInPandas(stage_with_tid, schema=FIELDS_AUTO_DDL)
