@@ -126,6 +126,19 @@ def parse_data_dict(d: dict, lang: str) -> list[Token]:
     return out
 
 
+def arabic_display_tokens(tokens: list[Token]) -> list[Token]:
+    """E6 (arabic.py:122-131): apply reshape+bidi display to every
+    Arabic token's text — the reference's ArabicOCR.process path.
+    Pure per-token text transform; the hybrid process_document path
+    does NOT apply it (the repo mirrors that default)."""
+    from ocr_intern_spark.functions.arabic_text import postprocess_arabic
+
+    return [
+        t._replace(text=postprocess_arabic(t.text)) if t.lang == "ara" else t
+        for t in tokens
+    ]
+
+
 class TesseractRecognizer:
     """media_ref → Token list via a real OCR backend.
 
@@ -137,9 +150,20 @@ class TesseractRecognizer:
         self,
         load_image: Callable[[str], Any],
         backend_factory: Callable[[], OcrBackend] = default_backend,
+        preprocess: bool = False,
     ):
+        """``preprocess=True`` reproduces the full reference image
+        chain on ndarray images (pure numpy, no cv2): the GUI worker's
+        whole-image pipeline P1-P4 (hybrid_ocr_gui.py:66-67 →
+        preprocess.py:6-19) before OCR, plus the Arabic engine's P6
+        chain inside the Arabic pass (arabic.py:92-93). The French
+        engine consumes the pipeline output directly — the reference's
+        FrenchOCR.process_document does NOT call its preprocess_image
+        (french.py:70-84). Off by default: fake/test backends use
+        opaque image handles."""
         self._load_image = load_image
         self._backend_factory = backend_factory
+        self._preprocess = preprocess
         self._backend: OcrBackend | None = None
         self._langs: list[str] | None = None
 
@@ -165,6 +189,10 @@ class TesseractRecognizer:
         the first pass parsed to nothing."""
         be = self._warm()
         self._require_lang("ara")
+        if self._preprocess:
+            from ocr_intern_spark.functions.imageproc import arabic_preprocess
+
+            image = arabic_preprocess(image)  # arabic.py:92-93 (P6)
         d = be.image_to_data(image, lang="ara", config=arabic_config(6))
         results = parse_data_dict(d, "ara")
         if not results:
@@ -188,4 +216,10 @@ class TesseractRecognizer:
         engines, Arabic tokens first. F1/F4/R2 run downstream in the
         fusion stage."""
         image = self._load_image(media_ref)
+        if self._preprocess:
+            from ocr_intern_spark.functions.imageproc import preprocess_pipeline
+
+            # GUI worker chain (hybrid_ocr_gui.py:66-67): P1-P4 on the
+            # whole image before both engines
+            image = preprocess_pipeline(image)
         return self.arabic_pass(image) + self.french_pass(image)
