@@ -121,6 +121,18 @@ def _q_template_fields_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_fields_auto(probed, stub_ocr_tokens)
 
 
+def _q_export_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/S9 distributed export sink — rows-only check (binary
+    renders aren't SQL-expressible); renderer structure pinned by
+    tests/test_export.py. Emits (doc_id, fmt, n_bytes), one row per
+    doc per format."""
+    from ocr_intern_spark.sources.export import export_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = export_documents(derive_spans(docs), formats=("pdf", "docx"))
+    return out.select("doc_id", "fmt", "n_bytes").orderBy("doc_id", "fmt")
+
+
 def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 overall doc confidence — rows-only check; exact semantics
     pinned by tests/test_doc_confidence.py vs the oracle."""
@@ -139,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_full_pipeline"] = _q_extract_full
     out["extract_template_fields"] = _q_template_fields
     out["extract_template_fields_auto"] = _q_template_fields_auto
+    out["export_fanout"] = _q_export_fanout
     out["extract_doc_confidence"] = _q_doc_confidence
     return out
 

@@ -240,10 +240,17 @@ def _cos_expr(a: Column, b: Column) -> Column:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantization into IVF_CELLS cells
-    (centroids = the embeddings of the IVF_CELLS smallest vec_ids —
-    deterministic and engine-portable), then exact top-K within the
-    query's IVF_NPROBE nearest cells.
+    """IVF-style ANN: coarse quantization into IVF_CELLS cells, then
+    exact top-K within the query's IVF_NPROBE nearest cells.
+
+    Centroids are a deterministic PSEUDO-RANDOM sample: the IVF_CELLS
+    vectors with the smallest md5(vec_id) — md5 order is uniform over
+    the corpus, so the sample is unbiased regardless of how vec_ids
+    correlate with content (the standard random-init for IVF), yet
+    identical across engines so the DuckDB oracle stays exact. In
+    Spark the pick is orderBy(md5).limit(k) → TakeOrderedAndProject:
+    per-partition top-k then a driver merge of k·partitions rows —
+    no global sort at any scale.
 
     Scale shape: the centroid table is tiny and broadcast; assignment
     is a narrow map (argmax over IVF_CELLS codegen'd dot products);
@@ -251,9 +258,19 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster key at real scale, so pruning skips ~(1-nprobe/cells) of
     the data)."""
     e = _emb(spark, sf_dir)
-    cents = (
-        e.where(F.col("vec_id") < IVF_CELLS)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    from pyspark.sql.window import Window
+
+    sample = (
+        e.select(
+            F.md5(F.col("vec_id").cast("string")).alias("mk"), "embedding"
+        )
+        .orderBy("mk")
+        .limit(IVF_CELLS)
+    )
+    # stable small ints 0..IVF_CELLS-1 by md5 order (8-row frame)
+    cents = sample.select(
+        (F.row_number().over(Window.orderBy("mk")) - 1).alias("cid"),
+        F.col("embedding").alias("cvec"),
     )
     # assignment: best (cos desc, cid asc) per vector
     scored = e.crossJoin(F.broadcast(cents)).select(
@@ -292,7 +309,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_SQL = f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {IVF_CELLS}
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
 ),
 q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 scored AS (
