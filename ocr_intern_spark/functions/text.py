@@ -397,6 +397,157 @@ FROM (
 """
 
 
+# --- sequence packing (pretraining batch prep) ------------------------------
+
+SEQ_LEN = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-budget training sequences: within
+    each source shard, documents (in doc_id order) are assigned to
+    pack pack_id = floor(preceding-token-count / SEQ_LEN) — the
+    standard approximate greedy packing for pretraining batches.
+
+    Scale shape: the running sum windows PER SOURCE (the shard key),
+    so there is no global sort — one hash exchange on source, and each
+    shard packs independently; at 10^12 docs the shard key is
+    (source, shard_id) and the pack namespace is per-shard, identical
+    plan. Output is the per-pack summary (fill level / doc fan-in)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = d.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(SEQ_LEN)
+        ),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor(
+           (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens)
+           / {SEQ_LEN}.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
+# --- stratified per-source sampling ------------------------------------------
+
+STRATUM_K = 5
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample: the STRATUM_K docs with the
+    smallest md5(doc_id) within each source — uniform pseudo-random,
+    engine/layout-stable (the per-group analogue of the md5-bucket
+    corpus sample). One hash exchange on source; rank + filter."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= STRATUM_K)
+        .orderBy("source", "rk")
+    )
+
+
+_STRATIFIED_SQL = f"""
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS INT) AS rk
+  FROM documents
+) WHERE rk <= {STRATUM_K}
+ORDER BY source, rk
+"""
+
+
+# --- unigram-LM quality score (CCNet-style) ----------------------------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy: per-document mean negative log
+    unigram probability, with the unigram model estimated from the
+    corpus itself (CCNet uses a KenLM over a reference corpus; the
+    one-pass unigram variant is the distributable first approximation).
+    Low NLL ⇒ typical text; high NLL ⇒ rare-token soup.
+
+    Plan: explode → vocab aggregate → token⋈vocab join → per-doc avg.
+    At 100 TB the vocab fits in a broadcast after a frequency cut
+    (top-1M words + an OOV floor); here the full vocab joins on the
+    8-byte word hash. No driver-side scalars: the corpus total rides
+    along via a 1-row broadcast cross join."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).where(F.length("w") > 0)
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("cnt") / F.col("total"))).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0
+),
+vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS mean_nll
+FROM toks JOIN vocab USING (w) CROSS JOIN total
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
@@ -406,4 +557,7 @@ QUERIES = {
     "text_deterministic_sample": (q_deterministic_sample, _SAMPLE_SQL),
     "text_redact_pii": (q_redact_pii, _REDACT_SQL),
     "text_repetition_ratio": (q_repetition_ratio, _REPETITION_SQL),
+    "text_pack_sequences": (q_pack_sequences, _PACK_SQL),
+    "text_stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
+    "text_unigram_logprob": (q_unigram_logprob, _UNIGRAM_SQL),
 }
