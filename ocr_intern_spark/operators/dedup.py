@@ -345,6 +345,68 @@ FROM bands GROUP BY band, bucket HAVING count(*) > 1 ORDER BY band, bucket
 """
 
 
+# --- retention policy: keep the best-quality doc per duplicate group -------
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention step real dedup pipelines run after grouping:
+    within each exact-dup group (5-word-prefix fingerprint, as in
+    q_dedup_exact), KEEP the highest-quality document (quality score
+    desc, doc_id asc tie-break) and report the group. One shuffle on
+    the fingerprint; rank + filter — no self-join."""
+    from pyspark.sql.window import Window
+
+    from ocr_intern_spark.functions.text import quality_score
+
+    d = _docs(spark, sf_dir)
+    prefix = F.array_join(
+        F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5), " "
+    )
+    scored = d.select(
+        "doc_id",
+        F.md5(prefix).alias("fp"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = scored.select(
+        "fp", "doc_id", "q",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("fp")).alias("n_dups"),
+    )
+    return (
+        ranked.where((F.col("rk") == 1) & (F.col("n_dups") > 1))
+        .select("fp", F.col("doc_id").alias("keeper"),
+                F.col("q").alias("keeper_quality"), "n_dups")
+        .orderBy("fp")
+    )
+
+
+_KEEP_BEST_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 5), ' ')) AS fp,
+         (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+')) END)
+                    BETWEEN 10 AND 5000 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+                    / length(text) < 0.2 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN CAST(length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                            w -> list_contains(['the','a','of','and','to','in','is','on','for'], w))) AS DOUBLE)
+                    / length(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0.01
+               THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END) AS q
+  FROM documents
+),
+ranked AS (
+  SELECT fp, doc_id, q,
+         row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY fp) AS n_dups
+  FROM scored
+)
+SELECT fp, doc_id AS keeper, q AS keeper_quality, CAST(n_dups AS BIGINT) AS n_dups
+FROM ranked WHERE rk = 1 AND n_dups > 1 ORDER BY fp
+"""
+
+
 # --- duplicate clusters: connected components over near-dup pairs ----------
 
 
@@ -524,6 +586,7 @@ SELECT doc_id, {bits} AS simhash FROM sums ORDER BY doc_id
 
 QUERIES = {
     "dedup_exact_prefix": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_keep_best": (q_dedup_keep_best, _KEEP_BEST_SQL),
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "dedup_fingerprint_count": (q_dedup_fingerprint_count, _DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _JACCARD_SQL),

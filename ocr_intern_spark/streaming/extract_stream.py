@@ -178,3 +178,30 @@ def windowed_event_stats(
             "sum_value",
         )
     )
+
+
+def stream_dedup_exact(
+    docs_stream: DataFrame,
+    event_time_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup at ingest: drop any document whose
+    normalized-text fingerprint was already seen within the watermark
+    horizon — the streaming counterpart of the batch hash-groupBy
+    dedup, for continuously arriving crawl/ingest feeds.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state store is
+    BOUNDED: fingerprints older than the watermark are evicted, which
+    is what makes the operator runnable forever at ingest scale
+    (a plain dropDuplicates would grow state monotonically to corpus
+    size). Exactly-once keyed state lives in the checkpointed state
+    store, sharded by the fingerprint hash — uniform by construction,
+    no skew. Input must carry an event-time column."""
+    from ocr_intern_spark.functions.text import fingerprint
+
+    keyed = docs_stream.withColumn("fp", fingerprint(F.col("text")))
+    return (
+        keyed.withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )

@@ -93,3 +93,54 @@ def test_windowed_event_stats_batch_semantics(spark):
     w0a = [r for r in out if r["event_type"] == "a"
            and r["window_start"].minute == 0][0]
     assert w0a["n"] == 2 and w0a["sum_value"] == 5.0 + 15.0
+
+
+def test_stream_dedup_exact_drops_cross_batch_dups(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate fingerprint arriving
+    in a LATER micro-batch (within the watermark) is dropped; distinct
+    docs all survive."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.streaming.extract_stream import stream_dedup_exact
+
+    d = tmp_path / "ingest"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    batches = [
+        [("d1", "alpha beta gamma", t0),
+         ("d2", "unique first text", t0)],
+        # d3 duplicates d1's normalized text (case/space-insensitive
+        # fingerprint); d4 is new
+        [("d3", "  Alpha   BETA gamma ", t0 + dt.timedelta(minutes=5)),
+         ("d4", "another distinct doc", t0 + dt.timedelta(minutes=5))],
+    ]
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "ingest_ts": [r[2] for r in rows],
+                }
+            ),
+            str(d / f"part-{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select doc_id from dedup_out").collect()}
+    assert "d1" in got and "d2" in got and "d4" in got
+    assert "d3" not in got  # cross-batch duplicate dropped
