@@ -19,8 +19,13 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # balance a small-file scan; at real scale the scan is already
+    # wide and this must NOT force a full shuffle (see dedup._docs)
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.repartition(spark.sparkContext.defaultParallelism)
+    p = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < p:
+        d = d.repartition(p)
+    return d
 
 
 def token_count(text: Column) -> Column:

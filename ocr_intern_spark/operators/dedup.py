@@ -29,10 +29,16 @@ MAX_SHINGLE_DF = 1000  # drop shingles appearing in more docs (skew cut)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread the (small-file) scan across cores before the CPU-heavy
-    # shingle/hash expressions; a no-op cost at real input sizes
+    # Spread a small-file scan across cores before the CPU-heavy
+    # shingle/hash expressions — but ONLY when the scan is actually
+    # under-partitioned. An unconditional repartition would be a full
+    # shuffle of the corpus at 100 TB, where the parquet scan already
+    # yields thousands of partitions and needs no help.
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.repartition(spark.sparkContext.defaultParallelism)
+    p = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < p:
+        d = d.repartition(p)
+    return d
 
 
 def _shingles(d: DataFrame, blur: bool = True) -> DataFrame:
