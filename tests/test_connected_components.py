@@ -20,3 +20,17 @@ def test_chain_ring_and_disjoint(spark):
         "d5": "d5", "d6": "d5", "d7": "d5",
         "d8": "d8", "d9": "d8",
     }
+
+
+def test_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_rounds must RAISE, not
+    silently emit partial labels (round-1 ADVICE)."""
+    import pytest
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    pairs = spark.createDataFrame(chain, "a string, b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=2)
+    # and with enough rounds the same graph converges to one cluster
+    got = {r["cluster_id"] for r in connected_components(pairs, max_rounds=10).collect()}
+    assert got == {"n0"}

@@ -51,3 +51,19 @@ def test_metrics_rows_written(spark, store):
     total_spans = sum(r["spans_out"] for r in m)
     assert total_spans > 0
     assert res["docs_written"] == 12
+
+
+def test_staging_dir_cleaned_up(spark, tmp_path):
+    """Stage-then-commit leaves no _staging_* directories behind."""
+    import os
+
+    from ocr_intern_spark.operators.extract import extract
+    from ocr_intern_spark.sources.corpus import corpus_to_spark, stub_ocr_tokens
+    from ocr_intern_spark.sources.storage import ExtractionStore
+
+    store = ExtractionStore(str(tmp_path / "wh"))
+    docs = corpus_to_spark(spark, 6, seed=5)
+    res = store.run_resumable(docs, lambda d: extract(d, stub_ocr_tokens))
+    assert res["docs_written"] == 6
+    leftovers = [p for p in os.listdir(store.root) if p.startswith("_staging_")]
+    assert leftovers == []
