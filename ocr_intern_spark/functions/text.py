@@ -553,6 +553,148 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- winnowing fingerprints (MOSS-style rolling k-gram selection) ----------
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (hashes per window)
+MAX_FP_DF = 64  # drop fingerprints shared by more docs (skew cut)
+
+
+def _winnow_fps(d: DataFrame) -> DataFrame:
+    """Per-doc winnowing fingerprint set (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every char k-gram of the normalized text, slide a
+    window of W consecutive hashes, keep the minimum of each window.
+    Guarantees any shared substring of >= W+K-1 chars yields a shared
+    fingerprint, at expected density 2/(W+1) — a content-defined
+    sample, unlike fixed-stride shingling.
+
+    All-native Catalyst (sequence/transform/slice/array_min on md5
+    strings): one narrow codegen stage per doc, no shuffle until the
+    caller aggregates. md5-string min is engine-portable (same
+    lexicographic order in DuckDB)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = d.select("doc_id", norm.alias("norm")).where(
+        F.length("norm") >= WINNOW_K
+    )
+    hashes = F.expr(
+        f"transform(sequence(1, length(norm) - {WINNOW_K} + 1),"
+        f" i -> md5(substr(norm, i, {WINNOW_K})))"
+    )
+    wins = F.when(
+        F.size(F.col("hs")) >= WINNOW_W,
+        F.expr(
+            f"transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
+            f" j -> array_min(slice(hs, j, {WINNOW_W})))"
+        ),
+    ).otherwise(F.array(F.array_min(F.col("hs"))))
+    return base.select("doc_id", hashes.alias("hs")).select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+_WINNOW_FPS_SQL_BODY = f"""
+  WITH n AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+  ),
+  g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, length(norm) - {WINNOW_K} + 1),
+                          i -> md5(substr(norm, i, {WINNOW_K}))) AS hs
+    FROM n WHERE length(norm) >= {WINNOW_K}
+  ),
+  w AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) >= {WINNOW_W}
+                THEN list_transform(generate_series(1, len(hs) - {WINNOW_W} + 1),
+                                    j -> list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min'))
+                ELSE [list_aggregate(hs, 'min')]
+           END AS wins
+    FROM g
+  )
+  SELECT DISTINCT doc_id, fp
+  FROM (SELECT doc_id, unnest(wins) AS fp FROM w)
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact winnowing fingerprint rows for a deterministic 10% doc
+    slice (doc_id % 10 = 0) — the slice bounds oracle-compare size;
+    the full-corpus path is exercised by q_winnow_shared_pairs."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    return _winnow_fps(d).orderBy("doc_id", "fp")
+
+
+_WINNOW_FPS_SQL = f"""
+SELECT doc_id, fp FROM ({_WINNOW_FPS_SQL_BODY})
+WHERE doc_id % 10 = 0 ORDER BY doc_id, fp
+"""
+
+
+def q_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap coefficient
+    shared/min(|A|,|B|) >= 0.5 (sizes counted after the DF cut, same
+    on both engines), via inverted-index self-join (never all-pairs)
+    with a document-frequency skew cut like q_ngram_jaccard_pairs.
+    An absolute shared-count floor is NOT selective — common 8-char
+    grams make unrelated docs share a handful of fingerprints — the
+    normalized coefficient is. Spark joins on xxhash64(fp) (8-byte
+    shuffle key); the oracle joins the md5 strings and must yield the
+    identical pair set."""
+    fps = _winnow_fps(_docs(spark, sf_dir)).select(
+        "doc_id", F.xxhash64("fp").alias("fp")
+    ).cache()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= MAX_FP_DF)
+        .select("fp")
+    )
+    fr = fps.join(rare, "fp")
+    sizes = fr.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = fr.alias("a"), fr.alias("b")
+    common = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    ovl = F.col("shared") / F.least("na", "nb")
+    return (
+        common.join(sa, "da").join(sb, "db")
+        .where(ovl >= 0.5)
+        .select(
+            F.col("da").alias("a"),
+            F.col("db").alias("b"),
+            F.col("shared"),
+            F.round(ovl, 6).alias("overlap"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+_WINNOW_PAIRS_SQL = f"""
+WITH fps AS ({_WINNOW_FPS_SQL_BODY}),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {MAX_FP_DF}),
+fr AS (SELECT fps.* FROM fps JOIN rare USING (fp)),
+sizes AS (SELECT doc_id, count(*) AS n FROM fr GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+  FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da AS a, db AS b, shared,
+       round(shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS overlap
+FROM common
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE shared / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.5
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
@@ -565,4 +707,6 @@ QUERIES = {
     "text_pack_sequences": (q_pack_sequences, _PACK_SQL),
     "text_stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "text_unigram_logprob": (q_unigram_logprob, _UNIGRAM_SQL),
+    "text_winnow_fingerprints": (q_winnow_fingerprints, _WINNOW_FPS_SQL),
+    "text_winnow_shared_pairs": (q_winnow_shared_pairs, _WINNOW_PAIRS_SQL),
 }
