@@ -76,6 +76,46 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _shutdown_jvm(spark) -> None:
+    """stop() the session AND kill the py4j gateway JVM. A stopped
+    PySpark session leaves its JVM alive until the python process
+    exits — during the scaling phase that idle JVM (8+ GB RSS, GC
+    threads) measurably deflates the subprocess attempts (r2 measured
+    local[4] 132.9 docs/s with it resident vs 300.4 without)."""
+    from pyspark import SparkContext
+
+    spark.stop()
+    try:
+        gw = SparkContext._gateway
+        if gw is not None:
+            gw.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception:
+        pass  # best-effort; the subprocess attempts still run
+
+
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4.0"))
+QUIET_TIMEOUT = float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "300"))
+
+
+def _wait_quiet() -> float:
+    """Hold each scaling attempt until the 1-min load average drops
+    below QUIET_LOAD (or QUIET_TIMEOUT elapses). Host contention only
+    DEFLATES throughput, so launching into a known-busy window wastes
+    the attempt — r2's first scaling sweep ran entirely inside the
+    post-headline busy window and measured 0.44× of the quiet-box
+    value at every level. Returns the load actually observed at
+    launch, which is recorded per-attempt for audit."""
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < QUIET_TIMEOUT:
+        load = os.getloadavg()[0]
+        if load < QUIET_LOAD:
+            return load
+        time.sleep(10)
+    return os.getloadavg()[0]
+
+
 def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -168,7 +208,7 @@ def main() -> None:
     try:
         times, q_attempts = run_headline(spark)
     finally:
-        spark.stop()
+        _shutdown_jvm(spark)
     result["queries"] = times
     result["query_attempts"] = q_attempts
     result["value"] = round(sum(times.values()), 3)
@@ -192,7 +232,9 @@ def main() -> None:
 
         n, n4 = SCALE_N, 4 * SCALE_N
         attempts: dict[int, list[float]] = {n: [], n4: []}
+        loads: dict[int, list[float]] = {n: [], n4: []}
         for level in (n4, n, n, n4, n4, n):
+            loads[level].append(round(_wait_quiet(), 2))
             attempts[level].append(run_extract_throughput_subprocess(level))
         tp_n, tp_4n = max(attempts[n]), max(attempts[n4])
         eff = (tp_4n / tp_n) / 4.0
@@ -208,6 +250,9 @@ def main() -> None:
             "attempts": {
                 f"local{lvl}": [round(v, 1) for v in vals]
                 for lvl, vals in attempts.items()
+            },
+            "attempt_launch_loads": {
+                f"local{lvl}": vals for lvl, vals in loads.items()
             },
         }
 

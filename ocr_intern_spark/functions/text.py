@@ -553,6 +553,57 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- BPE-ish regex tokenization --------------------------------------------
+
+# GPT-2-style pretokenizer, minus the \s+(?!\S) lookahead (RE2 — the
+# DuckDB oracle's engine — has no lookahead) and with an explicit
+# Latin-1 letter class instead of \p{L} (engine-portable, per the
+# round-1 funnel-hash lesson): contractions | optional-space letters |
+# optional-space digits | optional-space punctuation run.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-z0-9À-ÿ\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pretokenizer-granularity token count — the unit LLM budgets are
+    denominated in (whitespace tokens undercount punctuation/digit
+    splits by ~20-40%). Native regexp_extract_all: JVM-side, codegen."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0)))
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per doc + the fertility
+    ratio (pretokens per whitespace word) used to spot tokenizer-
+    hostile text (code, tables, degenerate punctuation)."""
+    d = _docs(spark, sf_dir)
+    n_ws = token_count(F.col("text"))
+    n_bpe = bpe_token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(n_ws == 0, F.lit(None)).otherwise(
+            F.round(n_bpe.cast("double") / n_ws, 6)
+        ).alias("fertility"),
+    )
+
+
+_BPE_SQL = f"""
+SELECT doc_id,
+       n_ws_tokens,
+       n_bpe_tokens,
+       CASE WHEN n_ws_tokens = 0 THEN NULL
+            ELSE round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 6)
+       END AS fertility
+FROM (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+         length(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}')) AS n_bpe_tokens
+  FROM documents
+)
+"""
+
+
 # --- winnowing fingerprints (MOSS-style rolling k-gram selection) ----------
 
 WINNOW_K = 8  # char k-gram length
@@ -707,6 +758,7 @@ QUERIES = {
     "text_pack_sequences": (q_pack_sequences, _PACK_SQL),
     "text_stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "text_unigram_logprob": (q_unigram_logprob, _UNIGRAM_SQL),
+    "text_bpe_token_stats": (q_bpe_token_stats, _BPE_SQL),
     "text_winnow_fingerprints": (q_winnow_fingerprints, _WINNOW_FPS_SQL),
     "text_winnow_shared_pairs": (q_winnow_shared_pairs, _WINNOW_PAIRS_SQL),
 }

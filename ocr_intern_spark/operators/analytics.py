@@ -481,6 +481,73 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user event stream split at >30-minute
+    inactivity gaps (the canonical web-analytics session rule);
+    output one row per session with bounds and rollups.
+
+    Scale shape: ONE hash exchange on user_id feeds both windows and
+    the final groupBy (same key — Catalyst reuses the partitioning,
+    no second shuffle). The gap test compares timestamps at full
+    microsecond precision via an interval literal — no float epoch
+    math to diverge between engines. The window ordering carries
+    event_id as a unique tiebreaker, so the RANGE-frame running sum
+    has no peer rows and is deterministic under any partitioning.
+    At 10^12 events the partition key becomes (user_id bucket, day)
+    with session stitching at day boundaries — same operator shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.sum(new_sess).over(w).alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  -- CAST: DuckDB sum(int) widens to HUGEINT; Spark's window sum is
+  -- BIGINT — pin the common type so the driver hash agrees (the
+  -- round-1 funnel lesson)
+  SELECT user_id, ts, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_by_type": (q_events_by_type, _EVENTS_BY_TYPE_SQL),
@@ -496,4 +563,5 @@ QUERIES = {
     "users_click_no_error": (q_users_click_no_error, _USERS_EXCEPT_SQL),
     "small_quantity_revenue": (q_small_quantity_revenue, _SMALL_QTY_SQL),
     "brand_promo_revenue": (q_brand_promo_revenue, _BRAND_PROMO_SQL),
+    "events_sessionize": (q_sessionize, _SESSIONIZE_SQL),
 }

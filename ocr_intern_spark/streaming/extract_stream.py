@@ -205,3 +205,43 @@ def stream_dedup_exact(
         .dropDuplicatesWithinWatermark(["fp"])
         .drop("fp")
     )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-user session rollups via Spark's native
+    ``session_window`` — the streaming counterpart of the batch
+    window-function sessionizer (`analytics.q_sessionize`): sessions
+    close after `gap` of inactivity, and with a watermark the state
+    store evicts closed sessions, so the operator runs forever on an
+    ingest feed with bounded state (state is keyed by (user_id,
+    session) — sharded uniformly, no skew key).
+
+    Semantics note vs the batch variant: ``session_window`` treats a
+    gap of EXACTLY `gap` as a new session (window is [start,
+    last+gap)), while the batch lag-rule splits only on gap > 30 min —
+    identical on any input without a microsecond-exact 30:00 gap.
+
+    Set ``streaming=False`` to apply the same operator to a bounded
+    DataFrame (session_window works in batch groupBy too — one code
+    path for backfill and live)."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(
+            "user_id", F.session_window("ts", gap).alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
