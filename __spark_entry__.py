@@ -17,11 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_intern_spark.functions import text as text_q
-from ocr_intern_spark.operators import analytics, dedup, extract_queries, similarity
+from ocr_intern_spark.operators import analytics, dedup, extract_queries, similarity, temporal
 from ocr_intern_spark.operators.extract import extract
 from ocr_intern_spark.sources.corpus import stub_ocr_tokens
 
-_MODULES = (extract_queries, analytics, dedup, similarity, text_q)
+_MODULES = (extract_queries, analytics, dedup, similarity, text_q, temporal)
 
 
 def derive_spans(docs: DataFrame) -> DataFrame:

@@ -89,6 +89,14 @@ def _shutdown_jvm(spark) -> None:
         gw = SparkContext._gateway
         if gw is not None:
             gw.shutdown()
+            # shutdown() only closes the py4j connection — the JVM
+            # child is held alive by the gateway launcher pipe until
+            # this python process exits; terminate it explicitly
+            # (verified: without this the 8 GB JVM survived 45+ min
+            # into the scaling phase)
+            proc = getattr(gw, "proc", None)
+            if proc is not None:
+                proc.terminate()
             SparkContext._gateway = None
             SparkContext._jvm = None
     except Exception:
@@ -231,11 +239,22 @@ def main() -> None:
         import statistics
 
         n, n4 = SCALE_N, 4 * SCALE_N
+        # 4 attempts per level (equal counts), FULLY alternating so
+        # both levels sample the same co-tenant windows; 30 s settle
+        # between attempts lets the previous JVM/worker tree die and
+        # the page cache quiesce. r2 measured the local[4] draw
+        # distribution at {211..300} docs/s on a "quiet" box — 3
+        # draws routinely missed the noise-free max that two manual
+        # spot-checks hit (294, 300), so the max-estimator needs the
+        # extra draw more than the bench needs the 10 minutes.
+        n_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "4"))
         attempts: dict[int, list[float]] = {n: [], n4: []}
         loads: dict[int, list[float]] = {n: [], n4: []}
-        for level in (n4, n, n, n4, n4, n):
-            loads[level].append(round(_wait_quiet(), 2))
-            attempts[level].append(run_extract_throughput_subprocess(level))
+        for i in range(n_attempts):
+            for level in (n4, n):
+                loads[level].append(round(_wait_quiet(), 2))
+                attempts[level].append(run_extract_throughput_subprocess(level))
+                time.sleep(30)
         tp_n, tp_4n = max(attempts[n]), max(attempts[n4])
         eff = (tp_4n / tp_n) / 4.0
         med_eff = (

@@ -495,12 +495,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no peer rows and is deterministic under any partitioning.
     At 10^12 events the partition key becomes (user_id bucket, day)
     with session stitching at day boundaries — same operator shape."""
-    ev = _t(spark, sf_dir, "events")
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+def sessionize(ev: DataFrame, gap: str = "30 MINUTES") -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_sess = F.when(
         prev.isNull()
-        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        | (F.col("ts") > prev + F.expr(f"INTERVAL {gap}")),
         1,
     ).otherwise(0)
     sessions = ev.select(
@@ -548,6 +551,107 @@ ORDER BY user_id, session_id
 """
 
 
+def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hypertable continuous-aggregate
+    style): minute-tier aggregates from raw events, hour tier derived
+    FROM THE MINUTE PARTIALS, day tier from the hour tier. At 100 TB
+    the coarse tiers never touch raw data — each re-aggregates a
+    table ~60× smaller, which is the entire point of the cascade.
+    The oracle computes every tier directly from raw events, so the
+    hash gate proves the cascade is lossless.
+
+    Sums are exact integer cents (`CAST(round(value*100) AS BIGINT)`)
+    — double summation is order-sensitive and a cascaded float sum
+    could differ from the oracle's direct sum in the last ulp;
+    integer sums are associative, so re-aggregation is bit-exact."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    minute = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket"))
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    tiers = (
+        minute.select(F.lit("minute").alias("resolution"), "*")
+        .unionByName(hour.select(F.lit("hour").alias("resolution"), "*"))
+        .unionByName(day.select(F.lit("day").alias("resolution"), "*"))
+    )
+    return tiers.orderBy("resolution", "bucket")
+
+
+_ROLLUP_CASCADE_SQL = """
+WITH cents AS (
+  SELECT ts, CAST(round(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT 'minute' AS resolution, date_trunc('minute', ts) AS bucket,
+       count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_cents
+FROM cents GROUP BY 2
+UNION ALL
+SELECT 'hour', date_trunc('hour', ts), count(*), CAST(sum(c) AS BIGINT)
+FROM cents GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts), count(*), CAST(sum(c) AS BIGINT)
+FROM cents GROUP BY 2
+ORDER BY resolution, bucket
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO urgent orders, rolled up per nation. The uncorrelated
+    scalar subquery becomes a 1-row broadcast (never a driver
+    collect); the NOT EXISTS becomes a left-anti join against the
+    distinct urgent-order custkeys (priority filter PUSHED to the
+    orders scan); the rollup is a partial/final hash aggregate on the
+    surviving (small) customer set."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    buyers = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(buyers, cust.c_custkey == buyers.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            # exact decimal sum, double for display (the order_rollup
+            # serialization lesson: Spark/DuckDB widen sums differently)
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_IDLE_RICH_SQL = """
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_by_type": (q_events_by_type, _EVENTS_BY_TYPE_SQL),
@@ -564,4 +668,6 @@ QUERIES = {
     "small_quantity_revenue": (q_small_quantity_revenue, _SMALL_QTY_SQL),
     "brand_promo_revenue": (q_brand_promo_revenue, _BRAND_PROMO_SQL),
     "events_sessionize": (q_sessionize, _SESSIONIZE_SQL),
+    "events_rollup_cascade": (q_events_rollup_cascade, _ROLLUP_CASCADE_SQL),
+    "idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_SQL),
 }

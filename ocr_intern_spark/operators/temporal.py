@@ -1,0 +1,188 @@
+"""Temporal join operators Spark lacks natively: as-of join (latest
+dimension version at-or-before each fact timestamp).
+
+The reference has no temporal surface (SQLite metrics only,
+`/root/reference/src/utils/performance_analytics.py`); these are
+"beyond-reference" training/feature-pipeline operators — joining
+events to slowly-changing user/dimension state is the standard
+feature-backfill primitive (point-in-time correctness: never leak a
+FUTURE dimension version into a training example).
+
+Scale design — the union+window formulation, NOT a range join:
+a naive `l JOIN r ON key AND r.ts <= l.ts` explodes to every prior
+version per fact row before a per-key argmax prunes it (O(|l|·|r|/key)
+shuffle). Instead: tag and UNION the two inputs, ONE hash exchange on
+the key, sort by (ts, right-before-left), and carry the most recent
+right attributes forward with last_value(ignorenulls) over rows
+UNBOUNDED PRECEDING..CURRENT — O(|l|+|r|) shuffled bytes, one window
+pass, facts then filtered back out. AQE splits a skewed key's
+partition; within-key the window is a single ordered scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the right row's `value_cols` from the
+    latest right row with right_ts <= left_ts on the same key (ties:
+    the right row wins — 'at-or-before', matching DuckDB ASOF
+    semantics with `l.ts >= r.ts`). Left rows with no prior right row
+    keep NULLs (left-outer as-of)."""
+    lcols = [c for c in left.columns if c != key]
+    tagged_r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy(key)
+        # right rows sort BEFORE left rows at equal ts => inclusive
+        # 'at-or-before'; _ts alone would be nondeterministic on ties
+        .orderBy("_ts", F.desc("_is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+          for c in value_cols],
+    )
+    return carried.where(F.col("_is_right") == 0).select(
+        F.col(key),
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_events_asof_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined to the user's plan value as of the
+    latest signup at-or-before the purchase — point-in-time feature
+    attachment over the events table. Verified against DuckDB's
+    native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    sign = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("valid_from"),
+        F.col("value").alias("plan_value"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.col("value").alias("amount")
+    )
+    out = asof_join(
+        pur, sign, key="user_id", left_ts="ts", right_ts="valid_from",
+        value_cols=["plan_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "amount",
+        F.col("asof_plan_value").alias("asof_plan"),
+    ).orderBy("event_id")
+
+
+_ASOF_SQL = """
+WITH sign AS (
+  SELECT user_id, ts AS valid_from, value AS plan_value
+  FROM events WHERE event_type = 'signup'
+),
+pur AS (
+  SELECT event_id, user_id, ts, value AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.amount, s.plan_value AS asof_plan
+FROM pur p ASOF LEFT JOIN sign s
+  ON p.user_id = s.user_id AND p.ts >= s.valid_from
+ORDER BY p.event_id
+"""
+
+
+def q_error_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join expressed WITHOUT interval explosion:
+    attribute each error event to the (non-error) activity session
+    containing its timestamp. Because per-user sessions are disjoint,
+    `start <= ts <= end` containment reduces to an as-of lookup of the
+    latest session START at-or-before ts, plus a `ts <= end` check —
+    reusing `asof_join`'s O(|l|+|r|) union+window shape instead of the
+    naive inequality join (which Spark plans as a broadcast
+    nested-loop and which explodes with per-user session count)."""
+    from ocr_intern_spark.operators.analytics import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    # 12-HOUR sessions: at this corpus's per-user event density the
+    # default 30-min rule yields singleton sessions and a trivial
+    # all-false attribution; 12 h gives a real in/out split (~23%)
+    sessions = sessionize(
+        ev.where(F.col("event_type") != "error"), gap="12 HOURS"
+    ).select("user_id", "session_start", "session_end")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    att = asof_join(
+        errors, sessions, key="user_id", left_ts="ts",
+        right_ts="session_start",
+        value_cols=["session_start", "session_end"],
+    )
+    in_sess = F.col("ts") <= F.col("asof_session_end")
+    return att.select(
+        "event_id", "user_id", "ts",
+        F.coalesce(in_sess, F.lit(False)).alias("in_session"),
+        F.when(in_sess, F.col("asof_session_start")).alias("session_start"),
+    ).orderBy("event_id")
+
+
+_ERROR_ATTR_SQL = """
+WITH nonerr AS (SELECT * FROM events WHERE event_type <> 'error'),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM nonerr
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS session_id
+    FROM flagged
+  )
+  GROUP BY user_id, session_id
+)
+SELECT e.event_id, e.user_id, e.ts,
+       (s.session_start IS NOT NULL) AS in_session,
+       s.session_start
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN sess s
+  ON e.user_id = s.user_id
+ AND e.ts >= s.session_start AND e.ts <= s.session_end
+ORDER BY e.event_id
+"""
+
+
+QUERIES = {
+    "events_asof_plan": (q_events_asof_plan, _ASOF_SQL),
+    "error_session_attribution": (q_error_session_attribution, _ERROR_ATTR_SQL),
+}
