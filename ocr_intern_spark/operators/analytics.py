@@ -603,6 +603,53 @@ ORDER BY resolution, bucket
 """
 
 
+def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (10-minute windows, 5-minute slide)
+    — the overlap-window primitive tumbling windows can't express;
+    same operator works under Structured Streaming with a watermark.
+    Each event lands in exactly window_size/slide = 2 windows; Spark
+    plans the explode inline (Generate) before the partial aggregate,
+    so the fan-out never materializes unaggregated. First week only,
+    to bound the oracle compare."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_SLIDING_SQL = """
+WITH g AS (
+  SELECT event_type, value,
+         date_trunc('minute', ts)
+           - (CAST(minute(ts) AS INT) % 5) * INTERVAL 1 MINUTE AS grid
+  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+),
+x AS (
+  -- size/slide = 2 overlapping windows per event: the one starting
+  -- at the event's 5-min grid point and the one 5 min earlier
+  SELECT event_type, value,
+         grid - o * INTERVAL 1 MINUTE AS window_start
+  FROM g CROSS JOIN (SELECT unnest([0, 5]) AS o)
+)
+SELECT window_start, event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM x GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers with above-average positive balance
     and NO urgent orders, rolled up per nation. The uncorrelated
@@ -670,4 +717,5 @@ QUERIES = {
     "events_sessionize": (q_sessionize, _SESSIONIZE_SQL),
     "events_rollup_cascade": (q_events_rollup_cascade, _ROLLUP_CASCADE_SQL),
     "idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_SQL),
+    "events_sliding_counts": (q_events_sliding_counts, _SLIDING_SQL),
 }
