@@ -458,13 +458,12 @@ def connected_components(
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    cached = (
+    labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .persist()
+        .localCheckpoint()
     )
-    labels = cached
     changed = None
     for _ in range(max_rounds):
         neigh = (
@@ -473,6 +472,12 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
         )
         best = F.least(F.col("label"), F.coalesce("nlabel", F.col("label")))
+        # localCheckpoint, not persist: persist() keeps the full
+        # logical lineage, and past ~18 rounds the nested-join plan
+        # gets so deep the driver OOMs merely STRINGIFYING it for the
+        # AQE plan-change log. Checkpointing truncates lineage at
+        # each round boundary (and the eager materialization doubles
+        # as the round's action barrier).
         new_labels = (
             labels.join(neigh, "doc_id", "left")
             .select(
@@ -480,11 +485,9 @@ def connected_components(
                 best.alias("label"),
                 (best < F.col("label")).cast("int").alias("changed"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("changed")).first()[0] or 0
-        cached.unpersist()  # unpersist the HANDLE that was persisted
-        cached = new_labels
         labels = new_labels.drop("changed")
         if changed == 0:
             break
@@ -498,6 +501,98 @@ def connected_components(
         labels.select("doc_id", F.col("label").alias("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+def connected_components_star(
+    pairs: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14):
+    alternately rewire each node's larger neighbors (large-star) and
+    smaller neighbors (small-star) to the neighborhood minimum until
+    the edge set is a union of stars rooted at each component's
+    minimum node.
+
+    Scale rationale vs `connected_components` (min-label
+    propagation): propagation needs O(component diameter) rounds — a
+    10^6-long chain needs 10^6 shuffles — while star contraction
+    converges in O(log n) rounds on ANY topology, because each round
+    at least halves the distance of every node to its root. Same
+    output contract: (doc_id, cluster_id = component min). One driver
+    action per round (a count+hash checksum that also materializes
+    the round's persist)."""
+    # localCheckpoint (NOT persist) each round: the alternating-star
+    # plan nests two joins + unions per round, and an un-truncated
+    # logical lineage grows exponentially — round ~8 OOMs the driver
+    # just STRINGIFYING the plan tree. Checkpointing cuts the lineage
+    # at every round boundary, which is the standard contract for
+    # iterative DataFrame algorithms.
+    E = (
+        pairs.select(F.least("a", "b").alias("u"),
+                     F.greatest("a", "b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    prev_chk = None
+    for _ in range(max_rounds):
+        # large-star: full neighborhoods; larger neighbors rewire to
+        # min(N(u) ∪ {u})
+        nbrs = E.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+            E.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        mins = nbrs.groupBy("x").agg(F.min("y").alias("miny")).select(
+            "x", F.least(F.col("miny"), F.col("x")).alias("m")
+        )
+        e1 = (
+            nbrs.join(mins, "x")
+            .where(F.col("y") > F.col("x"))
+            .select(F.col("m").alias("u"), F.col("y").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: each node's SMALLER neighbors (key = larger
+        # endpoint) all rewire to their minimum, and the node itself
+        # attaches to that minimum
+        sm = e1.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        mins2 = sm.groupBy("x").agg(F.min("y").alias("m"))
+        attach_self = mins2.select(F.col("m").alias("u"), F.col("x").alias("v"))
+        attach_nbrs = (
+            sm.join(mins2, "x")
+            .where(F.col("y") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("y").alias("v"))
+        )
+        E = attach_self.unionByName(attach_nbrs).distinct().localCheckpoint()
+        # bit_xor, not sum: ANSI mode (Spark 4 default) raises on
+        # BIGINT sum overflow; xor is order-independent and closed
+        row = E.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        chk = (row["n"], row["h"])
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    labels = (
+        nodes.join(E.select(F.col("v").alias("doc_id"),
+                            F.col("u").alias("cluster_id")),
+                   "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+    return labels
 
 
 _DUP_CLUSTERS_SQL = f"""
