@@ -1,0 +1,67 @@
+"""Hot-key skew patterns for aggregation.
+
+Spark's map-side partial HashAggregate already collapses hot keys for
+ALGEBRAIC aggregates (sum/count/min/max) before the shuffle, so plain
+`groupBy(k).sum()` rarely skews. The patterns here cover the cases
+partials do NOT fix:
+
+* exact distinct counts — `groupBy(k).agg(countDistinct(v))` carries
+  the hot key's whole value SET through the shuffle to one reducer;
+* holistic aggregates (collect_list/set, exact percentiles) — per-key
+  state is O(group size) and lands on one reducer;
+* downstream of a skewed JOIN key (AQE skew-join splits the join, but
+  a following single-key aggregation re-concentrates).
+
+The reference has no aggregation skew surface (single-machine); this
+is part of the 100 TB design layer, next to the span-level explode +
+hash(media_ref) repartition in `operators/extract.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def skew_safe_distinct_count(
+    df: DataFrame, key: str, value: str
+) -> DataFrame:
+    """Exact per-key distinct count in two phases: (1) dedupe on
+    (key, value) — the exchange hash-partitions on BOTH columns, so a
+    hot key's values spread across ALL reducers; (2) count rows per
+    key — phase-2 input is one row per distinct value, already
+    collapsed. No reducer ever holds a hot key's full value set.
+    Output: (key, n_distinct)."""
+    return (
+        df.select(key, value)
+        .distinct()
+        .groupBy(key)
+        .agg(F.count("*").alias("n_distinct"))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: Column,
+    merge_col,
+    alias: str,
+    n_salts: int = 32,
+)  -> DataFrame:
+    """Generic two-phase salted aggregation for decomposable
+    aggregates: phase 1 groups by (key, salt) — n_salts reducers share
+    each hot key — phase 2 merges the per-salt partials. `agg_col` is
+    the phase-1 aggregate expression, `merge_col` a callable mapping
+    the partial column to the phase-2 merge expression (sum for
+    sum/count, min for min, ...).
+
+    The salt derives from monotonically_increasing_id — deterministic
+    routing is NOT required (any row→salt assignment yields the same
+    merged result); only the GROUP KEYS must be content-derived.
+
+    Example: salted_agg(df, "k", F.count("*"), F.sum, "n")"""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    part = salted.groupBy(key, "_salt").agg(agg_col.alias("_partial"))
+    return part.groupBy(key).agg(merge_col("_partial").alias(alias))
