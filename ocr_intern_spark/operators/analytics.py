@@ -650,6 +650,36 @@ ORDER BY window_start, event_type
 """
 
 
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (p50/p90/p99, linear
+    interpolation — Spark `percentile` and DuckDB `quantile_cont`
+    agree bit-for-bit at round-6). Exact percentile is HOLISTIC
+    (sorts each group's values on one reducer); fine for 5 types ×
+    anything, but for a high-cardinality group key at 100 TB the
+    production swap is `approx_percentile` (t-digest, mergeable
+    partials) — same call shape, no oracle-exactness."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_QUANTILES_SQL = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers with above-average positive balance
     and NO urgent orders, rolled up per nation. The uncorrelated
@@ -718,4 +748,5 @@ QUERIES = {
     "events_rollup_cascade": (q_events_rollup_cascade, _ROLLUP_CASCADE_SQL),
     "idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_SQL),
     "events_sliding_counts": (q_events_sliding_counts, _SLIDING_SQL),
+    "events_value_quantiles": (q_events_value_quantiles, _QUANTILES_SQL),
 }
