@@ -321,6 +321,42 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all four granularities — (s,p), (s),
+    (p), () — in ONE Expand + hash aggregate (one shuffle), including
+    the per-priority marginal that ROLLUP can't produce. grouping_id
+    disambiguates a genuine NULL key from an aggregated-out level
+    (none in this data, but the column is part of the contract)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+        .select("gid", "o_orderstatus", "o_orderpriority",
+                "n_orders", "total_price")
+    )
+
+
+_ORDER_CUBE_SQL = """
+SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS gid,
+       o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 # --- Window lag: inter-order gap per customer -------------------------------
 
 
@@ -749,4 +785,5 @@ QUERIES = {
     "idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_SQL),
     "events_sliding_counts": (q_events_sliding_counts, _SLIDING_SQL),
     "events_value_quantiles": (q_events_value_quantiles, _QUANTILES_SQL),
+    "order_cube": (q_order_cube, _ORDER_CUBE_SQL),
 }

@@ -245,3 +245,33 @@ def sessionize_events(
             "session_value",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    horizon: str = "7 days",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each left event matches right events
+    of the same key whose timestamp is within [left_ts - horizon,
+    left_ts] — e.g. attribute purchases to the signup that preceded
+    them within the horizon, with BOTH sides arriving continuously.
+
+    Both sides carry watermarks and the join condition carries the
+    time range, which is what lets Spark BOUND the join state: a
+    buffered right row is evicted once the left watermark passes
+    right_ts + horizon (without the range the state grows forever).
+    State is sharded by the join key — uniform, no skew key. Column
+    names must be pre-disambiguated (right_ts renamed by caller)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (l[left_ts] >= r[right_ts])
+        & (l[left_ts] <= r[right_ts] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
