@@ -553,6 +553,32 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- corpus length histogram -------------------------------------------------
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram (100-char buckets) — the
+    standard corpus-quality dashboard input. One scan, one partial/
+    final hash aggregate; bucket arithmetic is scan-side codegen."""
+    d = _docs(spark, sf_dir)
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return (
+        d.groupBy("source", bucket.alias("len_bucket"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "len_bucket")
+    )
+
+
+_LENGTH_HIST_SQL = """
+SELECT source,
+       CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source, len_bucket
+ORDER BY source, len_bucket
+"""
+
+
 # --- TF-IDF keywords --------------------------------------------------------
 
 TFIDF_TOP_K = 3
@@ -835,6 +861,7 @@ QUERIES = {
     "text_stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "text_unigram_logprob": (q_unigram_logprob, _UNIGRAM_SQL),
     "text_bpe_token_stats": (q_bpe_token_stats, _BPE_SQL),
+    "text_length_histogram": (q_length_histogram, _LENGTH_HIST_SQL),
     "text_tfidf_keywords": (q_tfidf_keywords, _TFIDF_SQL),
     "text_winnow_fingerprints": (q_winnow_fingerprints, _WINNOW_FPS_SQL),
     "text_winnow_shared_pairs": (q_winnow_shared_pairs, _WINNOW_PAIRS_SQL),
