@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_intern_spark.functions.text import fingerprint
+from ocr_intern_spark.functions.text import STOPWORDS, fingerprint
 
 N_SHINGLE = 3          # words per shingle
 MINHASH_SEEDS = 8      # signature length
@@ -625,6 +625,78 @@ FROM reach GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END fuzzy-dedup retention: near-dup pairs (inverted-
+    index jaccard >= 0.5) → connected components → keep the highest-
+    quality member per duplicate cluster. One query answers "which
+    doc survives each duplicate family, and how big was the family" —
+    the composition a training-data pipeline actually runs (each
+    stage is also oracle-verified standalone: q_ngram_jaccard_pairs,
+    q_dup_clusters, text_quality_score).
+
+    At 100 TB the pair stage swaps to the minhash-LSH candidates +
+    exact re-rank (verified equivalent recall on true dups in
+    test_minhash_fast.py); the composition shape is identical."""
+    from pyspark.sql.window import Window
+
+    from ocr_intern_spark.functions.text import quality_score
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    clusters = connected_components(pairs)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("q")
+    )
+    members = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), "doc_id")
+    reps = (
+        members.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_doc"), "q")
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        reps.join(sizes, "cluster_id")
+        .select("cluster_id", "keep_doc", "q", "n_members")
+        .orderBy("cluster_id")
+    )
+
+
+_PIPELINE_SURVIVORS_SQL = f"""
+WITH cl AS ({_DUP_CLUSTERS_SQL}),
+qs AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+         + (CASE WHEN punct_ratio < 0.2 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+         + (CASE WHEN stop_ratio > 0.01 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END), 6) AS q
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   w -> list_contains({list(STOPWORDS)!r}, w))) AS DOUBLE)
+             / length(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stop_ratio
+    FROM documents
+  )
+),
+members AS (SELECT cl.doc_id, cl.cluster_id, qs.q FROM cl JOIN qs USING (doc_id)),
+reps AS (
+  SELECT cluster_id, doc_id AS keep_doc, q,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk
+  FROM members
+),
+sizes AS (SELECT cluster_id, count(*) AS n_members FROM members GROUP BY cluster_id)
+SELECT r.cluster_id, r.keep_doc, r.q, s.n_members
+FROM reps r JOIN sizes s USING (cluster_id)
+WHERE r.rk = 1
+ORDER BY r.cluster_id
+"""
+
+
 SIMHASH_BITS = 16
 
 
@@ -696,4 +768,5 @@ QUERIES = {
     "dedup_minhash_fast_lsh_buckets": (q_minhash_fast_lsh_buckets, None),
     "dedup_minhash_lsh_buckets": (q_minhash_lsh_buckets, _minhash_lsh_sql()),
     "dedup_dup_clusters": (q_dup_clusters, _DUP_CLUSTERS_SQL),
+    "dedup_pipeline_survivors": (q_dedup_pipeline_survivors, _PIPELINE_SURVIVORS_SQL),
 }
