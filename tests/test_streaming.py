@@ -144,3 +144,60 @@ def test_stream_dedup_exact_drops_cross_batch_dups(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("select doc_id from dedup_out").collect()}
     assert "d1" in got and "d2" in got and "d4" in got
     assert "d3" not in got  # cross-batch duplicate dropped
+
+
+def test_late_data_beyond_watermark_dropped(spark, tmp_path):
+    """An event older than the watermark horizon arriving in a later
+    micro-batch must be EXCLUDED from its (already finalized) window
+    in append mode — the bounded-state contract late data is traded
+    for."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def write(i, rows):
+        path = str(d / f"part-{i}.parquet")
+        pq.write_table(
+            pa.table({"ts": [r[0] for r in rows],
+                      "event_type": [r[1] for r in rows],
+                      "value": [float(r[2]) for r in rows]}),
+            path)
+        # FileStreamSource orders by modification time; same-second
+        # writes tie and can reorder the micro-batches — make mtimes
+        # strictly increasing so batch order == file index
+        import os
+        os.utime(path, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    write(0, [(t0, "a", 1.0), (t0 + dt.timedelta(minutes=5), "a", 2.0)])
+    # two batches that advance the watermark far past t0's window.
+    # TWO are needed: the input-side late filter uses the watermark in
+    # effect at batch START (one batch behind the eviction watermark),
+    # so a row arriving in the very batch that finalizes its window
+    # MAY still merge — the watermark is a lower-bound guarantee, not
+    # an exact cutoff (measured: with one gap batch the late row was
+    # included; with two it is reliably dropped).
+    write(1, [(t0 + dt.timedelta(hours=3), "a", 4.0)])
+    write(2, [(t0 + dt.timedelta(hours=6), "a", 8.0)])
+    # LATE: belongs to t0's long-finalized window -> dropped
+    write(3, [(t0 + dt.timedelta(minutes=6), "a", 100.0),
+              (t0 + dt.timedelta(hours=9), "a", 16.0)])
+
+    stream = (spark.readStream
+              .schema("ts timestamp, event_type string, value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (windowed_event_stats(stream, window="10 minutes",
+                              watermark="30 minutes")
+         .writeStream.format("memory").queryName("late_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = {(r["window_start"], r["n"], r["sum_value"])
+            for r in spark.sql("select * from late_out").collect()}
+    t0_rows = [r for r in rows if r[0] == t0]
+    # the 100.0 late row did NOT make it into t0's finalized window
+    assert t0_rows == [(t0, 2, 3.0)], rows
