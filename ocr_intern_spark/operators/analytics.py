@@ -357,6 +357,33 @@ ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` column with
+    a DECLARED schema (`from_json` — JVM-side Jackson, codegen
+    projection, no Python) and aggregate on the extracted field.
+    At 100 TB the declared-schema parse beats schema inference (one
+    pass, no sampling job) and malformed rows become NULLs instead of
+    failures (PERMISSIVE default)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_band"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "k_band")
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS INT) % 10 AS k_band,
+       count(*) AS n
+FROM events
+GROUP BY event_type, k_band
+ORDER BY event_type, k_band
+"""
+
+
 # --- Window lag: inter-order gap per customer -------------------------------
 
 
@@ -786,4 +813,5 @@ QUERIES = {
     "events_sliding_counts": (q_events_sliding_counts, _SLIDING_SQL),
     "events_value_quantiles": (q_events_value_quantiles, _QUANTILES_SQL),
     "order_cube": (q_order_cube, _ORDER_CUBE_SQL),
+    "events_json_props": (q_events_json_props, _JSON_PROPS_SQL),
 }
