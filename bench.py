@@ -124,7 +124,7 @@ def _wait_quiet() -> float:
     return os.getloadavg()[0]
 
 
-def run_headline(spark) -> dict[str, float]:
+def run_headline(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()

@@ -791,12 +791,14 @@ def q_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a document-frequency skew cut like q_ngram_jaccard_pairs.
     An absolute shared-count floor is NOT selective — common 8-char
     grams make unrelated docs share a handful of fingerprints — the
-    normalized coefficient is. Spark joins on xxhash64(fp) (8-byte
-    shuffle key); the oracle joins the md5 strings and must yield the
-    identical pair set."""
-    fps = _winnow_fps(_docs(spark, sf_dir)).select(
-        "doc_id", F.xxhash64("fp").alias("fp")
-    ).cache()
+    normalized coefficient is. The pair-forming join keys on the
+    128-bit md5 string itself: at 10^9+ fingerprints (100 TB) 64-bit
+    birthday collisions are expected (~n^2/2^65 pairs) and would
+    silently inflate shared counts, so the narrow key is reserved for
+    BUCKETING only — to cut shuffle bytes at scale, repartition both
+    sides by xxhash64(fp) while still joining on fp, which Spark's
+    hash partitioning on the equality key already does here."""
+    fps = _winnow_fps(_docs(spark, sf_dir)).cache()
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))

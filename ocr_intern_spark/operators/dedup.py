@@ -28,6 +28,24 @@ LSH_BANDS = 4          # 2 rows per band
 MAX_SHINGLE_DF = 1000  # drop shingles appearing in more docs (skew cut)
 
 
+def _round_checkpoint(df: DataFrame) -> DataFrame:
+    """Per-round lineage truncation for iterative algorithms.
+
+    Reliable checkpoint() when the session has a checkpoint dir
+    (replicated storage — survives executor loss mid-iteration, the
+    right choice on a real cluster); localCheckpoint() otherwise.
+    localCheckpoint stores partitions only on executors with NO
+    lineage to rebuild them, so a single executor loss fails the job —
+    acceptable only where recompute-from-scratch is acceptable (short
+    local runs). Either way the eager materialization doubles as the
+    round's action barrier and keeps the driver from OOMing on an
+    exponentially nested logical plan."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spread a small-file scan across cores before the CPU-heavy
     # shingle/hash expressions — but ONLY when the scan is actually
@@ -462,7 +480,7 @@ def connected_components(
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
+        .transform(_round_checkpoint)
     )
     changed = None
     for _ in range(max_rounds):
@@ -472,12 +490,12 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
         )
         best = F.least(F.col("label"), F.coalesce("nlabel", F.col("label")))
-        # localCheckpoint, not persist: persist() keeps the full
-        # logical lineage, and past ~18 rounds the nested-join plan
-        # gets so deep the driver OOMs merely STRINGIFYING it for the
-        # AQE plan-change log. Checkpointing truncates lineage at
-        # each round boundary (and the eager materialization doubles
-        # as the round's action barrier).
+        # checkpoint, not persist: persist() keeps the full logical
+        # lineage, and past ~18 rounds the nested-join plan gets so
+        # deep the driver OOMs merely STRINGIFYING it for the AQE
+        # plan-change log. _round_checkpoint truncates lineage at
+        # each round boundary (reliable checkpoint when a dir is
+        # configured; see its docstring for the fault-tolerance trade).
         new_labels = (
             labels.join(neigh, "doc_id", "left")
             .select(
@@ -485,7 +503,7 @@ def connected_components(
                 best.alias("label"),
                 (best < F.col("label")).cast("int").alias("changed"),
             )
-            .localCheckpoint()
+            .transform(_round_checkpoint)
         )
         changed = new_labels.agg(F.sum("changed")).first()[0] or 0
         labels = new_labels.drop("changed")
@@ -521,18 +539,19 @@ def connected_components_star(
     output contract: (doc_id, cluster_id = component min). One driver
     action per round (a count+hash checksum that also materializes
     the round's persist)."""
-    # localCheckpoint (NOT persist) each round: the alternating-star
+    # checkpoint (NOT persist) each round: the alternating-star
     # plan nests two joins + unions per round, and an un-truncated
     # logical lineage grows exponentially — round ~8 OOMs the driver
-    # just STRINGIFYING the plan tree. Checkpointing cuts the lineage
-    # at every round boundary, which is the standard contract for
-    # iterative DataFrame algorithms.
+    # just STRINGIFYING the plan tree. _round_checkpoint cuts the
+    # lineage at every round boundary (reliable checkpoint when a
+    # dir is configured; localCheckpoint's no-lineage trade is
+    # documented on the helper).
     E = (
         pairs.select(F.least("a", "b").alias("u"),
                      F.greatest("a", "b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(_round_checkpoint)
     )
     nodes = (
         pairs.select(F.col("a").alias("doc_id"))
@@ -567,7 +586,7 @@ def connected_components_star(
             .where(F.col("y") != F.col("m"))
             .select(F.col("m").alias("u"), F.col("y").alias("v"))
         )
-        E = attach_self.unionByName(attach_nbrs).distinct().localCheckpoint()
+        E = _round_checkpoint(attach_self.unionByName(attach_nbrs).distinct())
         # bit_xor, not sum: ANSI mode (Spark 4 default) raises on
         # BIGINT sum overflow; xor is order-independent and closed
         row = E.agg(

@@ -55,13 +55,19 @@ def salted_agg(
     the partial column to the phase-2 merge expression (sum for
     sum/count, min for min, ...).
 
-    The salt derives from monotonically_increasing_id — deterministic
-    routing is NOT required (any row→salt assignment yields the same
-    merged result); only the GROUP KEYS must be content-derived.
+    The salt is content-derived (xxhash64 over the full row), so a
+    re-executed map task under partial stage retry routes every row to
+    the SAME (key, salt) group it chose the first time — partials are
+    bit-stable and rows can't double-count or drop across groups (the
+    SPARK-23207 failure class that nondeterministic salts such as
+    monotonically_increasing_id or rand are exposed to). Identical
+    duplicate rows sharing a salt is harmless: decomposable aggregates
+    merge the same either way, and n_salts reducers still share each
+    hot key as long as the hot key's VALUES vary.
 
     Example: salted_agg(df, "k", F.count("*"), F.sum, "n")"""
     salted = df.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
     )
     part = salted.groupBy(key, "_salt").agg(agg_col.alias("_partial"))
     return part.groupBy(key).agg(merge_col("_partial").alias(alias))

@@ -394,11 +394,14 @@ def template_fields_auto(
 
     def stage_with_tid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # re-attach template_id to the output rows (field_key alone is
-        # ambiguous across templates sharing section/field names)
+        # ambiguous across templates sharing section/field names);
+        # keyed by doc_id — template_id is a per-DOC decision, and a
+        # media_ref shared by two docs with different detected
+        # templates would mislabel one of them under a ref-keyed map
         for pdf in batches:
-            tid_by_ref = dict(zip(pdf["media_ref"], pdf["template_id"]))
+            tid_by_doc = dict(zip(pdf["doc_id"], pdf["template_id"]))
             for out in stage(iter([pdf])):
-                out["template_id"] = out["media_ref"].map(tid_by_ref)
+                out["template_id"] = out["doc_id"].map(tid_by_doc)
                 yield out
 
     return media.mapInPandas(stage_with_tid, schema=FIELDS_AUTO_DDL)
