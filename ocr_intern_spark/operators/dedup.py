@@ -369,6 +369,90 @@ FROM bands GROUP BY band, bucket HAVING count(*) > 1 ORDER BY band, bucket
 """
 
 
+# --- portable 64-bit minhash: FNV-1a expressible in BOTH engines -----------
+
+# FNV-1a 64-bit, folded over Unicode CODEPOINTS (not UTF-8 bytes —
+# neither engine's SQL exposes byte iteration, and a codepoint fold is
+# an equally valid FNV-1a-style family as long as both engines agree,
+# which /tmp-prototyped sample strings incl. Arabic/accents confirmed).
+# The mod-2^64 wraparound multiply is emulated in signed BIGINT via
+# 32-bit halves so no step ever overflows — ANSI-mode-safe in Spark 4
+# and overflow-check-safe in DuckDB:
+#   h' = (h XOR c) * P  mod 2^64,  P = 0x100000001B3 = 256*2^32 + 435
+#   lo = x & m32; hi = (x>>32) & m32           (x = h XOR c)
+#   A  = lo*435 (≤2^41);  mid = (lo*256 + hi*435 + (A>>32)&m32) & m32
+#   h' = signed(mid)*2^32 + (A & m32)
+_FNV_OFFSET = -3750763034362895579  # 14695981039346656037 - 2^64
+_M32, _B32, _HALF = 4294967295, 4294967296, 2147483648
+
+
+def _fnv_step(xor: str) -> str:
+    mid = (
+        f"((({xor}) & {_M32}) * 256 + ((({xor}) >> 32) & {_M32}) * 435"
+        f" + ((((({xor}) & {_M32}) * 435) >> 32) & {_M32})) & {_M32}"
+    )
+    return (
+        f"CAST((CASE WHEN {mid} >= {_HALF} THEN ({mid}) - {_B32} "
+        f"ELSE {mid} END) * {_B32} + (((({xor}) & {_M32}) * 435) & {_M32})"
+        f" AS BIGINT)"
+    )
+
+
+def fnv1a64_spark(expr: str) -> str:
+    """Spark SQL FNV-1a-64 of a non-empty string expression (BIGINT)."""
+    return (
+        f"aggregate(transform(split({expr}, ''), ch -> ascii(ch)), "
+        f"CAST({_FNV_OFFSET} AS BIGINT), (h, c) -> {_fnv_step('(h ^ c)')})"
+    )
+
+
+def fnv1a64_duckdb(expr: str) -> str:
+    """DuckDB SQL FNV-1a-64 of the same string expression — identical
+    output to fnv1a64_spark (list_reduce has no init param, so the
+    offset basis is prepended to the codepoint list)."""
+    return (
+        f"list_reduce(list_prepend(CAST({_FNV_OFFSET} AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        f"ch -> CAST(unicode(ch) AS BIGINT))), "
+        f"(h, c) -> {_fnv_step('xor(h, c)')})"
+    )
+
+
+def q_minhash_portable64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact-verifiable LONG minhash: min over shingles of
+    FNV-1a-64('seed|' ‖ shingle) per seed. Gives the SAME plan shape
+    as the xxhash64 production path (fixed-width BIGINT min buffers →
+    partial/final HashAggregate, no SortAggregate, no strings through
+    the shuffle) while staying computable in DuckDB — closing the gap
+    where the long-typed aggregation shape itself had only rows-only /
+    recall pins. Production still uses xxhash64 (JVM-intrinsic, ~10×
+    cheaper than a per-codepoint HOF fold); this variant exists so the
+    scale shape is oracle-provable, and the fold cost sits in the
+    map-side narrow stage where it scales linearly."""
+    d = _docs(spark, sf_dir)
+    sig_cols = [
+        F.expr(fnv1a64_spark(f"concat('{s}|', shingle)")).alias(f"v{s}")
+        for s in range(MINHASH_SEEDS)
+    ]
+    hashed = _shingles(d, blur=False).select("doc_id", *sig_cols)
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*[F.min(f"v{s}").alias(f"mh{s}") for s in range(MINHASH_SEEDS)])
+        .orderBy("doc_id")
+    )
+
+
+_MINHASH_P64_COLS = ",\n       ".join(
+    "min({h}) AS mh{s}".format(h=fnv1a64_duckdb(f"'{s}|' || shingle"), s=s)
+    for s in range(MINHASH_SEEDS)
+)
+_MINHASH_P64_SQL = f"""
+WITH sh AS ({_MINHASH_SHINGLES_NOBLUR_SQL})
+SELECT doc_id, {_MINHASH_P64_COLS}
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --- retention policy: keep the best-quality doc per duplicate group -------
 
 
@@ -784,6 +868,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _JACCARD_SQL),
     "dedup_minhash_signatures": (q_minhash_signatures, _MINHASH_SQL),
     "dedup_minhash_fast": (q_minhash_fast, None),
+    "dedup_minhash_portable64": (q_minhash_portable64, _MINHASH_P64_SQL),
     "dedup_minhash_fast_lsh_buckets": (q_minhash_fast_lsh_buckets, None),
     "dedup_minhash_lsh_buckets": (q_minhash_lsh_buckets, _minhash_lsh_sql()),
     "dedup_dup_clusters": (q_dup_clusters, _DUP_CLUSTERS_SQL),
