@@ -104,18 +104,24 @@ def gaussian_blur(img: np.ndarray, ksize: int = 3, sigma: float = 0.0) -> np.nda
 
 
 def adaptive_threshold_gaussian(
-    img: np.ndarray, block: int = 11, c: float = 2.0, maxval: int = 255
+    img: np.ndarray,
+    block: int = 11,
+    c: float = 2.0,
+    maxval: int = 255,
+    invert: bool = False,
 ) -> np.ndarray:
     """cv2.adaptiveThreshold(ADAPTIVE_THRESH_GAUSSIAN_C, THRESH_BINARY,
     block, C) (arabic.py:43-51): pixel > (gaussian-window mean − C) →
     maxval else 0, replicate border, mean rounded to uint8 like
-    OpenCV's intermediate blur."""
+    OpenCV's intermediate blur. ``invert=True`` is THRESH_BINARY_INV
+    (main_window.py:74-77, the F7 handwriting-detect input): dark ink
+    on light paper becomes the foreground."""
     k = _gaussian_kernel(block)
     mean = np.clip(np.rint(_sep_conv(img, k, "replicate")), 0, 255)
-    return np.where(
-        img.astype(np.int64) > mean.astype(np.int64) - int(round(c)),
-        np.uint8(maxval), np.uint8(0),
-    )
+    above = img.astype(np.int64) > mean.astype(np.int64) - int(round(c))
+    if invert:
+        above = ~above
+    return np.where(above, np.uint8(maxval), np.uint8(0))
 
 
 # --- P6 piece: global histogram equalization --------------------------------
@@ -316,6 +322,228 @@ def deskew(img: np.ndarray) -> np.ndarray:
     else:
         return img
     return rotate_bilinear(img, angle)
+
+
+# --- F2/F7/F8: layout analysis + region detectors ---------------------------
+
+
+def dilate_rect(
+    img: np.ndarray, kw: int = 15, kh: int = 3, iterations: int = 3
+) -> np.ndarray:
+    """cv2.dilate with a kw×kh MORPH_RECT structuring element
+    (hybrid.py:59-60: getStructuringElement(MORPH_RECT, (15, 3)),
+    iterations=3): grayscale dilation = running max over the kernel
+    window, separable into a width pass then a height pass per
+    iteration. Joins characters into word/line blobs horizontally
+    (the wide kernel) with mild vertical growth."""
+    out = img
+    for _ in range(iterations):
+        p = np.pad(out, ((0, 0), (kw // 2, kw // 2)), mode="edge")
+        out = p[:, : img.shape[1]].copy()
+        for i in range(1, kw):
+            np.maximum(out, p[:, i : i + img.shape[1]], out=out)
+        p = np.pad(out, ((kh // 2, kh // 2), (0, 0)), mode="edge")
+        out2 = p[: img.shape[0], :].copy()
+        for i in range(1, kh):
+            np.maximum(out2, p[i : i + img.shape[0], :], out=out2)
+        out = out2
+    return out
+
+
+def connected_component_boxes(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Bounding boxes (x, y, w, h) of the 8-connected components of a
+    nonzero mask — the numpy equivalent of cv2.findContours(RETR_
+    EXTERNAL) + boundingRect per contour for filled blobs. Two-pass
+    run-based union-find: rows are decomposed into foreground runs
+    (vectorized), runs are unioned with 8-overlapping runs of the
+    previous row — O(runs), no per-pixel Python loop. Boxes are
+    returned sorted by (y, x) for determinism (cv2's contour order is
+    retrieval-internal; no consumer depends on it)."""
+    fg = mask != 0
+    h, w = fg.shape
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    boxes: dict[int, list[int]] = {}  # run-root -> [x0, y0, x1, y1]
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end, run_id)
+    for y in range(h):
+        row = fg[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if row[0]:
+            starts = np.concatenate(([0], starts))
+        if row[-1]:
+            ends = np.concatenate((ends, [w]))
+        cur_runs: list[tuple[int, int, int]] = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            rid = len(parent)
+            parent.append(rid)
+            boxes[rid] = [s, y, e - 1, y]
+            # 8-connectivity: current run [s, e-1] touches a previous-
+            # row run [ps, pe] iff the spans overlap when one is
+            # widened by 1 column (diagonal adjacency)
+            for ps, pe, pid in prev_runs:
+                if s <= pe + 1 and ps <= e:  # e == (e-1) + 1
+                    union(rid, pid)
+            cur_runs.append((s, e - 1, rid))
+        prev_runs = cur_runs
+    merged: dict[int, list[int]] = {}
+    for rid, (x0, y0, x1, y1) in boxes.items():
+        root = find(rid)
+        m = merged.setdefault(root, [x0, y0, x1, y1])
+        m[0] = min(m[0], x0)
+        m[1] = min(m[1], y0)
+        m[2] = max(m[2], x1)
+        m[3] = max(m[3], y1)
+    out = [
+        (x0, y0, x1 - x0 + 1, y1 - y0 + 1)
+        for x0, y0, x1, y1 in merged.values()
+    ]
+    return sorted(out, key=lambda b: (b[1], b[0]))
+
+
+def analyze_layout(
+    image: np.ndarray,
+) -> dict[str, list[tuple[int, int, int, int]]]:
+    """F2 image-domain layout analysis (hybrid.py:46-80): gray →
+    dilate(15×3 rect, 3 iterations) → external text-block boxes →
+    per-box projection heuristic: Arabic script's vertical strokes
+    make the per-COLUMN intensity sums vary more than the per-ROW
+    sums, so std(vertical_projection) > std(horizontal_projection)
+    classifies the block 'arabic', else 'french'. Returns
+    {'arabic': [(x, y, w, h), ...], 'french': [...]} in page
+    coordinates, ready for _process_regions (F6)."""
+    gray = to_grayscale(image)
+    dilated = dilate_rect(gray, 15, 3, iterations=3)
+    regions: dict[str, list[tuple[int, int, int, int]]] = {
+        "arabic": [], "french": [],
+    }
+    for x, y, w, h in connected_component_boxes(dilated):
+        roi = gray[y : y + h, x : x + w].astype(np.float64)
+        vertical = roi.sum(axis=0)
+        horizontal = roi.sum(axis=1)
+        if np.std(vertical) > np.std(horizontal):
+            regions["arabic"].append((x, y, w, h))
+        else:
+            regions["french"].append((x, y, w, h))
+    return regions
+
+
+def detect_handwriting_regions(
+    image: np.ndarray,
+) -> list[tuple[int, int, int, int]]:
+    """F7 handwriting detection (main_window.py:66-95): gray →
+    adaptive Gaussian threshold INV(11, 2) → external components →
+    keep area > 100 with bbox aspect 0.2 < w/h < 15. Area is the
+    component's PIXEL count (cv2.contourArea measures the contour
+    polygon, which for filled blobs differs by a sub-perimeter term;
+    the reference's threshold is a coarse noise floor, not a tight
+    bound, so pixel count preserves the semantics)."""
+    gray = to_grayscale(image)
+    binary = adaptive_threshold_gaussian(gray, 11, 2.0, invert=True)
+    fg = binary != 0
+    out = []
+    for x, y, w, h in connected_component_boxes(binary):
+        area = int(fg[y : y + h, x : x + w].sum())
+        if area > 100 and 0.2 < w / h < 15:
+            out.append((x, y, w, h))
+    return out
+
+
+def hough_circles(
+    gray: np.ndarray,
+    min_dist: int = 100,
+    param1: float = 50.0,
+    param2: int = 30,
+    min_radius: int = 50,
+    max_radius: int = 100,
+) -> list[tuple[int, int, int]]:
+    """F8 stamp detection via the HOUGH_GRADIENT method behind
+    cv2.HoughCircles(dp=1, minDist=100, param1=50, param2=30,
+    minRadius=50, maxRadius=100) (test_morocco_documents.py:248-265):
+    edge pixels (gradient magnitude > param1) vote for centers along
+    their gradient direction at every candidate radius (both ways —
+    dark-on-light and light-on-dark); accumulator peaks with >= param2
+    votes, non-max suppressed to min_dist apart, become circles. The
+    radius reported per center is the most-voted distance from its
+    supporting edge pixels. Returns [(cx, cy, r), ...] strongest
+    first."""
+    f = gray.astype(np.float64)
+    gx = np.zeros_like(f)
+    gy = np.zeros_like(f)
+    gx[:, 1:-1] = (f[:, 2:] - f[:, :-2]) / 2.0
+    gy[1:-1, :] = (f[2:, :] - f[:-2, :]) / 2.0
+    mag = np.hypot(gx, gy)
+    ys, xs = np.nonzero(mag > param1)
+    if len(ys) == 0:
+        return []
+    ux = gx[ys, xs] / mag[ys, xs]
+    uy = gy[ys, xs] / mag[ys, xs]
+    h, w = gray.shape
+    # 3-D accumulator binned 4×4 px in center space and 4 px in radius:
+    # a real circle's votes (ring-width + direction-quantization jitter
+    # of ±2 px) collapse into ONE (cy, cx, r) cell, while a straight
+    # edge of length L contributes only ~bin votes to any single cell
+    # — the binning is what separates circles from text/rule lines
+    # without a second gradient pass.
+    dp = 4
+    n_rb = (max_radius - min_radius) // dp + 1
+    acc = np.zeros((n_rb, h // dp + 1, w // dp + 1), dtype=np.int32)
+    for r in range(min_radius, max_radius + 1, 2):
+        rb = (r - min_radius) // dp
+        for sign in (1.0, -1.0):
+            cx = np.rint(xs + sign * r * ux).astype(np.int64)
+            cy = np.rint(ys + sign * r * uy).astype(np.int64)
+            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            np.add.at(acc, (rb, cy[ok] // dp, cx[ok] // dp), 1)
+    circles: list[tuple[int, int, int]] = []
+    flat = acc.ravel()
+    order = np.argsort(flat, kind="stable")[::-1]
+    for idx in order:
+        votes = flat[idx]
+        if votes < param2:
+            break
+        rb, rem = divmod(int(idx), acc.shape[1] * acc.shape[2])
+        by, bx = divmod(rem, acc.shape[2])
+        cx0, cy0 = bx * dp + dp // 2, by * dp + dp // 2
+        if any(
+            (cx0 - a) ** 2 + (cy0 - b) ** 2 < min_dist**2 for a, b, _ in circles
+        ):
+            continue
+        # refine: center = centroid of supporting edge pixels' implied
+        # centers isn't tracked, so snap to the strongest 1-px cell by
+        # the radius mode of distances in the winning band
+        d = np.hypot(xs - cx0, ys - cy0)
+        lo = min_radius + rb * dp
+        in_band = (d >= lo - 2) & (d <= lo + dp + 2)
+        if not in_band.any():
+            continue
+        r = int(np.rint(d[in_band].mean()))
+        circles.append((cx0, cy0, r))
+        if len(circles) >= 8:
+            break
+    return circles
+
+
+def detect_stamp_circles(image: np.ndarray) -> list[tuple[int, int, int]]:
+    """F8: stamps are the circles a HoughCircles(minR=50, maxR=100)
+    pass finds on the grayscale page (the reference's stamp-detection
+    recipe)."""
+    return hough_circles(to_grayscale(image))
 
 
 # --- pipelines ---------------------------------------------------------------

@@ -211,6 +211,77 @@ class TesseractRecognizer:
         d = be.image_to_data(image, lang="fra", config=FRENCH_CONFIG)
         return parse_data_dict(d, "fra")
 
+    def process_regions(
+        self,
+        image: Any,
+        regions: list[tuple[int, int, int, int]],
+        lang: str,
+    ) -> list[Token]:
+        """F6 region re-projection (hybrid.py:156-180): crop each
+        (x, y, w, h) region, run the per-language engine pass on the
+        crop, then translate every child token's bbox by (+x, +y) back
+        into page coordinates — the reference's
+        ``adjusted_bbox = (bbox[0] + x, bbox[1] + y, bbox[2], bbox[3])``
+        with width/height preserved."""
+        engine_pass = self.arabic_pass if lang == "ara" else self.french_pass
+        out: list[Token] = []
+        for x, y, w, h in regions:
+            crop = image[y : y + h, x : x + w]
+            for t in engine_pass(crop):
+                out.append(t._replace(x=t.x + x, y=t.y + y))
+        return out
+
+    def process_template_region(
+        self, image: Any, rel: dict[str, float], lang: str
+    ) -> list[Token]:
+        """T1+F6 composed: resolve a RELATIVE template region through
+        abs_region (clamped pixel box, template_extractor.py:108-119),
+        crop, recognize, and re-project token bboxes to page
+        coordinates. This is the image-domain path the region-addressed
+        stub (`media_ref#section.field`) stands in for when no decoder
+        is available."""
+        from ocr_intern_spark.operators.template_fields import abs_region
+
+        height, width = image.shape[0], image.shape[1]
+        box = abs_region(height, width, rel)
+        return self.process_regions(image, [box], lang)
+
+    def layout_pass(self, image: Any) -> list[Token]:
+        """F2+F6 composed (the analyze_layout → _process_regions
+        route): classify text blocks by the projection-std heuristic,
+        then run each block through its language's engine with bboxes
+        re-projected to page coordinates. Arabic regions first, like
+        the hybrid orchestration's emit order."""
+        from ocr_intern_spark.functions.imageproc import analyze_layout
+
+        regions = analyze_layout(image)
+        return self.process_regions(
+            image, regions["arabic"], "ara"
+        ) + self.process_regions(image, regions["french"], "fra")
+
+    def detector_pass(self, image: Any) -> list[Token]:
+        """F7+F8 detector algorithms on the page image, emitted as
+        geometry-candidate tokens (kind='handwriting'/'stamp') for the
+        pass-through span path: handwriting = adaptive-threshold-INV
+        component boxes with area > 100 and 0.2 < aspect < 15
+        (main_window.py:66-95); stamps = Hough circles with radius
+        50-100 (test_morocco_documents.py:248-265), boxed as the
+        circle's bounding square like a region list entry."""
+        from ocr_intern_spark.functions.imageproc import (
+            detect_handwriting_regions,
+            detect_stamp_circles,
+        )
+
+        out = [
+            Token("", 0.0, x, y, w, h, "", kind="handwriting")
+            for x, y, w, h in detect_handwriting_regions(image)
+        ]
+        out += [
+            Token("", 0.0, cx - r, cy - r, 2 * r, 2 * r, "", kind="stamp")
+            for cx, cy, r in detect_stamp_circles(image)
+        ]
+        return out
+
     def __call__(self, media_ref: str) -> list[Token]:
         """F5 hybrid orchestration (hybrid.py:130-154): run both
         engines, Arabic tokens first. F1/F4/R2 run downstream in the
