@@ -129,7 +129,7 @@ def _q_export_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_intern_spark.sources.export import export_documents
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = export_documents(derive_spans(docs), formats=("pdf", "docx"))
+    out = export_documents(derive_spans(docs), formats=("pdf", "docx", "xlsx"))
     return out.select("doc_id", "fmt", "n_bytes").orderBy("doc_id", "fmt")
 
 

@@ -1,5 +1,5 @@
-"""Document export sinks (S5 PDF, S6 DOCX, S9 batch fan-out) —
-distributed, dependency-free renderers for the reference's
+"""Document export sinks (S5 PDF, S6 DOCX, S7 XLSX, S9 batch
+fan-out) — distributed, dependency-free renderers for the reference's
 DocumentExporter (/root/reference/src/utils/document_export.py).
 
 The reference renders per document with reportlab / python-docx on one
@@ -181,6 +181,95 @@ def render_docx(texts: list[str], name: str, name_ar: str) -> bytes:
     return buf.getvalue()
 
 
+# --- S7: XLSX ----------------------------------------------------------------
+
+_XLSX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType='
+    '"application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+
+_XLSX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+
+_XLSX_WORKBOOK = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+)
+
+_XLSX_WB_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+XLSX_COLUMNS = ("Language", "Text", "Confidence", "X", "Y", "Width", "Height")
+
+
+def _xlsx_cell(v) -> str:
+    if isinstance(v, str):
+        return f'<c t="inlineStr"><is><t xml:space="preserve">{escape(v)}</t></is></c>'
+    if isinstance(v, float):
+        return f"<c><v>{v!r}</v></c>"
+    return f"<c><v>{v}</v></c>"
+
+
+def render_xlsx(records: list[tuple]) -> bytes:
+    """S7: valid OOXML spreadsheet (stdlib zip, inline strings — no
+    sharedStrings table) with the reference's export_to_excel column
+    layout (document_export.py:110-140): a header row
+    Language/Text/Confidence/X/Y/Width/Height (what pandas.to_excel
+    writes) then one row per OCR result record, french results before
+    arabic like the exporter's ["french", "arabic"] iteration."""
+    rows_xml = []
+    for r, rec in enumerate([XLSX_COLUMNS, *records], start=1):
+        cells = "".join(_xlsx_cell(v) for v in rec)
+        rows_xml.append(f'<row r="{r}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f'<sheetData>{"".join(rows_xml)}</sheetData></worksheet>'
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        z.writestr("_rels/.rels", _XLSX_RELS)
+        z.writestr("xl/workbook.xml", _XLSX_WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def xlsx_records_from_texts(texts: list[str]) -> list[tuple]:
+    """Span-level records for the distributed fan-out: the spans
+    schema carries no confidence/geometry (fusion drops token boxes),
+    so those columns are zero here; the renderer itself takes full
+    records and the recognizer-boundary path can pass real token
+    (conf, x, y, w, h) tuples."""
+    by_lang = _split_by_lang(texts)
+    return [
+        (lang, t, 0.0, 0, 0, 0, 0)
+        for lang in ("french", "arabic")
+        for t in by_lang[lang]
+    ]
+
+
 # --- S9: distributed batch fan-out -------------------------------------------
 
 EXPORT_DDL = "doc_id string, fmt string, content binary, n_bytes long"
@@ -211,11 +300,12 @@ def export_documents(
             for doc_id, texts in zip(pdf["doc_id"], pdf["texts"]):
                 tl = list(texts)
                 for fmt in formats:
-                    blob = (
-                        render_pdf(tl, name)
-                        if fmt == "pdf"
-                        else render_docx(tl, name, name_ar)
-                    )
+                    if fmt == "pdf":
+                        blob = render_pdf(tl, name)
+                    elif fmt == "xlsx":
+                        blob = render_xlsx(xlsx_records_from_texts(tl))
+                    else:
+                        blob = render_docx(tl, name, name_ar)
                     rows["doc_id"].append(doc_id)
                     rows["fmt"].append(fmt)
                     rows["content"].append(blob)

@@ -75,3 +75,54 @@ def test_export_fanout_spark(spark):
     assert {len(v) for v in by_fmt.values()} == {10}
     assert all(bytes(r["content"]).startswith(b"%PDF") for r in by_fmt["pdf"])
     assert all(bytes(r["content"])[:2] == b"PK" for r in by_fmt["docx"])
+
+
+def test_xlsx_structure_and_cell_recovery():
+    """S7: cell values (strings incl. Arabic/XML-escapes, floats,
+    ints) recover exactly from the zip, with the reference's
+    Language/Text/Confidence/X/Y/Width/Height header and french rows
+    before arabic (document_export.py:110-140)."""
+    import xml.etree.ElementTree as ET
+
+    from ocr_intern_spark.sources.export import XLSX_COLUMNS, render_xlsx
+
+    records = [
+        ("french", "Reçu <2024> & fils", 87.5, 10, 20, 120, 14),
+        ("arabic", "شهادة السكنى", 62.0, 5, 40, 200, 16),
+    ]
+    blob = render_xlsx(records)
+    assert blob[:2] == b"PK"
+    with zipfile.ZipFile(BytesIO(blob)) as z:
+        assert "xl/workbook.xml" in z.namelist()
+        sheet = z.read("xl/worksheets/sheet1.xml").decode("utf-8")
+    ns = {"s": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    rows = ET.fromstring(sheet).findall(".//s:row", ns)
+    parsed = []
+    for row in rows:
+        vals = []
+        for c in row.findall("s:c", ns):
+            t = c.find(".//s:t", ns)
+            vals.append(t.text if t is not None else c.find("s:v", ns).text)
+        parsed.append(vals)
+    assert parsed[0] == list(XLSX_COLUMNS)
+    assert parsed[1] == ["french", "Reçu <2024> & fils", "87.5", "10", "20", "120", "14"]
+    assert parsed[2] == ["arabic", "شهادة السكنى", "62.0", "5", "40", "200", "16"]
+
+
+def test_xlsx_splits_languages_from_texts():
+    from ocr_intern_spark.sources.export import xlsx_records_from_texts
+
+    recs = xlsx_records_from_texts(["bonjour", "شهادة", "ville"])
+    assert [r[0] for r in recs] == ["french", "french", "arabic"]
+    assert [r[1] for r in recs] == ["bonjour", "ville", "شهادة"]
+
+
+def test_export_fanout_includes_xlsx(spark):
+    docs = corpus_to_spark(spark, 4, seed=3, partitions=2)
+    out = export_documents(docs, formats=("pdf", "docx", "xlsx")).collect()
+    assert len(out) == 12
+    xlsx = [r for r in out if r["fmt"] == "xlsx"]
+    assert len(xlsx) == 4
+    for r in xlsx:
+        with zipfile.ZipFile(BytesIO(bytes(r["content"]))) as z:
+            assert "xl/worksheets/sheet1.xml" in z.namelist()
