@@ -738,13 +738,21 @@ def q_dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dup_clusters, text_quality_score).
 
     At 100 TB the pair stage swaps to the minhash-LSH candidates +
-    exact re-rank (verified equivalent recall on true dups in
-    test_minhash_fast.py); the composition shape is identical."""
+    exact re-rank — q_dedup_pipeline_survivors_lsh IS that swap,
+    oracle-checked against the same exact-pairs SQL."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    return _survivors_from_pairs(spark, sf_dir, pairs)
+
+
+def _survivors_from_pairs(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Shared tail of the fuzzy-dedup retention pipeline: pair list →
+    connected components → keep the best-quality member per cluster."""
     from pyspark.sql.window import Window
 
     from ocr_intern_spark.functions.text import quality_score
 
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
     clusters = connected_components(pairs)
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.round(quality_score(F.col("text")), 6).alias("q")
@@ -764,6 +772,106 @@ def q_dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "keep_doc", "q", "n_members")
         .orderBy("cluster_id")
     )
+
+
+def lsh_candidate_jaccard_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB pair stage: minhash-LSH candidate generation + exact
+    Jaccard re-rank, computing `common` ONLY for candidate pairs
+    instead of for every shingle-sharing pair.
+
+    Same shingle universe as q_ngram_jaccard_pairs (blurred, xxhash64
+    8-byte keys): (1) 8 BIGINT minhashes per doc (HashAggregate);
+    (2) 4 bands × 2 rows → bucket = xxhash64(band longs); (3) docs
+    sharing a (band, bucket) become candidates (a < b, distinct);
+    (4) exact re-rank: join each candidate pair to both docs'
+    post-DF-cut shingle sets — the join's row volume is
+    Σ_pairs |A| (candidates are a vanishing fraction of all
+    shingle-sharing pairs at scale, which is the whole point of the
+    swap) — and keep jaccard >= 0.5 with sizes counted after the cut,
+    identical semantics to the exact stage. LSH recall over this
+    corpus's true pairs is what q_dedup_pipeline_survivors_lsh's
+    oracle row proves (1-(1-s²)⁴ per-pair; near-dups here sit well
+    above the s=0.5 knee)."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    ).cache()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"mh{s}")
+            for s in range(MINHASH_SEEDS)
+        ]
+    )
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for band in range(LSH_BANDS)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.bucket")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    # exact re-rank, candidate pairs only
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    sizes = shr.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shr.select(F.col("doc_id").alias("a"), F.col("shingle").alias("sha"))
+    sb = shr.select(F.col("doc_id").alias("b2"), F.col("shingle").alias("shb"))
+    common = (
+        cand.join(sa, "a")
+        .join(sb, (F.col("b") == F.col("b2")) & (F.col("sha") == F.col("shb")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+def q_dedup_pipeline_survivors_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q_dedup_pipeline_survivors with its pair stage SWAPPED to the
+    LSH-candidate + exact-re-rank path — the composition a 100 TB run
+    executes. Registered with the SAME DuckDB oracle SQL as the
+    exact-pairs pipeline: a hash-exact row therefore PROVES the swap
+    returns identical survivors on this corpus, not just equal-recall
+    candidates."""
+    pairs = lsh_candidate_jaccard_pairs(spark, sf_dir).select("a", "b")
+    return _survivors_from_pairs(spark, sf_dir, pairs)
 
 
 _PIPELINE_SURVIVORS_SQL = f"""
@@ -873,4 +981,8 @@ QUERIES = {
     "dedup_minhash_lsh_buckets": (q_minhash_lsh_buckets, _minhash_lsh_sql()),
     "dedup_dup_clusters": (q_dup_clusters, _DUP_CLUSTERS_SQL),
     "dedup_pipeline_survivors": (q_dedup_pipeline_survivors, _PIPELINE_SURVIVORS_SQL),
+    # same oracle ON PURPOSE: hash-equality proves the LSH swap exact
+    "dedup_pipeline_survivors_lsh": (
+        q_dedup_pipeline_survivors_lsh, _PIPELINE_SURVIVORS_SQL,
+    ),
 }
