@@ -17,11 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_intern_spark.functions import text as text_q
-from ocr_intern_spark.operators import analytics, dedup, extract_queries, similarity, temporal
+from ocr_intern_spark.operators import (
+    analytics,
+    dedup,
+    extract_queries,
+    layout,
+    similarity,
+    temporal,
+)
 from ocr_intern_spark.operators.extract import extract
 from ocr_intern_spark.sources.corpus import stub_ocr_tokens
 
-_MODULES = (extract_queries, analytics, dedup, similarity, text_q, temporal)
+_MODULES = (extract_queries, analytics, dedup, similarity, text_q, temporal, layout)
 
 
 def derive_spans(docs: DataFrame) -> DataFrame:
@@ -166,8 +173,10 @@ _FRONT = [
     "extract_template_fields_auto",
     "export_fanout",
     "extract_doc_confidence",
+    "extract_xycut_order",
 ]
 _BACK = [
+    "dedup_exact_prefix",
     "extract_doc_type",
     "extract_field_normalizers",
     "extract_reading_order",

@@ -1,0 +1,240 @@
+"""XY-cut column segmentation + baseline-clustered reading order —
+the north star's PDF-layout reading-order reconstruction, generalizing
+the reference's flat line-binning sort
+(/root/reference/src/postprocessing/reading_order.py:44-59, R2).
+
+Algorithm (recursive XY-cut, Nagy & Seth 1984): project the token
+boxes onto each axis, find whitespace gaps wider than the axis
+threshold, cut on the axis with the WIDEST gap (header bands split
+before columns because a full-width block suppresses all vertical
+gaps), and recurse — horizontal bands top→bottom, columns
+left→right. A region with no qualifying gap is a LEAF: tokens are
+clustered into lines by BASELINE (y + h) with a consecutive-gap rule
+(tolerance defaults to 0.75 × median box height — robust to mixed
+font sizes where the reference's ``y // h`` binning shears), lines
+read top→bottom, and within a line the reference's RTL rule applies:
+right→left iff Arabic tokens are a strict majority (R2's vote),
+else left→right.
+
+Scale shape: the recursion is PER DOCUMENT/MEDIA over at most a few
+hundred boxes — pure numpy inside one ``applyInPandas`` group, the
+exact pattern SURVEY §2.5 prescribes. The only shuffle is the groupBy
+exchange on (doc_id, media_ref); everything else is narrow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MIN_GAP_X = 40.0  # vertical cut: column gutters (word gaps are ~10px)
+MIN_GAP_Y = 18.0  # horizontal cut: band gaps (line leading is ~10px)
+
+
+def _widest_gap(
+    starts: np.ndarray, ends: np.ndarray, min_gap: float
+) -> tuple[float, float] | None:
+    """Widest whitespace gap strictly inside the union of [start, end)
+    intervals, if any gap is >= min_gap. Returns (gap_lo, gap_hi)."""
+    order = np.argsort(starts, kind="stable")
+    s, e = starts[order], ends[order]
+    best: tuple[float, float] | None = None
+    cur_end = e[0]
+    for i in range(1, len(s)):
+        if s[i] > cur_end:
+            width = s[i] - cur_end
+            if width >= min_gap and (best is None or width > best[1] - best[0]):
+                best = (float(cur_end), float(s[i]))
+        cur_end = max(cur_end, e[i])
+    return best
+
+
+def _leaf_order(
+    x: np.ndarray, y: np.ndarray, h: np.ndarray, is_ar: np.ndarray,
+    idx: np.ndarray,
+) -> list[int]:
+    """Baseline clustering + per-line RTL-aware sort for a leaf
+    region. Returns original indices in reading order."""
+    base = y + h
+    tol = 0.75 * float(np.median(h))
+    order = np.argsort(base, kind="stable")
+    lines: list[list[int]] = [[order[0]]]
+    for prev, cur in zip(order[:-1], order[1:]):
+        if base[cur] - base[prev] > tol:
+            lines.append([])
+        lines[-1].append(cur)
+    out: list[int] = []
+    for line in lines:
+        li = np.array(line)
+        rtl = int(is_ar[li].sum()) * 2 > len(li)  # strict majority (R2)
+        key = -x[li] if rtl else x[li]
+        out.extend(idx[li[np.argsort(key, kind="stable")]].tolist())
+    return out
+
+
+def xycut_order(
+    x: np.ndarray,
+    y: np.ndarray,
+    w: np.ndarray,
+    h: np.ndarray,
+    is_ar: np.ndarray,
+    min_gap_x: float = MIN_GAP_X,
+    min_gap_y: float = MIN_GAP_Y,
+) -> list[int]:
+    """Reading-order permutation (original indices) of the given
+    boxes under recursive XY-cut + baseline-clustered leaves."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    w = np.asarray(w, dtype=np.float64)
+    h = np.asarray(h, dtype=np.float64)
+    is_ar = np.asarray(is_ar, dtype=bool)
+    n = len(x)
+    if n == 0:
+        return []
+    out: list[int] = []
+    stack: list[np.ndarray] = [np.arange(n)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) == 1:
+            out.append(int(idx[0]))
+            continue
+        hgap = _widest_gap(y[idx], y[idx] + h[idx], min_gap_y)
+        vgap = _widest_gap(x[idx], x[idx] + w[idx], min_gap_x)
+        if hgap is None and vgap is None:
+            out.extend(_leaf_order(x[idx], y[idx], h[idx], is_ar[idx], idx))
+            continue
+        hw = (hgap[1] - hgap[0]) if hgap else -1.0
+        vw = (vgap[1] - vgap[0]) if vgap else -1.0
+        if hw >= vw:  # horizontal cut: top band first (tie → bands)
+            cut = (hgap[0] + hgap[1]) / 2.0
+            top = idx[y[idx] < cut]
+            bot = idx[y[idx] >= cut]
+            stack.append(bot)  # LIFO: push later-read segment first
+            stack.append(top)
+        else:  # vertical cut: left column first (columns always LTR;
+            # the RTL rule is a per-LINE property in the reference)
+            cut = (vgap[0] + vgap[1]) / 2.0
+            left = idx[x[idx] < cut]
+            right = idx[x[idx] >= cut]
+            stack.append(right)
+            stack.append(left)
+    return out
+
+
+TOKENS_DDL = (
+    "doc_id long, text string, x double, y double, w double, h double, "
+    "is_ar boolean"
+)
+ORDERED_DDL = "doc_id long, ord int, word string"
+
+
+def xycut_reading_order(tokens: DataFrame) -> DataFrame:
+    """Distributed XY-cut: one applyInPandas group per doc_id (add
+    media_ref to the key when ordering per page). Input columns per
+    TOKENS_DDL; output (doc_id, ord, word)."""
+
+    def one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        perm = xycut_order(
+            pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+            pdf["w"].to_numpy(), pdf["h"].to_numpy(),
+            pdf["is_ar"].to_numpy(),
+        )
+        ordered = pdf.iloc[perm]
+        return pd.DataFrame(
+            {
+                "doc_id": ordered["doc_id"].to_numpy(),
+                "ord": np.arange(len(ordered), dtype=np.int32),
+                "word": ordered["text"].to_numpy(),
+            }
+        )
+
+    return tokens.groupBy("doc_id").applyInPandas(one_doc, schema=ORDERED_DDL)
+
+
+def q_xycut_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable XY-cut: token geometry synthesized natively
+    from the documents table as a TWO-COLUMN page — words 0-11 fill
+    column A (6 per line, 90px pitch, jittered x/y, mixed heights
+    14/18/22), words 12-23 fill column B at +700px, Arabic-ness by the
+    same formula as extract_reading_order. The 165px gutter forces a
+    vertical cut; 10px word gaps and 10-14px line leading forbid any
+    other cut; baseline clustering must recover the line grid through
+    the jitter.
+
+    The DuckDB oracle states the KNOWN-CORRECT reading order for this
+    geometry in closed form (column, then line, then RTL-aware x) —
+    the recursion must reconstruct it, the same oracle pattern as the
+    rollup cascade. Spark runs the real recursive algorithm via
+    applyInPandas; nothing order-related is hinted to it."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < p:
+        d = d.repartition(p)
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 24)
+    t = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(toks).alias("i", "word"),
+    )
+    k = F.when(F.col("i") >= 12, F.col("i") - 12).otherwise(F.col("i"))
+    col = F.when(F.col("i") >= 12, F.lit(1)).otherwise(F.lit(0))
+    line = (k / 6).cast("int")
+    pos = k % 6
+    t = t.select(
+        "doc_id",
+        F.col("word").alias("text"),
+        (pos * 90 + (F.col("i") * 7) % 6 + col * 700).cast("double").alias("x"),
+        (line * 24 + (F.col("i") * 3) % 3).cast("double").alias("y"),
+        F.lit(80.0).alias("w"),
+        F.element_at(
+            F.array(F.lit(14.0), F.lit(18.0), F.lit(22.0)),
+            ((F.col("i") * F.col("i")) % 3 + 1).cast("int"),
+        ).alias("h"),
+        ((F.col("doc_id") + F.col("i") * F.col("i")) % 5 < 2).alias("is_ar"),
+    )
+    return xycut_reading_order(t).orderBy("doc_id", "ord")
+
+
+_XYCUT_SQL = """
+WITH toks AS (
+  SELECT doc_id, u.i - 1 AS i, u.w AS word
+  FROM (
+    SELECT doc_id,
+           list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 24) AS tl
+    FROM documents
+  ), LATERAL (
+    SELECT unnest(tl) AS w, generate_subscripts(tl, 1) AS i
+  ) u
+),
+g AS (
+  SELECT doc_id, i, word,
+         CASE WHEN i >= 12 THEN 1 ELSE 0 END AS col,
+         CAST((CASE WHEN i >= 12 THEN i - 12 ELSE i END) // 6 AS INT) AS line,
+         ((CASE WHEN i >= 12 THEN i - 12 ELSE i END) % 6) * 90
+           + (i * 7) % 6 AS x,
+         ((doc_id + i * i) % 5 < 2) AS is_ar
+  FROM toks
+),
+r AS (
+  SELECT g.*,
+         sum(CASE WHEN is_ar THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id, col, line) * 2
+           > count(*) OVER (PARTITION BY doc_id, col, line) AS rtl
+  FROM g
+)
+SELECT doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id
+         ORDER BY col, line, CASE WHEN rtl THEN -x ELSE x END
+       ) - 1 AS INT) AS ord,
+       word
+FROM r
+ORDER BY doc_id, ord
+"""
+
+
+QUERIES = {
+    "extract_xycut_order": (q_xycut_order, _XYCUT_SQL),
+}
