@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ocr_intern_spark.functions import text as text_q
 from ocr_intern_spark.operators import (
     analytics,
+    curation,
     dedup,
     extract_queries,
     layout,
@@ -28,7 +29,10 @@ from ocr_intern_spark.operators import (
 from ocr_intern_spark.operators.extract import extract
 from ocr_intern_spark.sources.corpus import stub_ocr_tokens
 
-_MODULES = (extract_queries, analytics, dedup, similarity, text_q, temporal, layout)
+_MODULES = (
+    extract_queries, analytics, dedup, similarity, text_q, temporal, layout,
+    curation,
+)
 
 
 def derive_spans(docs: DataFrame) -> DataFrame:
@@ -174,9 +178,15 @@ _FRONT = [
     "export_fanout",
     "extract_doc_confidence",
     "extract_xycut_order",
+    "text_decontaminate_flags",
+    "text_source_mix_weights",
+    "sim_knn_join_topk",
 ]
 _BACK = [
     "dedup_exact_prefix",
+    "dedup_simhash",
+    "dedup_fingerprint_count",
+    "text_chunk_documents",
     "extract_doc_type",
     "extract_field_normalizers",
     "extract_reading_order",

@@ -1,0 +1,160 @@
+"""Corpus-curation operators for training-data pipelines:
+benchmark decontamination and source-mix weighting. (SURVEY.md
+"beyond the reference" set — the ops run before a 100 TB pretraining
+corpus ships.)
+
+Scale design:
+* decontamination is an inverted join of the corpus's n-grams against
+  the BENCHMARK side, which is tiny by construction (test sets are
+  thousands of docs, the corpus is billions) — broadcast the benchmark
+  gram set and the corpus side never shuffles for the join, only for
+  the per-doc count aggregation;
+* mix weights are one map-side-combined aggregation over (source),
+  then a single tiny driver-safe frame of per-source stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_intern_spark.functions.text import token_count
+
+DECON_NGRAM = 8       # words per contamination gram (GPT-3 used 13;
+                      # 8 fits the synthetic corpus's doc lengths)
+BENCH_MOD = 10        # doc_id % BENCH_MOD == 0 → "benchmark" doc
+                      # (a 10% slice: wide enough to intersect the
+                      # synthetic corpus's duplicate families at
+                      # every sf, so the query is never vacuous)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < p:
+        d = d.repartition(p)
+    return d
+
+
+def _grams(d: DataFrame) -> DataFrame:
+    """(doc_id, g): distinct DECON_NGRAM-word grams of the lowercased
+    text; docs shorter than the gram length contribute none."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - DECON_NGRAM)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, DECON_NGRAM), " ")
+    )
+    return (
+        d.where(n >= DECON_NGRAM)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+
+
+def q_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram decontamination (the GPT-3 appendix-C recipe): flag
+    every training document sharing at least one 8-word gram with any
+    benchmark document (here: the deterministic doc_id % BENCH_MOD
+    == 0 slice stands in for the held-out benchmark). Output per flagged
+    doc: how many distinct grams leak and how many benchmark docs are
+    touched — the evidence a removal pass acts on.
+
+    The pair-forming join keys on the full gram STRING, not a 64-bit
+    hash: at 10^9+ grams birthday collisions would flag clean docs
+    (same reasoning as the winnowing pair join). The benchmark side is
+    broadcast — the corpus-side gram stream never shuffles to join."""
+    g = _grams(_docs(spark, sf_dir))
+    bench = (
+        g.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bdoc"), "g")
+    )
+    train = g.where(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("g").alias("n_shared_grams"),
+            F.count_distinct("bdoc").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GRAMS_SQL = f"""
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(0, len(toks) - {DECON_NGRAM} + 1),
+                          i -> array_to_string(list_slice(toks, i + 1, i + {DECON_NGRAM}), ' '))
+         )) AS g
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+  ) WHERE len(toks) >= {DECON_NGRAM}
+"""
+
+_DECON_SQL = f"""
+WITH grams AS ({_GRAMS_SQL}),
+bench AS (SELECT doc_id AS bdoc, g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % {BENCH_MOD} != 0)
+SELECT t.doc_id,
+       count(DISTINCT t.g) AS n_shared_grams,
+       count(DISTINCT b.bdoc) AS n_bench_docs
+FROM train t JOIN bench b ON t.g = b.g
+GROUP BY t.doc_id ORDER BY doc_id
+"""
+
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per source, its token share of the
+    corpus and the sampling weight that would re-balance sources to a
+    UNIFORM token budget (weight = target_share / actual_share; >1 =
+    upsample). One map-side-combined aggregation; the per-source
+    frame is tiny at any corpus scale, so the share division happens
+    on a broadcast 1-row total."""
+    d = _docs(spark, sf_dir).select(
+        "source", token_count(F.col("text")).alias("nt")
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round((1.0 / F.col("n_sources")) / share, 6).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+               count(*) AS n_sources FROM per)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
+       round((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6)
+         AS mix_weight
+FROM per, tot
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
+    "text_source_mix_weights": (q_source_mix_weights, _MIX_SQL),
+}

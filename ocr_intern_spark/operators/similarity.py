@@ -362,8 +362,64 @@ ORDER BY cos DESC, vec_id ASC LIMIT {IVF_TOPK}
 """
 
 
+KNN_K = 3
+
+
+def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN JOIN: the top-{k} cosine neighbors for EVERY vector
+    (not one query point) — the all-pairs baseline a similarity-graph
+    build starts from. Pairwise scoring + per-vector window rank;
+    ties broken by neighbor id so both engines rank identically.
+
+    Scale path: at 10^9 vectors the pairwise join is replaced by
+    LSH-band or IVF-cell blocking (q_embedding_neardup_pairs /
+    q_ivf_topk shapes) generating candidates per vector, re-ranked
+    exactly — same window tail, blocked head. This query pins the
+    exact semantics those approximations are graded against."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    scored = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select(
+            "a", "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_K)
+        .select("a", "b", "cos", "rk")
+        .orderBy("a", "rk")
+    )
+
+
+_KNN_JOIN_SQL = f"""
+WITH scored AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(
+           list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))),
+           6) AS cos
+  FROM embeddings x JOIN embeddings y ON x.vec_id != y.vec_id
+),
+ranked AS (
+  SELECT a, b, cos,
+         CAST(row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS INT) AS rk
+  FROM scored
+)
+SELECT a, b, cos, rk FROM ranked WHERE rk <= {KNN_K} ORDER BY a, rk
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    "sim_knn_join_topk": (q_knn_join_topk, _KNN_JOIN_SQL),
     "sim_ann_lsh_buckets": (q_ann_lsh_buckets, _ann_lsh_sql()),
     "sim_embedding_neardup": (q_embedding_neardup_pairs, _neardup_sql()),
     "sim_ivf_topk": (q_ivf_topk, _IVF_SQL),
