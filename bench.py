@@ -132,8 +132,13 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     # and Python-worker startup ONCE before any timed query — otherwise
     # the first headline entry absorbs ~20-60 s of one-time constants
     # that amortize to zero at real scale and only add inter-round
-    # noise here (see BENCH/BASELINE.md).
-    _materialize(qs["extract_full_pipeline"](spark, "/root/testdata/sf0.001"))
+    # noise here (see BENCH/BASELINE.md). EVERY headline query warms:
+    # each compiles its own generated classes (r3 measured the
+    # minhash-LSH shingle projection at 12.7 s first-run vs 1.9 s
+    # steady in the same JVM — warming only the flagship leaves that
+    # first-run cost inside another query's attempt 1).
+    for name in HEADLINE:
+        _materialize(qs[name](spark, "/root/testdata/sf0.001"))
 
     # Best-of-2 per query (like the scaling section): host noise only
     # ever INFLATES wall time, so min-of-attempts converges on the
