@@ -181,8 +181,10 @@ _FRONT = [
     "text_decontaminate_flags",
     "text_source_mix_weights",
     "sim_knn_join_topk",
+    "extract_html_block_classify",
 ]
 _BACK = [
+    "text_redact_pii",
     "dedup_exact_prefix",
     "dedup_simhash",
     "dedup_fingerprint_count",

@@ -326,6 +326,179 @@ FROM scored
 """
 
 
+# --- north-star: Boilerpipe block classification over HTML ------------------
+
+_BLOCK_RE = r"(?s)<(?:nav|p|footer)>(.*?)</(?:nav|p|footer)>"
+_ANCHOR_INNER_RE = r"(?s)<a[^>]*>(.*?)</a>"
+_ANCHOR_TAG_RE = r"(?s)</?a\b[^>]*>"
+
+
+def q_html_block_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe's NumWordsRulesClassifier (Kohlschütter et al.,
+    WSDM 2010 — the published decision-tree thresholds from the
+    boilerpipe reference implementation) over a synthesized multi-
+    block HTML page: the CONTEXTUAL rule the whole-document density
+    cut (extract_boilerplate_strip) cannot express, because a block's
+    class depends on its NEIGHBORS:
+
+        curr.link_density > 0.333            → boilerplate
+        elif prev.link_density <= 0.555:
+            content iff curr.words > 16 or next.words > 15
+                     or prev.words > 4
+        else:
+            content iff curr.words > 40 or next.words > 17
+
+    Link density is Boilerpipe's: tokens inside anchors / tokens in
+    the block (anchor TEXT counts in both numerator and denominator)
+    — the all-links <nav>/<footer> blocks hit exactly 1.0 and die on
+    the 0.333 rule, and because their density also exceeds 0.555,
+    the FIRST paragraph is judged by the stricter else-branch.
+
+    Page synthesis per doc (both engines identically): a <nav> of
+    three word-links, the doc text as <p> paragraphs of 12 words
+    (even doc_id) or 18 words (odd doc_id), a 2-link <footer>. The
+    varying paragraph sizes drive every threshold: words>16 (18-word
+    paras), nw>17 (first para of odd docs, judged under the
+    high-prev-density branch), pw>4 and short-tail paragraphs. The
+    classifier itself is generic — it reads ONLY the html column.
+
+    Plan: narrow codegen (regex extract + HOFs) feeding one window
+    over (doc_id, block idx) — a single exchange, blocks never leave
+    their doc's partition."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nav = F.concat(
+        F.lit("<nav><a href='/h'>"), F.element_at(toks, 1),
+        F.lit("</a> <a href='/a'>"),
+        F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit("x")),
+        F.lit("</a> <a href='/b'>"),
+        F.coalesce(F.try_element_at(toks, F.lit(3)), F.lit("y")),
+        F.lit("</a></nav>"),
+    )
+    csize = (F.lit(12) + (F.col("doc_id") % 2) * 6).cast("int")
+    nchunks = F.ceil(F.size(toks) / csize).cast("int")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(nchunks - 1, F.lit(0))),
+            lambda i: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(toks, i * csize + 1, csize), " "),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    footer = F.lit("<footer><a href='/c'>contact</a> <a href='/l'>legal</a></footer>")
+    html = F.concat(nav, paras, footer)
+
+    blocks = d.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all(html, F.lit(_BLOCK_RE), F.lit(1))).alias(
+            "idx", "block"
+        ),
+    )
+    no_anchor = F.regexp_replace(F.col("block"), _ANCHOR_TAG_RE, "")
+    words = F.when(F.length(F.trim(no_anchor)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(no_anchor), r"\s+"))
+    )
+    _wc = lambda s: F.when(F.length(F.trim(s)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(s), r"\s+"))
+    )
+    linked_words = F.aggregate(
+        F.regexp_extract_all(F.col("block"), F.lit(_ANCHOR_INNER_RE), F.lit(1)),
+        F.lit(0),
+        lambda acc, s: acc + _wc(s),
+    )
+    scored = blocks.select(
+        "doc_id", "idx",
+        words.alias("words"),
+        F.when(words == 0, F.lit(0.0))
+        .otherwise(linked_words.cast("double") / words)
+        .alias("ld"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    ctx = scored.select(
+        "doc_id", "idx", "words", "ld",
+        F.lag("words", 1, 0).over(w).alias("pw"),
+        F.lead("words", 1, 0).over(w).alias("nw"),
+        F.lag("ld", 1, 0.0).over(w).alias("pld"),
+    )
+    is_content = F.when(F.col("ld") > 0.333, F.lit(False)).otherwise(
+        F.when(
+            F.col("pld") <= 0.555,
+            (F.col("words") > 16) | (F.col("nw") > 15) | (F.col("pw") > 4),
+        ).otherwise((F.col("words") > 40) | (F.col("nw") > 17))
+    )
+    return ctx.select(
+        "doc_id", "idx", "words",
+        F.round("ld", 6).alias("link_density"),
+        is_content.alias("is_content"),
+    ).orderBy("doc_id", "idx")
+
+
+_HTML_BLOCKS_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<nav><a href=''/h''>' || toks[1]
+         || '</a> <a href=''/a''>' || coalesce(toks[2], 'x')
+         || '</a> <a href=''/b''>' || coalesce(toks[3], 'y')
+         || '</a></nav>'
+         || array_to_string(
+              list_transform(range(0, greatest(CAST(ceil(len(toks) / CAST(cs AS DOUBLE)) AS INT) - 1, 0) + 1),
+                             i -> '<p>' || array_to_string(list_slice(toks, i * cs + 1, i * cs + cs), ' ') || '</p>'),
+              '')
+         || '<footer><a href=''/c''>contact</a> <a href=''/l''>legal</a></footer>'
+           AS html
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+               CAST(12 + (doc_id % 2) * 6 AS INT) AS cs
+        FROM documents)
+),
+blocks AS (
+  SELECT doc_id, u.i - 1 AS idx, u.block
+  FROM (SELECT doc_id,
+               regexp_extract_all(html, '(?s)<(?:nav|p|footer)>(.*?)</(?:nav|p|footer)>', 1) AS bl
+        FROM pages),
+       LATERAL (SELECT unnest(bl) AS block, generate_subscripts(bl, 1) AS i) u
+),
+scored AS (
+  SELECT doc_id, idx, words,
+         CASE WHEN words = 0 THEN 0.0
+              ELSE CAST(coalesce(list_sum(list_transform(
+                     regexp_extract_all(block, '(?s)<a[^>]*>(.*?)</a>', 1),
+                     s -> CASE WHEN length(trim(s)) = 0 THEN 0
+                               ELSE len(regexp_split_to_array(trim(s), '\s+'))
+                          END)), 0) AS DOUBLE) / words
+         END AS ld
+  FROM (
+    SELECT doc_id, idx, block,
+           CASE WHEN length(trim(regexp_replace(block, '(?s)</?a\b[^>]*>', '', 'g'))) = 0
+                THEN 0
+                ELSE len(regexp_split_to_array(trim(regexp_replace(block, '(?s)</?a\b[^>]*>', '', 'g')), '\s+'))
+           END AS words
+    FROM blocks
+  )
+),
+ctx AS (
+  SELECT doc_id, idx, words, ld,
+         coalesce(lag(words) OVER w, 0) AS pw,
+         coalesce(lead(words) OVER w, 0) AS nw,
+         coalesce(lag(ld) OVER w, 0.0) AS pld
+  FROM scored
+  WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+)
+SELECT doc_id, idx, words,
+       round(ld, 6) AS link_density,
+       CASE WHEN ld > 0.333 THEN FALSE
+            WHEN pld <= 0.555 THEN (words > 16 OR nw > 15 OR pw > 4)
+            ELSE (words > 40 OR nw > 17)
+       END AS is_content
+FROM ctx
+ORDER BY doc_id, idx
+"""
+
+
 def q_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 template-type detection over the full 5-template set
     (hybrid_ocr_gui.py:104-120). The synthetic corpus text never
@@ -383,4 +556,5 @@ QUERIES = {
     "extract_reading_order": (q_reading_order, _READING_ORDER_SQL),
     "extract_french_ocr_fixes": (q_french_ocr_fixes, _FRENCH_FIX_SQL),
     "extract_boilerplate_strip": (q_boilerplate_strip, _BOILERPLATE_SQL),
+    "extract_html_block_classify": (q_html_block_classify, _HTML_BLOCKS_SQL),
 }
