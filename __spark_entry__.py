@@ -182,8 +182,10 @@ _FRONT = [
     "text_source_mix_weights",
     "sim_knn_join_topk",
     "extract_html_block_classify",
+    "multimodal_interleaved_pack",
 ]
 _BACK = [
+    "text_deterministic_sample",
     "text_redact_pii",
     "dedup_exact_prefix",
     "dedup_simhash",

@@ -154,7 +154,92 @@ ORDER BY source
 """
 
 
+MEDIA_TOKEN_COST = 8   # placeholder budget one media span consumes
+PACK_CHUNK = 64        # tokens per training chunk
+
+
+def q_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving INTERLEAVED text+media sequence packing — the
+    batch-prep step for multimodal pretraining over this engine's
+    document model (text spans interleaved with media refs): each doc
+    becomes a unit stream of word tokens (cost 1) and media
+    placeholders (cost MEDIA_TOKEN_COST), packed greedily into
+    PACK_CHUNK-token chunks WITHOUT reordering — a media unit must
+    stay between the words that surround it, which is exactly what
+    plain per-doc text packing (text_pack_sequences) cannot express.
+
+    Unit stream per doc (both engines identically): the doc's words
+    in order, with one media placeholder inserted after the first
+    half of the words (pos = n_words // 2). chunk_id =
+    floor(cost-before-this-unit / PACK_CHUNK) — a pure running-sum
+    window per doc, no shuffle beyond the doc partition.
+
+    At scale this runs straight on the extraction output's spans
+    array; the synthesized stream here keeps the oracle closed-form."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 24)
+    n = F.size(toks)
+    words = F.transform(
+        toks,
+        lambda w, i: F.struct(
+            F.lit("text").alias("kind"),
+            w.alias("unit"),
+            F.lit(1).alias("token_cost"),
+            # media slots in after word n//2: words before keep rank
+            # i, words after shift by 1
+            F.when(i < (n / 2).cast("int"), i).otherwise(i + 1).alias("seq"),
+        ),
+    )
+    media = F.array(
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("unit"),
+            F.lit(MEDIA_TOKEN_COST).alias("token_cost"),
+            (n / 2).cast("int").alias("seq"),
+        )
+    )
+    units = d.select(
+        "doc_id", F.explode(F.concat(words, media)).alias("u")
+    ).select(
+        "doc_id", F.col("u.seq").alias("seq"), F.col("u.kind").alias("kind"),
+        F.col("u.unit").alias("unit"), F.col("u.token_cost").alias("token_cost"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("seq")
+    cum_before = F.sum("token_cost").over(w) - F.col("token_cost")
+    return units.select(
+        "doc_id", "seq", "kind", "unit", "token_cost",
+        (cum_before / PACK_CHUNK).cast("int").alias("chunk_id"),
+    ).orderBy("doc_id", "seq")
+
+
+_INTERLEAVED_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 24) AS toks
+  FROM documents
+),
+units AS (
+  SELECT doc_id,
+         CASE WHEN i - 1 < len(toks) // 2 THEN i - 1 ELSE i END AS seq,
+         'text' AS kind, toks[i] AS unit, 1 AS token_cost
+  FROM base, LATERAL (SELECT generate_subscripts(toks, 1) AS i)
+  UNION ALL
+  SELECT doc_id, len(toks) // 2 AS seq,
+         'media' AS kind, 'img://' || CAST(doc_id AS VARCHAR) AS unit,
+         {MEDIA_TOKEN_COST} AS token_cost
+  FROM base
+)
+SELECT doc_id, seq, kind, unit, token_cost,
+       CAST((CAST(sum(token_cost) OVER (PARTITION BY doc_id ORDER BY seq) AS BIGINT)
+             - token_cost) // {PACK_CHUNK} AS INT) AS chunk_id
+FROM units
+ORDER BY doc_id, seq
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
     "text_source_mix_weights": (q_source_mix_weights, _MIX_SQL),
+    "multimodal_interleaved_pack": (q_interleaved_pack, _INTERLEAVED_SQL),
 }
