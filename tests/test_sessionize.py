@@ -70,7 +70,7 @@ def test_streaming_session_merges_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
 
     rows = {
         (r["user_id"], r["session_start"], r["n_events"], r["session_value"])

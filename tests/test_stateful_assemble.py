@@ -59,10 +59,22 @@ def test_cross_batch_assembly(spark, span_stream_dir):
         stateful_assemble(stream)
         .writeStream.format("memory")
         .queryName("assembled")
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # barrier: poll for the expected output rows, bounded. With
+    # ProcessingTimeTimeout the engine keeps scheduling timeout-check
+    # micro-batches, so processAllAvailable never quiesces, and
+    # availableNow's self-termination races the final flush batch
+    # under load (observed: awaitTermination(300) returned False on a
+    # loaded box while the memory sink already held both rows).
+    import time
+
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if spark.sql("select count(*) c from assembled").first()["c"] >= 2:
+            break
+        time.sleep(2)
+    q.stop()
 
     rows = {r["doc_id"]: r for r in spark.sql("select * from assembled").collect()}
     assert set(rows) == {"a", "b"}

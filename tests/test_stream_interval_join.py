@@ -50,7 +50,7 @@ def test_purchase_signup_interval_join(spark, tmp_path):
         .writeStream.format("memory").queryName("psj")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
 
     got = {(r["user_id"], r["amount"], r["plan"])
            for r in spark.sql("select * from psj").collect()}

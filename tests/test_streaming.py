@@ -40,7 +40,7 @@ def test_stream_flat_equals_batch_flat(spark, corpus_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
 
     got = {
         tuple(r)
@@ -64,7 +64,7 @@ def test_stream_to_store_idempotent(spark, corpus_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     stream = read_documents_stream(spark, corpus_dir, max_files_per_trigger=2)
     q = stream_extract_to_store(stream, stub_ocr_tokens, store, ckpt).start()
-    q.awaitTermination(180)
+    assert q.awaitTermination(300)
 
     back = spark.read.parquet(store.extracted_path)
     assert back.count() == N_DOCS
@@ -75,7 +75,7 @@ def test_stream_to_store_idempotent(spark, corpus_dir, tmp_path):
     q2 = stream_extract_to_store(
         read_documents_stream(spark, corpus_dir), stub_ocr_tokens, store, ckpt
     ).start()
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300)
     assert spark.read.parquet(store.extracted_path).count() == N_DOCS
 
 
@@ -118,6 +118,7 @@ def test_stream_dedup_exact_drops_cross_batch_dups(spark, tmp_path):
          ("d4", "another distinct doc", t0 + dt.timedelta(minutes=5))],
     ]
     for i, rows in enumerate(batches):
+        path = str(d / f"part-{i}.parquet")
         pq.write_table(
             pa.table(
                 {
@@ -126,8 +127,15 @@ def test_stream_dedup_exact_drops_cross_batch_dups(spark, tmp_path):
                     "ingest_ts": [r[2] for r in rows],
                 }
             ),
-            str(d / f"part-{i}.parquet"),
+            path,
         )
+        # FileStreamSource orders by modification time; same-second
+        # writes tie and can process batch 1 FIRST, which would make
+        # d1 the dropped duplicate instead of d3 — pin strictly
+        # increasing mtimes so batch order == file index
+        import os
+
+        os.utime(path, (1700000000 + i * 60, 1700000000 + i * 60))
     stream = (
         spark.readStream.schema("doc_id string, text string, ingest_ts timestamp")
         .option("maxFilesPerTrigger", 1)
@@ -140,7 +148,7 @@ def test_stream_dedup_exact_drops_cross_batch_dups(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = {r["doc_id"] for r in spark.sql("select doc_id from dedup_out").collect()}
     assert "d1" in got and "d2" in got and "d4" in got
     assert "d3" not in got  # cross-batch duplicate dropped
@@ -194,7 +202,7 @@ def test_late_data_beyond_watermark_dropped(spark, tmp_path):
                               watermark="30 minutes")
          .writeStream.format("memory").queryName("late_out")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
 
     rows = {(r["window_start"], r["n"], r["sum_value"])
             for r in spark.sql("select * from late_out").collect()}
