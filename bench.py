@@ -217,6 +217,13 @@ def main() -> None:
     result: dict = {"metric": "headline_queries_total_wall", "unit": "sec",
                     "sf": SF_DIR.rstrip("/").split("sf")[-1]}
 
+    # Quiet-gate the headline phase like the scaling attempts: the
+    # co-tenant on this box cycles between idle and load ~10-18, and
+    # a headline run launched into a busy window measures the
+    # co-tenant, not the code (r3 measured the same flagship at 5.3 s
+    # quiet vs 54.5 s busy). The observed launch load is recorded so
+    # a reader can weigh the scalar.
+    result["headline_launch_load"] = round(_wait_quiet(), 2)
     spark = _session(CPUS)
     try:
         times, q_attempts = run_headline(spark)
