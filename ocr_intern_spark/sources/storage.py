@@ -98,6 +98,49 @@ class ExtractionStore:
             shutil.rmtree(stage_path, ignore_errors=True)
         return {"run_id": run_id, "docs_written": n_new, "wall_ms": wall_ms}
 
+    def upsert(self, updated: DataFrame) -> dict:
+        """Full MERGE semantics: WHEN MATCHED (same doc_id) replace
+        the stored row, WHEN NOT MATCHED insert — the re-extraction
+        path after an operator upgrade reprocesses a subset and must
+        REPLACE those docs, which append-only resume cannot.
+
+        Parquet emulation of the Iceberg MERGE INTO this maps onto:
+        survivors = target ANTI-JOIN updates, union the updates, write
+        to a run-keyed staging directory, then swap directories —
+        the read and the write never touch the same live path, and
+        the swap is the commit point (Iceberg replaces this with a
+        snapshot commit that rewrites only the touched files instead
+        of the full table; the call-site contract is identical).
+        Idempotent: re-running the same upsert yields the same table.
+
+        Snapshot-handle contract: ``updated`` may derive from the
+        CURRENT table (this call stages it to files before touching
+        the target), but a DataFrame planned against a pre-swap table
+        holds a stale file listing — derive each upsert's input from
+        a fresh read. (Iceberg's snapshot isolation removes this
+        caveat; it is the one semantic difference of the parquet
+        emulation.)"""
+        spark = updated.sparkSession
+        stage_path = os.path.join(self.root, f"_upsert_{uuid.uuid4().hex[:12]}")
+        if self._has_data(self.extracted_path):
+            existing = spark.read.parquet(self.extracted_path)
+            survivors = existing.join(
+                updated.select("doc_id"), "doc_id", "left_anti"
+            )
+            merged = survivors.unionByName(updated)
+        else:
+            merged = updated
+        merged.write.mode("overwrite").parquet(stage_path)
+        n = spark.read.parquet(stage_path).count()
+        old_path = self.extracted_path + "_old"
+        import shutil
+
+        if os.path.isdir(self.extracted_path):
+            os.rename(self.extracted_path, old_path)
+        os.rename(stage_path, self.extracted_path)
+        shutil.rmtree(old_path, ignore_errors=True)
+        return {"docs_total": n}
+
     # -- metrics -----------------------------------------------------------
 
     def _partition_stats(self, out: DataFrame) -> list:

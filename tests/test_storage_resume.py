@@ -67,3 +67,64 @@ def test_staging_dir_cleaned_up(spark, tmp_path):
     assert res["docs_written"] == 6
     leftovers = [p for p in os.listdir(store.root) if p.startswith("_staging_")]
     assert leftovers == []
+
+
+def test_upsert_replaces_matched_and_inserts_new(spark, store):
+    """MERGE semantics: WHEN MATCHED replace, WHEN NOT MATCHED insert
+    — the re-extraction path after an operator upgrade."""
+    from pyspark.sql import functions as F
+
+    docs = corpus_to_spark(spark, 6, seed=42)
+    store.run_resumable(docs, _extract_fn, run_id="r1")
+    before = {
+        r["doc_id"]: len(r["spans"])
+        for r in spark.read.parquet(store.extracted_path).collect()
+    }
+    assert len(before) == 6
+
+    # "re-extraction" of 2 docs with CHANGED output (spans truncated
+    # to 1) + 1 brand-new doc
+    target_ids = sorted(before)[:2]
+    redone = (
+        spark.read.parquet(store.extracted_path)
+        .where(F.col("doc_id").isin(target_ids))
+        .select("doc_id", F.slice("spans", 1, 1).alias("spans"))
+    )
+    new_doc = _extract_fn(corpus_to_spark(spark, 8, seed=42)).where(
+        ~F.col("doc_id").isin(list(before))
+    )
+    res = store.upsert(redone.unionByName(new_doc))
+    assert res["docs_total"] == 6 + new_doc.count()
+
+    after = {
+        r["doc_id"]: len(r["spans"])
+        for r in spark.read.parquet(store.extracted_path).collect()
+    }
+    for d in target_ids:
+        assert after[d] == 1            # replaced, not duplicated
+    for d in set(before) - set(target_ids):
+        assert after[d] == before[d]    # untouched rows survive
+    assert set(after) > set(before)     # new docs inserted
+
+    # idempotent: same upsert again → identical table. The update
+    # frame is REBUILT from a fresh read — a DataFrame planned against
+    # the pre-swap table holds a stale file listing (the documented
+    # snapshot-handle contract).
+    redone2 = (
+        spark.read.parquet(store.extracted_path)
+        .where(F.col("doc_id").isin(target_ids))
+        .select("doc_id", F.slice("spans", 1, 1).alias("spans"))
+    )
+    new_doc2 = _extract_fn(corpus_to_spark(spark, 8, seed=42)).where(
+        ~F.col("doc_id").isin(list(before))
+    )
+    res2 = store.upsert(redone2.unionByName(new_doc2))
+    assert res2["docs_total"] == res["docs_total"]
+    again = {
+        r["doc_id"]: len(r["spans"])
+        for r in spark.read.parquet(store.extracted_path).collect()
+    }
+    assert again == after
+
+    # resume sees upserted docs as processed
+    assert store.pending(corpus_to_spark(spark, 8, seed=42)).count() == 0
