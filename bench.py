@@ -41,6 +41,10 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_token_stats",
     "events_by_type",
+    # round-3 additions — keep r1/r2 comparisons per-query, not on
+    # the headline total (which grows with the set)
+    "extract_xycut_order",
+    "extract_html_block_classify",
 ]
 
 
