@@ -110,3 +110,35 @@ def test_spark_xycut_matches_pure_function(spark):
     )
     perm = _run(boxes)
     assert [r["word"] for r in got] == [f"w{i}" for i in perm]
+
+
+def test_extract_order_mode_xycut_reads_columns(spark):
+    """order_mode='xycut' wired into the flagship extract(): a fake
+    recognizer emits a two-column page; the default line sort
+    interleaves the columns, XY-cut reads column A then column B."""
+    from ocr_intern_spark.operators.extract import extract
+    from ocr_intern_spark.oracle.semantics import Token
+
+    def two_col_recognizer(media_ref):
+        toks = []
+        for ln in range(2):
+            for p in range(2):
+                toks.append(Token(f"L{ln}{p}", 90.0, p * 90, ln * 24, 80, 14, "fra"))
+        for ln in range(2):
+            for p in range(2):
+                toks.append(Token(f"R{ln}{p}", 90.0, 700 + p * 90, ln * 24, 80, 14, "fra"))
+        return toks
+
+    docs = spark.createDataFrame(
+        [("d1", [("media", "", "img://d1", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    def texts(df):
+        row = df.collect()[0]
+        return [s["text"] for s in row["spans"]]
+
+    default = texts(extract(docs, two_col_recognizer))
+    xycut = texts(extract(docs, two_col_recognizer, order_mode="xycut"))
+    assert default == ["L00", "L01", "R00", "R01", "L10", "L11", "R10", "R11"]
+    assert xycut == ["L00", "L01", "L10", "L11", "R00", "R01", "R10", "R11"]
