@@ -183,8 +183,10 @@ _FRONT = [
     "sim_knn_join_topk",
     "extract_html_block_classify",
     "multimodal_interleaved_pack",
+    "dedup_lsh_quality",
 ]
 _BACK = [
+    "dedup_minhash_signatures",
     "text_deterministic_sample",
     "text_redact_pii",
     "dedup_exact_prefix",

@@ -369,6 +369,126 @@ FROM bands GROUP BY band, bucket HAVING count(*) > 1 ORDER BY band, bucket
 """
 
 
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-observability metrics: candidate-generation quality of
+    the banded-minhash LSH against the exact jaccard>=0.5 pair set on
+    the SAME (blurred) shingle universe — the one-row dashboard a
+    production dedup run monitors (recall must stay ~1.0; precision
+    tells you the re-rank workload). Both sides run the md5-portable
+    hash family so the DuckDB oracle reproduces the numbers exactly;
+    the xxhash64 production family's recall parity with md5 is pinned
+    by tests/test_minhash_fast.py."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d).cache()
+    # exact pairs (same construction as q_ngram_jaccard_pairs, md5-free)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .where(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    a, b = shr.alias("a"), shr.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    true_pairs = (
+        common.join(sa, "da").join(sb, "db").where(jac >= 0.5)
+        .select("da", "db")
+    )
+    # LSH candidates over the same universe (md5 family, 4 bands × 2)
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    sig = sh.groupBy("doc_id").agg(*minhash_signature_cols())
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)
+            ])).alias("bucket"),
+        )
+        for band in range(LSH_BANDS)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.bucket")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("da"), F.col("r.doc_id").alias("db"))
+        .distinct()
+    )
+    hits = true_pairs.join(cand, ["da", "db"])
+    n_true = true_pairs.count()
+    n_cand = cand.count()
+    n_hit = hits.count()
+    return spark.createDataFrame(
+        [(
+            n_true, n_cand, n_hit,
+            round(n_hit / n_true, 6) if n_true else 1.0,
+            round(n_hit / n_cand, 6) if n_cand else 1.0,
+        )],
+        "n_true_pairs long, n_candidate_pairs long, n_hits long, "
+        "recall double, precision double",
+    )
+
+
+_LSH_QUALITY_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+true_pairs AS (
+  SELECT da, db FROM common
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+),
+sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(
+    "SELECT doc_id, " + str(band) + " AS band, md5("
+    + " || '|' || ".join(
+        f"mh{band * (MINHASH_SEEDS // LSH_BANDS) + r}"
+        for r in range(MINHASH_SEEDS // LSH_BANDS)
+    )
+    + ") AS bucket FROM sig"
+    for band in range(LSH_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+hits AS (SELECT * FROM true_pairs JOIN cand USING (da, db)),
+counts AS (
+  SELECT (SELECT count(*) FROM true_pairs) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM hits) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true_pairs,
+       CAST(n_cand AS BIGINT) AS n_candidate_pairs,
+       CAST(n_hit AS BIGINT) AS n_hits,
+       CASE WHEN n_true = 0 THEN 1.0
+            ELSE round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall,
+       CASE WHEN n_cand = 0 THEN 1.0
+            ELSE round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS precision
+FROM counts
+"""
+
+
 # --- portable 64-bit minhash: FNV-1a expressible in BOTH engines -----------
 
 # FNV-1a 64-bit, folded over Unicode CODEPOINTS (not UTF-8 bytes —
@@ -985,4 +1105,5 @@ QUERIES = {
     "dedup_pipeline_survivors_lsh": (
         q_dedup_pipeline_survivors_lsh, _PIPELINE_SURVIVORS_SQL,
     ),
+    "dedup_lsh_quality": (q_lsh_quality, _LSH_QUALITY_SQL),
 }
