@@ -184,8 +184,10 @@ _FRONT = [
     "extract_html_block_classify",
     "multimodal_interleaved_pack",
     "dedup_lsh_quality",
+    "text_bigram_logprob",
 ]
 _BACK = [
+    "dedup_minhash_lsh_buckets",
     "dedup_minhash_signatures",
     "text_deterministic_sample",
     "text_redact_pii",

@@ -553,6 +553,81 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+BIGRAM_K = 0.1  # add-k smoothing mass
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: per-document mean negative log
+    P(w_i | w_{i-1}) under an add-k-smoothed bigram model estimated
+    from the corpus — one context step closer to CCNet's KenLM than
+    the unigram proxy (q_unigram_logprob), still one distributable
+    pass: p = (c(w1 w2) + k) / (c(w1) + k·V).
+
+    Plan: consecutive-pair explode (zip of the token array with its
+    shift — narrow, no self-join), bigram-count aggregate, pair join
+    on the bigram key, context-count join on w1, V via a 1-row
+    broadcast. Same float-portability discipline as the unigram
+    query: one final avg rounded to 6."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        d.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_n = bg.select("w2").union(bg.select("w1")).distinct().agg(
+        F.count("*").alias("v")
+    )
+    nll = -F.log(
+        (F.col("c2") + F.lit(BIGRAM_K))
+        / (F.col("c1") + F.lit(BIGRAM_K) * F.col("v"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BIGRAM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM base, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+  WHERE len(toks) >= 2 AND length(toks[i]) > 0 AND length(toks[i + 1]) > 0
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+vocab_n AS (
+  SELECT count(*) AS v FROM (
+    SELECT w2 AS w FROM bg UNION SELECT w1 AS w FROM bg
+  )
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((c2 + {BIGRAM_K}) / (c1 + {BIGRAM_K} * v))), 6) AS mean_nll
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab_n
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --- corpus length histogram -------------------------------------------------
 
 
@@ -862,6 +937,7 @@ QUERIES = {
     "text_pack_sequences": (q_pack_sequences, _PACK_SQL),
     "text_stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "text_unigram_logprob": (q_unigram_logprob, _UNIGRAM_SQL),
+    "text_bigram_logprob": (q_bigram_logprob, _BIGRAM_SQL),
     "text_bpe_token_stats": (q_bpe_token_stats, _BPE_SQL),
     "text_length_histogram": (q_length_histogram, _LENGTH_HIST_SQL),
     "text_tfidf_keywords": (q_tfidf_keywords, _TFIDF_SQL),
