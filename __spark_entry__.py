@@ -185,8 +185,10 @@ _FRONT = [
     "multimodal_interleaved_pack",
     "dedup_lsh_quality",
     "text_bigram_logprob",
+    "text_langid_ngram",
 ]
 _BACK = [
+    "dedup_dup_clusters",
     "dedup_minhash_lsh_buckets",
     "dedup_minhash_signatures",
     "text_deterministic_sample",

@@ -154,6 +154,155 @@ ORDER BY source
 """
 
 
+# --- Cavnar-Trenkle n-gram language ID --------------------------------------
+
+LANG_PHRASES = {
+    "en": "the and of to in that it is was for",
+    "fr": "le la les et des que une pour dans est",
+    "de": "der die das und ist nicht von mit den ein",
+    "es": "el la los las y que de en un por",
+    "zh": "的 是 了 在 和 有 不 这 中 大",
+}
+PROFILE_K = 20         # top trigrams per profile (rank 1..K)
+OOP_PENALTY = PROFILE_K  # out-of-place distance for missing trigrams
+TRAIN_MOD = 5          # doc_id % TRAIN_MOD == 0 → training slice
+
+
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle rank-order n-gram language ID ("N-Gram-Based
+    Text Categorization", 1994): per-language char-trigram RANK
+    profiles built from a training slice, held-out docs classified by
+    minimum out-of-place distance. The synthetic corpus's text is
+    language-free word soup, so a per-language function-word phrase
+    bank is appended deterministically from the lang label (the
+    repo's probe-injection pattern) — the CLASSIFIER is the genuine
+    algorithm and must recover the label through the soup.
+
+    Entirely integer arithmetic (counts, ranks, |Δrank| sums) — no
+    float portability concerns at all. Output: (doc_id, true_lang,
+    pred_lang) for the held-out slice.
+
+    Plan shape: training profiles are a tiny aggregate (langs ×
+    PROFILE_K rows) broadcast into the scoring join; per-doc profiles
+    are one window over (doc_id); the distance aggregation is a
+    map-side-combinable sum."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    phrase = F.element_at(
+        F.create_map(*[F.lit(x) for kv in LANG_PHRASES.items() for x in kv]),
+        F.col("lang"),
+    )
+    # phrase repeated 6×: enough language-signal mass that the top-K
+    # trigram profile isn't swamped by the shared word soup (1×
+    # measured 27% held-out accuracy ≈ chance; 6× → 399/400)
+    probe = F.concat(
+        F.lower(F.trim(F.col("text"))),
+        F.repeat(F.concat(F.lit(" "), phrase), 6),
+    )
+    tris = F.transform(
+        F.sequence(F.lit(1), F.length(probe) - 2),
+        lambda i: F.substring(probe, i, 3),
+    )
+    base = d.select("doc_id", "lang", F.explode(tris).alias("tri"))
+
+    train = base.where(F.col("doc_id") % TRAIN_MOD == 0)
+    wl = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
+    class_prof = (
+        train.groupBy("lang", "tri").agg(F.count("*").alias("cnt"))
+        .withColumn("crank", F.row_number().over(wl))
+        .where(F.col("crank") <= PROFILE_K)
+        .select(F.col("lang").alias("clang"), "tri", "crank")
+    )
+
+    test = base.where(F.col("doc_id") % TRAIN_MOD != 0)
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tri"))
+    doc_prof = (
+        test.groupBy("doc_id", "lang", "tri").agg(F.count("*").alias("cnt"))
+        .withColumn("drank", F.row_number().over(wd))
+        .where(F.col("drank") <= PROFILE_K)
+    )
+
+    langs = class_prof.select("clang").distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(class_prof), ["clang", "tri"], "left")
+        .select(
+            "doc_id", "lang", "clang",
+            F.coalesce(
+                F.abs(F.col("drank") - F.col("crank")), F.lit(OOP_PENALTY)
+            ).alias("dist"),
+        )
+        .groupBy("doc_id", "lang", "clang")
+        .agg(F.sum("dist").alias("total"))
+    )
+    wpick = Window.partitionBy("doc_id").orderBy("total", "clang")
+    return (
+        scored.withColumn("rk", F.row_number().over(wpick))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("clang").alias("pred_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PHRASE_CASE = " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in LANG_PHRASES.items()
+)
+
+_LANGID_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, unnest(
+           list_transform(range(1, length(probe) - 2 + 1),
+                          i -> substr(probe, i, 3))
+         ) AS tri
+  FROM (
+    SELECT doc_id, lang,
+           lower(trim(text)) || repeat(' ' ||
+           (CASE lang {_PHRASE_CASE} END), 6) AS probe
+    FROM documents
+  )
+),
+class_prof AS (
+  SELECT lang AS clang, tri, crank FROM (
+    SELECT lang, tri, count(*) AS cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri)
+             AS crank
+    FROM base WHERE doc_id % {TRAIN_MOD} = 0
+    GROUP BY lang, tri
+  ) WHERE crank <= {PROFILE_K}
+),
+doc_prof AS (
+  SELECT doc_id, lang, tri, drank FROM (
+    SELECT doc_id, lang, tri, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, tri)
+             AS drank
+    FROM base WHERE doc_id % {TRAIN_MOD} != 0
+    GROUP BY doc_id, lang, tri
+  ) WHERE drank <= {PROFILE_K}
+),
+langs AS (SELECT DISTINCT clang FROM class_prof),
+scored AS (
+  SELECT d.doc_id, d.lang, l.clang,
+         CAST(sum(coalesce(abs(d.drank - c.crank), {OOP_PENALTY})) AS BIGINT)
+           AS total
+  FROM doc_prof d CROSS JOIN langs l
+  LEFT JOIN class_prof c ON c.clang = l.clang AND c.tri = d.tri
+  GROUP BY d.doc_id, d.lang, l.clang
+)
+SELECT doc_id, lang AS true_lang, clang AS pred_lang
+FROM (
+  SELECT doc_id, lang, clang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY total, clang) AS rk
+  FROM scored
+)
+WHERE rk = 1 ORDER BY doc_id
+"""
+
+
 MEDIA_TOKEN_COST = 8   # placeholder budget one media span consumes
 PACK_CHUNK = 64        # tokens per training chunk
 
@@ -242,4 +391,5 @@ QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
     "text_source_mix_weights": (q_source_mix_weights, _MIX_SQL),
     "multimodal_interleaved_pack": (q_interleaved_pack, _INTERLEAVED_SQL),
+    "text_langid_ngram": (q_langid_ngram, _LANGID_SQL),
 }
