@@ -216,26 +216,31 @@ def main() -> None:
         return
 
     fast = "--fast" in sys.argv
+    scaling_only = "--scaling" in sys.argv
     ensure_corpus()
 
     result: dict = {"metric": "headline_queries_total_wall", "unit": "sec",
                     "sf": SF_DIR.rstrip("/").split("sf")[-1]}
 
-    # Quiet-gate the headline phase like the scaling attempts: the
-    # co-tenant on this box cycles between idle and load ~10-18, and
-    # a headline run launched into a busy window measures the
-    # co-tenant, not the code (r3 measured the same flagship at 5.3 s
-    # quiet vs 54.5 s busy). The observed launch load is recorded so
-    # a reader can weigh the scalar.
-    result["headline_launch_load"] = round(_wait_quiet(), 2)
-    spark = _session(CPUS)
-    try:
-        times, q_attempts = run_headline(spark)
-    finally:
-        _shutdown_jvm(spark)
-    result["queries"] = times
-    result["query_attempts"] = q_attempts
-    result["value"] = round(sum(times.values()), 3)
+    if not scaling_only:
+        # Quiet-gate the headline phase like the scaling attempts: the
+        # co-tenant on this box cycles between idle and load ~10-18,
+        # and a headline run launched into a busy window measures the
+        # co-tenant, not the code (r3 measured the same flagship at
+        # 5.3 s quiet vs 54.5 s busy). The observed launch load is
+        # recorded so a reader can weigh the scalar.
+        result["headline_launch_load"] = round(_wait_quiet(), 2)
+        spark = _session(CPUS)
+        try:
+            times, q_attempts = run_headline(spark)
+        finally:
+            _shutdown_jvm(spark)
+        result["queries"] = times
+        result["query_attempts"] = q_attempts
+        result["value"] = round(sum(times.values()), 3)
+    else:
+        result["queries"] = {}
+        result["value"] = 0.0
 
     if not fast:
         # North-rule protocol: same job, N vs 4N cores (local[1] vs
