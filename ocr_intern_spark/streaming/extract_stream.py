@@ -275,3 +275,45 @@ def stream_interval_join(
         & (l[left_ts] <= r[right_ts] + F.expr(f"INTERVAL {horizon}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+def stream_decontaminate(
+    docs_stream: DataFrame, bench_grams: DataFrame, ngram: int = 8
+) -> DataFrame:
+    """Stream-STATIC join at ingest: flag each arriving document that
+    shares any `ngram`-word gram with a STATIC benchmark gram set
+    (column `g`) — decontamination running continuously on the intake
+    path instead of as a backfill (batch sibling:
+    operators/curation.py::q_decontaminate_flags).
+
+    A stream-static inner/semi join is stateless on the stream side —
+    no watermark, no state store: each micro-batch joins against the
+    (broadcast-sized) static table and flows on. Output: one row per
+    incoming doc with `contaminated` + the distinct leaked-gram count
+    (per-doc aggregation is within one doc row's own array — a
+    projection, not a streaming aggregation, so append mode works)."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    grams = F.when(
+        n >= ngram,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - ngram),
+                lambda i: F.array_join(F.slice(toks, i + 1, ngram), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench_set = F.broadcast(
+        bench_grams.select(F.col("g")).distinct().agg(
+            F.collect_set("g").alias("bench")
+        )
+    )
+    with_bench = docs_stream.select(
+        "doc_id", grams.alias("grams")
+    ).crossJoin(bench_set)
+    leaked = F.array_intersect("grams", "bench")
+    return with_bench.select(
+        "doc_id",
+        F.size(leaked).alias("n_leaked_grams"),
+        (F.size(leaked) > 0).alias("contaminated"),
+    )
