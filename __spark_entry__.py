@@ -186,8 +186,10 @@ _FRONT = [
     "dedup_lsh_quality",
     "text_bigram_logprob",
     "text_langid_ngram",
+    "text_quality_curriculum_bins",
 ]
 _BACK = [
+    "sim_cosine_topk",
     "dedup_dup_clusters",
     "dedup_minhash_lsh_buckets",
     "dedup_minhash_signatures",

@@ -553,6 +553,64 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_quality_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: per SOURCE, split documents into quality
+    deciles (ntile over quality desc, doc_id tie-break — fully
+    deterministic) and report each (source, decile) cell's size and
+    quality range — the partitioning a curriculum/annealing data
+    schedule consumes ("feed decile 1-3 late in training"). One
+    window + one aggregation, both on the same (source) partitioning
+    — a single exchange."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", "source",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(
+           (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+         + (CASE WHEN punct_ratio < 0.2 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+         + (CASE WHEN stop_ratio > 0.01 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END), 6) AS q
+  FROM (
+    SELECT doc_id, source,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   w -> list_contains({list(STOPWORDS)!r}, w))) AS DOUBLE)
+             / length(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stop_ratio
+    FROM documents
+  )
+)
+SELECT source, CAST(decile AS INT) AS decile, count(*) AS n_docs,
+       min(q) AS min_q, max(q) AS max_q
+FROM (
+  SELECT source, q,
+         ntile(10) OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS decile
+  FROM scored
+)
+GROUP BY source, decile ORDER BY source, decile
+"""
+
+
 BIGRAM_K = 0.1  # add-k smoothing mass
 
 
@@ -938,6 +996,7 @@ QUERIES = {
     "text_stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "text_unigram_logprob": (q_unigram_logprob, _UNIGRAM_SQL),
     "text_bigram_logprob": (q_bigram_logprob, _BIGRAM_SQL),
+    "text_quality_curriculum_bins": (q_quality_curriculum_bins, _CURRICULUM_SQL),
     "text_bpe_token_stats": (q_bpe_token_stats, _BPE_SQL),
     "text_length_histogram": (q_length_histogram, _LENGTH_HIST_SQL),
     "text_tfidf_keywords": (q_tfidf_keywords, _TFIDF_SQL),
