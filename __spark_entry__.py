@@ -187,8 +187,10 @@ _FRONT = [
     "text_bigram_logprob",
     "text_langid_ngram",
     "text_quality_curriculum_bins",
+    "sim_int8_quant_recall",
 ]
 _BACK = [
+    "sim_ann_lsh_buckets",
     "sim_cosine_topk",
     "dedup_dup_clusters",
     "dedup_minhash_lsh_buckets",

@@ -417,9 +417,139 @@ SELECT a, b, cos, rk FROM ranked WHERE rk <= {KNN_K} ORDER BY a, rk
 """
 
 
+QUANT_K = 10
+QUANT_QMOD = 25  # vec_id % QUANT_QMOD == 0 → evaluation query vector
+
+
+def q_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization quality: per evaluation query, the
+    top-{k} overlap between float-cosine and int8-cosine neighbor
+    rankings — the memory-for-recall trade a 10^9-vector deployment
+    makes (4× smaller vectors, SIMD int dot products). Quantizer:
+    symmetric per-vector absmax — q_i = round(127 · v_i / max|v|).
+
+    Rankings use cosines rounded to 6 with id tie-breaks (the repo's
+    float-portability discipline), so the DuckDB oracle reproduces
+    the overlap numbers exactly."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    scale = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
+    q8 = e.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 127.0 / scale).cast("int"),
+        ).alias("qvec"),
+    )
+    qs = q8.where(F.col("vec_id") % QUANT_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("qvec").alias("qq"),
+    )
+    pairs = q8.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid", F.col("vec_id").alias("oid"),
+        F.round(cosine(F.col("embedding"), F.col("qemb")), 6).alias("fcos"),
+        F.round(
+            F.aggregate(
+                F.zip_with("qvec", "qq", lambda a, b: (a * b).cast("long")),
+                F.lit(0).cast("long"), lambda acc, v: acc + v,
+            ).cast("double")
+            / (
+                F.sqrt(F.aggregate(
+                    "qvec", F.lit(0).cast("long"),
+                    lambda acc, v: acc + (v * v).cast("long"),
+                ).cast("double"))
+                * F.sqrt(F.aggregate(
+                    "qq", F.lit(0).cast("long"),
+                    lambda acc, v: acc + (v * v).cast("long"),
+                ).cast("double"))
+            ),
+            6,
+        ).alias("qcos"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("fcos"), F.asc("oid"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("qcos"), F.asc("oid"))
+    ranked = pairs.select(
+        "qid", "oid",
+        F.row_number().over(wf).alias("frk"),
+        F.row_number().over(wq).alias("qrk"),
+    )
+    ftop = ranked.where(F.col("frk") <= QUANT_K).select("qid", "oid")
+    qtop = ranked.where(F.col("qrk") <= QUANT_K).select("qid", "oid")
+    hits = ftop.join(qtop, ["qid", "oid"]).groupBy("qid").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        qs.select("qid").join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / QUANT_K, 6).alias(
+                "overlap"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+_INT8_RECALL_SQL = f"""
+WITH q8 AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 127.0 /
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))))
+                AS INT)) AS qvec
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qemb, qvec AS qq
+  FROM q8 WHERE vec_id % {QUANT_QMOD} = 0
+),
+pairs AS (
+  SELECT qid, vec_id AS oid,
+         round(
+           list_sum(list_transform(list_zip(embedding, qemb),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * v)))
+              * sqrt(list_sum(list_transform(qemb, v -> CAST(v AS DOUBLE) * v)))),
+           6) AS fcos,
+         round(
+           CAST(list_sum(list_transform(list_zip(qvec, qq),
+                p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(qvec, v -> CAST(v AS BIGINT) * v)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(qq, v -> CAST(v AS BIGINT) * v)) AS DOUBLE))),
+           6) AS qcos
+  FROM q8, qs
+  WHERE vec_id != qid
+),
+ranked AS (
+  SELECT qid, oid,
+         row_number() OVER (PARTITION BY qid ORDER BY fcos DESC, oid) AS frk,
+         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, oid) AS qrk
+  FROM pairs
+),
+hits AS (
+  SELECT f.qid, count(*) AS n_overlap
+  FROM (SELECT qid, oid FROM ranked WHERE frk <= {QUANT_K}) f
+  JOIN (SELECT qid, oid FROM ranked WHERE qrk <= {QUANT_K}) g
+    USING (qid, oid)
+  GROUP BY f.qid
+)
+SELECT qid, CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) / CAST({QUANT_K} AS DOUBLE), 6) AS overlap
+FROM qs LEFT JOIN hits USING (qid)
+ORDER BY qid
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_knn_join_topk": (q_knn_join_topk, _KNN_JOIN_SQL),
+    "sim_int8_quant_recall": (q_int8_quant_recall, _INT8_RECALL_SQL),
     "sim_ann_lsh_buckets": (q_ann_lsh_buckets, _ann_lsh_sql()),
     "sim_embedding_neardup": (q_embedding_neardup_pairs, _neardup_sql()),
     "sim_ivf_topk": (q_ivf_topk, _IVF_SQL),
