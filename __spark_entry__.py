@@ -162,6 +162,12 @@ def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotated out to make room. Everything else keeps module order between
 # them. Union of r02+r03 rows then covers every registered name.
 _FRONT = [
+    "text_gopher_repetition",
+    "text_vocab_topk",
+    "sim_semdedup_prune",
+    "events_retention_cohorts",
+    "dedup_minhash_portable64",
+    "dedup_pipeline_survivors_lsh",
     "text_pack_sequences",
     "text_stratified_sample",
     "text_unigram_logprob",

@@ -258,6 +258,242 @@ FROM (
 """
 
 
+# Gopher repetition filters (Rae et al. 2021, §A1.1): character-mass
+# fractions of the single most frequent {2,3,4}-gram and of all
+# duplicated {5,6}-grams, with the paper's removal thresholds.
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6)
+GOPHER_TOP_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_THRESH = {5: 0.15, 6: 0.14}
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition removal signals, one row per doc:
+
+    * ``top{n}gram_frac`` (n=2,3,4): fraction of the document's
+      characters covered by occurrences of its single most frequent
+      n-gram (ties broken by lexicographically smallest gram);
+    * ``dup{n}gram_frac`` (n=5,6): fraction of characters covered by
+      n-grams occurring more than once (overlap NOT deduplicated —
+      each occurrence contributes its full gram length; documented
+      deterministic semantics shared with the oracle);
+    * ``gopher_flag``: any fraction above the paper's threshold.
+
+    Character mass is ``count * length(gram)`` over the
+    space-normalized text, so every fraction is a ratio of exact
+    integers — bit-portable across engines. Same doubled-tail probe
+    as q_repetition_ratio so duplicated 5/6-grams exist in the
+    synthetic word-soup corpus.
+
+    Scale shape: ONE scan, one flattened explode emitting (n, gram)
+    pairs for all five n in a single pass, then hash-aggregate counts
+    with map-side partials; the per-(doc,n) top gram is a struct-min
+    aggregate (no window, no sort); final per-doc pivot is a
+    conditional agg. Three hash exchanges, all keyed by doc_id
+    prefixes, nothing all-pairs — survives 10^12 docs."""
+    d = _docs(spark, sf_dir)
+    probe = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" "), F.col("text")),
+    ).otherwise(F.col("text"))
+    toks = F.split(F.trim(F.lower(probe)), r"\s+")
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.length(F.array_join(toks, " ")).alias("total_chars"),
+    )
+    tc = F.col("toks")
+
+    # NB: a `lambda i, n=n: ...` would have TWO parameters, which
+    # F.transform interprets as an (element, index) lambda — binding
+    # n to the array index. A closure factory keeps the lambda unary.
+    def _gram_struct(n: int):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(tc, i + 1, n), " ").alias("g"),
+        )
+
+    pairs = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(tc) - n, F.lit(0))
+                    ),
+                    _gram_struct(n),
+                )
+                for n in (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
+            ]
+        )
+    )
+    exploded = base.select(
+        "doc_id", "total_chars", F.explode(pairs).alias("p")
+    ).select("doc_id", "total_chars", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+    counts = exploded.groupBy("doc_id", "total_chars", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # top gram by (cnt desc, g asc) without a window: min of (-cnt, g)
+    per_n = counts.groupBy("doc_id", "total_chars", "n").agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("g").alias("g"))).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+    ).select(
+        "doc_id",
+        "total_chars",
+        "n",
+        ((-F.col("top.nc")) * F.length("top.g")).alias("top_chars"),
+        "dup_chars",
+    )
+
+    def _frac(num: Column) -> Column:
+        return num.cast("double") / F.col("total_chars").cast("double")
+
+    top_cols = {
+        n: _frac(F.sum(F.when(F.col("n") == n, F.col("top_chars")).otherwise(F.lit(0))))
+        for n in GOPHER_TOP_NS
+    }
+    dup_cols = {
+        n: _frac(F.sum(F.when(F.col("n") == n, F.col("dup_chars")).otherwise(F.lit(0))))
+        for n in GOPHER_DUP_NS
+    }
+    flag = None
+    for n, c in top_cols.items():
+        e = c > GOPHER_TOP_THRESH[n]
+        flag = e if flag is None else (flag | e)
+    for n, c in dup_cols.items():
+        flag = flag | (c > GOPHER_DUP_THRESH[n])
+    return per_n.groupBy("doc_id", "total_chars").agg(
+        *[F.round(c, 6).alias(f"top{n}gram_frac") for n, c in top_cols.items()],
+        *[F.round(c, 6).alias(f"dup{n}gram_frac") for n, c in dup_cols.items()],
+        flag.alias("gopher_flag"),
+    ).select(
+        "doc_id",
+        *[f"top{n}gram_frac" for n in GOPHER_TOP_NS],
+        *[f"dup{n}gram_frac" for n in GOPHER_DUP_NS],
+        "gopher_flag",
+    )
+
+
+def _gopher_sql() -> str:
+    ns = ", ".join(str(n) for n in (*GOPHER_TOP_NS, *GOPHER_DUP_NS))
+    top_sel = ",\n".join(
+        f"       round(CAST(sum(CASE WHEN n = {n} THEN top_chars ELSE 0 END) AS DOUBLE)"
+        f" / total_chars, 6) AS top{n}gram_frac"
+        for n in GOPHER_TOP_NS
+    )
+    dup_sel = ",\n".join(
+        f"       round(CAST(sum(CASE WHEN n = {n} THEN dup_chars ELSE 0 END) AS DOUBLE)"
+        f" / total_chars, 6) AS dup{n}gram_frac"
+        for n in GOPHER_DUP_NS
+    )
+    flag_terms = [
+        f"CAST(sum(CASE WHEN n = {n} THEN top_chars ELSE 0 END) AS DOUBLE)"
+        f" / total_chars > {GOPHER_TOP_THRESH[n]}"
+        for n in GOPHER_TOP_NS
+    ] + [
+        f"CAST(sum(CASE WHEN n = {n} THEN dup_chars ELSE 0 END) AS DOUBLE)"
+        f" / total_chars > {GOPHER_DUP_THRESH[n]}"
+        for n in GOPHER_DUP_NS
+    ]
+    flag = " OR ".join(flag_terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text ELSE text END
+         )), '\\s+') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, length(array_to_string(toks, ' ')) AS total_chars
+  FROM base
+), exploded AS (
+  SELECT doc_id, total_chars, n,
+         unnest(list_transform(range(0, greatest(len(toks) - n, 0) + 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + n), ' '))) AS g
+  FROM sized, (SELECT unnest([{ns}]) AS n) nn
+), counts AS (
+  SELECT doc_id, total_chars, n, g, count(*) AS cnt
+  FROM exploded GROUP BY doc_id, total_chars, n, g
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                               ORDER BY cnt DESC, g ASC) AS rk
+  FROM counts
+), per_n AS (
+  SELECT doc_id, total_chars, n,
+         CAST(sum(CASE WHEN rk = 1 THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS top_chars,
+         CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS dup_chars
+  FROM ranked GROUP BY doc_id, total_chars, n
+)
+SELECT doc_id,
+{top_sel},
+{dup_sel},
+       ({flag}) AS gopher_flag
+FROM per_n GROUP BY doc_id, total_chars
+"""
+
+
+_GOPHER_SQL = _gopher_sql()
+
+
+VOCAB_TOPK = 50
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token vocabulary: the VOCAB_TOPK most frequent
+    whitespace tokens with term frequency and document frequency —
+    the frequency-table step every tokenizer build (BPE seed vocab,
+    unigram-LM init) starts from. Ties broken lexicographically.
+
+    Scale shape: token explode → hash agg with map-side partials for
+    tf; df is a two-level agg (distinct (token, doc) then count) so
+    no count-distinct hash set ever exceeds a partition; final top-K
+    is orderBy+limit = TakeOrderedAndProject (per-partition heaps, a
+    K-row driver merge — no global sort). Rank assigned AFTER the
+    limit on a K-row frame, so the window is bounded."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select("tok", "doc_id").distinct()
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    top = (
+        tf.join(df_, "tok")
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(VOCAB_TOPK)
+    )
+    return top.select(
+        (F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("tok")))).alias("rank"),
+        "tok",
+        "tf",
+        "df",
+    )
+
+
+_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY tok
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT tok, doc_id FROM toks) GROUP BY tok
+)
+SELECT CAST(row_number() OVER (ORDER BY tf.tf DESC, tf.tok ASC) AS INT) AS rank,
+       tf.tok, tf.tf, df.df
+FROM tf JOIN df USING (tok)
+ORDER BY tf.tf DESC, tf.tok ASC LIMIT {VOCAB_TOPK}
+"""
+
+
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap between adjacent chunks
 
@@ -992,6 +1228,8 @@ QUERIES = {
     "text_deterministic_sample": (q_deterministic_sample, _SAMPLE_SQL),
     "text_redact_pii": (q_redact_pii, _REDACT_SQL),
     "text_repetition_ratio": (q_repetition_ratio, _REPETITION_SQL),
+    "text_gopher_repetition": (q_gopher_repetition, _GOPHER_SQL),
+    "text_vocab_topk": (q_vocab_topk, _VOCAB_SQL),
     "text_pack_sequences": (q_pack_sequences, _PACK_SQL),
     "text_stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "text_unigram_logprob": (q_unigram_logprob, _UNIGRAM_SQL),

@@ -792,8 +792,69 @@ ORDER BY c_nationkey
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-SIGNUP date
+    (cohort), counted on each active day at or after signup — the
+    canonical product-analytics triangle (cohort_date × day_offset →
+    users). Pre-signup activity is excluded, matching the standard
+    definition.
+
+    Scale shape: ONE exchange on user_id computes both the cohort
+    date (conditional min over signup events only) and the distinct
+    active-day set per user (collect_set with map-side partials,
+    bounded by the retention horizon — ≤ days-in-window elements per
+    user); the exploded (cohort, offset) pairs then hash-aggregate
+    into the triangle, whose size is O(horizon²) — tiny — regardless
+    of corpus size. No window function, no self-join, all-integer
+    output."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.col("event_type"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("d"))
+            ).alias("cohort_date"),
+            F.collect_set("d").alias("days"),
+        )
+        .where(F.col("cohort_date").isNotNull())
+    )
+    return (
+        per_user.select("cohort_date", F.explode("days").alias("d"))
+        .where(F.col("d") >= F.col("cohort_date"))
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT cohort_date,
+       CAST(date_diff('day', cohort_date, d) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN firsts USING (user_id)
+WHERE d >= cohort_date
+GROUP BY cohort_date, day_offset
+ORDER BY cohort_date, day_offset
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
+    "events_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     "events_by_type": (q_events_by_type, _EVENTS_BY_TYPE_SQL),
     "error_users": (q_error_users, _ERROR_USERS_SQL),
     "recent_events_top100": (q_recent_events, _RECENT_EVENTS_SQL),

@@ -546,8 +546,126 @@ ORDER BY qid
 """
 
 
+SEMDEDUP_TAU = 0.4  # intra-cluster cosine above which one of a pair is pruned
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster embeddings with the same deterministic coarse centroids
+    as the IVF index, then prune near-duplicate pairs WITHIN each
+    cluster — pairwise cosine is only ever computed inside a cell,
+    never across the corpus.
+
+    Keep rule (deterministic stand-in for the paper's keep-low-
+    centroid-similarity choice): a vector is pruned iff some
+    same-cell vector within SEMDEDUP_TAU cosine has strictly lower
+    centroid similarity (ties: lower vec_id). Emits every vector
+    with its cell, centroid cosine, and kept flag.
+
+    Scale shape: centroids broadcast (k rows); assignment is a
+    narrow argmax over codegen'd dot products; the pairwise stage is
+    a self-join keyed on the CELL — at 10^12 rows the cluster count
+    grows with the corpus so cell population stays bounded and the
+    join stays linear-ish, exactly the SemDeDup paper's trick. One
+    exchange for assignment, one cell-keyed exchange for the join."""
+    e = _emb(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    sample = (
+        e.select(
+            F.md5(F.col("vec_id").cast("string")).alias("mk"), "embedding"
+        )
+        .orderBy("mk")
+        .limit(IVF_CELLS)
+    )
+    cents = sample.select(
+        (F.row_number().over(Window.orderBy("mk")) - 1).alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cid",
+        _cos_expr(F.col("embedding"), F.col("cvec")).alias("ccos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
+        ).alias("b")
+    ).select(
+        "vec_id", (-F.col("b.ncid")).alias("cell"), F.col("b.ccos").alias("ccos")
+    )
+    assigned = e.join(best, "vec_id").select("vec_id", "cell", "ccos", "embedding")
+
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    keeper_beats = (F.col("b.ccos") < F.col("a.ccos")) | (
+        (F.col("b.ccos") == F.col("a.ccos"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    pruned = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & keeper_beats)
+        .where(
+            _cos_expr(F.col("a.embedding"), F.col("b.embedding"))
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        assigned.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "ccos",
+            F.coalesce(F.col("is_pruned"), F.lit(False)).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_COS_SQL = """round(
+           list_sum(list_transform(list_zip({a}, {b}),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x)))), 6
+         )"""
+
+_SEMDEDUP_SQL = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_COS_SQL.format(a="e.embedding", b="c.cvec")} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, embedding, cid AS cell, ccos FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT a.vec_id, a.cell, a.ccos,
+       EXISTS (
+         SELECT 1 FROM best b
+         WHERE b.cell = a.cell
+           AND (b.ccos < a.ccos
+                OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+           AND {_COS_SQL.format(a="a.embedding", b="b.embedding")}
+               >= {SEMDEDUP_TAU}
+       ) AS pruned
+FROM best a
+ORDER BY a.vec_id
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    "sim_semdedup_prune": (q_semdedup_prune, _SEMDEDUP_SQL),
     "sim_knn_join_topk": (q_knn_join_topk, _KNN_JOIN_SQL),
     "sim_int8_quant_recall": (q_int8_quant_recall, _INT8_RECALL_SQL),
     "sim_ann_lsh_buckets": (q_ann_lsh_buckets, _ann_lsh_sql()),

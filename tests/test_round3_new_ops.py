@@ -1,0 +1,175 @@
+"""Unit pins for the round-3 additions: Gopher repetition filters,
+corpus vocab top-K, SemDeDup semantic pruning, retention cohorts.
+Each also has a hash-exact DuckDB oracle row; these tests pin the
+SEMANTICS against independent pure-Python references so an oracle
+and implementation can't drift together."""
+
+from collections import Counter
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _doc_texts(spark, n=None):
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    out = {r.doc_id: r.text for r in rows}
+    if n is not None:
+        out = {k: out[k] for k in sorted(out)[:n]}
+    return out
+
+
+def _gopher_ref(doc_id: int, text: str) -> dict:
+    """Pure-Python reference of the documented Gopher semantics."""
+    if doc_id % 5 == 0:
+        text = text + " " + text
+    toks = text.strip().lower().split()
+    total = len(" ".join(toks))
+    out = {}
+    for n in (2, 3, 4, 5, 6):
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)
+        ]
+        c = Counter(grams)
+        top_g, top_cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n in (2, 3, 4):
+            out[f"top{n}gram_frac"] = round(top_cnt * len(top_g) / total, 6)
+        else:
+            dup = sum(v * len(g) for g, v in c.items() if v >= 2)
+            out[f"dup{n}gram_frac"] = round(dup / total, 6)
+    out["gopher_flag"] = (
+        out["top2gram_frac"] > 0.20
+        or out["top3gram_frac"] > 0.18
+        or out["top4gram_frac"] > 0.16
+        or out["dup5gram_frac"] > 0.15
+        or out["dup6gram_frac"] > 0.14
+    )
+    return out
+
+
+def test_gopher_matches_python_reference(spark):
+    from ocr_intern_spark.functions.text import q_gopher_repetition
+
+    got = {
+        r.doc_id: r.asDict()
+        for r in q_gopher_repetition(spark, SF_DIR).collect()
+    }
+    texts = _doc_texts(spark)
+    assert set(got) == set(texts)
+    for doc_id in sorted(texts)[:40]:
+        ref = _gopher_ref(doc_id, texts[doc_id])
+        row = got[doc_id]
+        for k, v in ref.items():
+            if isinstance(v, float):
+                assert row[k] == pytest.approx(v, abs=1e-9), (doc_id, k)
+            else:
+                assert row[k] == v, (doc_id, k)
+
+
+def test_gopher_doubled_docs_are_flagged(spark):
+    from ocr_intern_spark.functions.text import q_gopher_repetition
+
+    rows = q_gopher_repetition(spark, SF_DIR).collect()
+    doubled = [r for r in rows if r.doc_id % 5 == 0]
+    assert doubled
+    # a doubled document repeats every one of its 5/6-grams
+    assert all(r.dup5gram_frac > 0.15 for r in doubled)
+    assert all(r.gopher_flag for r in doubled)
+
+
+def test_vocab_topk_matches_python_reference(spark):
+    from ocr_intern_spark.functions.text import q_vocab_topk
+
+    rows = q_vocab_topk(spark, SF_DIR).collect()
+    texts = _doc_texts(spark)
+    tf = Counter()
+    df = Counter()
+    for text in texts.values():
+        toks = text.strip().lower().split()
+        tf.update(toks)
+        df.update(set(toks))
+    expected = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert [(r.tok, r.tf) for r in rows] == expected
+    assert all(r.df == df[r.tok] for r in rows)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.df <= r.tf for r in rows)
+
+
+def test_semdedup_prune_matches_numpy_reference(spark):
+    import numpy as np
+
+    from ocr_intern_spark.operators.similarity import (
+        SEMDEDUP_TAU,
+        q_semdedup_prune,
+    )
+
+    rows = q_semdedup_prune(spark, SF_DIR).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 6
+        )
+
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    n_pruned = 0
+    for members in by_cell.values():
+        # the (ccos, vec_id)-minimal member has no possible keeper
+        floor = min(members, key=lambda r: (r.ccos, r.vec_id))
+        assert not floor.pruned
+        for r in members:
+            keepers = [
+                k
+                for k in members
+                if (k.ccos, k.vec_id) < (r.ccos, r.vec_id)
+                and cos(emb[k.vec_id], emb[r.vec_id]) >= SEMDEDUP_TAU
+            ]
+            assert r.pruned == bool(keepers), r.vec_id
+            n_pruned += int(r.pruned)
+    assert n_pruned > 0  # non-vacuous at sf0.001
+
+
+def test_retention_cohorts_invariants(spark):
+    from ocr_intern_spark.operators.analytics import q_retention_cohorts
+
+    rows = q_retention_cohorts(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.day_offset >= 0 for r in rows)
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    cohort = {}
+    for e in ev:
+        if e.event_type == "signup":
+            d = e.ts.date()
+            if e.user_id not in cohort or d < cohort[e.user_id]:
+                cohort[e.user_id] = d
+    # offset 0 exists for every cohort (signup day is itself active)
+    # and its user counts sum to the signed-up population
+    zero = {r.cohort_date: r.n_users for r in rows if r.day_offset == 0}
+    per_cohort = Counter(cohort.values())
+    assert zero == dict(per_cohort)
+    # full matrix equals the brute-force (user, active-day) expansion
+    active = {}
+    for e in ev:
+        if e.user_id in cohort:
+            d = e.ts.date()
+            if d >= cohort[e.user_id]:
+                active.setdefault(e.user_id, set()).add(d)
+    expect = Counter()
+    for u, days in active.items():
+        for d in days:
+            expect[(cohort[u], (d - cohort[u]).days)] += 1
+    got = {(r.cohort_date, r.day_offset): r.n_users for r in rows}
+    assert got == dict(expect)
