@@ -45,6 +45,7 @@ HEADLINE = [
     # the headline total (which grows with the set)
     "extract_xycut_order",
     "extract_html_block_classify",
+    "text_gopher_repetition",
 ]
 
 

@@ -287,9 +287,10 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE scan, one flattened explode emitting (n, gram)
     pairs for all five n in a single pass, then hash-aggregate counts
-    with map-side partials; the per-(doc,n) top gram is a struct-min
-    aggregate (no window, no sort); final per-doc pivot is a
-    conditional agg. Three hash exchanges, all keyed by doc_id
+    with map-side partials; the per-(doc,n) top gram is an
+    order-encoded string min (no window; plans as SortAggregate over
+    already-distinct gram rows, partials map-side); final per-doc
+    pivot is a conditional agg. Three exchanges, all keyed by doc_id
     prefixes, nothing all-pairs — survives 10^12 docs."""
     d = _docs(spark, sf_dir)
     probe = F.when(
@@ -332,9 +333,21 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = exploded.groupBy("doc_id", "total_chars", "n", "g").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    # top gram by (cnt desc, g asc) without a window: min of (-cnt, g)
+    # Top gram by (cnt desc, g asc) without a window: the order is
+    # encoded into one string — 12-digit zero-padded (MAX - cnt)
+    # prefix, gram suffix — whose lexicographic min IS the wanted
+    # order. min over a variable-width buffer (string or struct)
+    # still plans as SortAggregate, but partial_min combines
+    # map-side before the exchange and the per-partition sort runs
+    # over already-distinct (doc, n, gram) rows — the same accepted
+    # trade as the md5-minhash SortAggregate.
+    _CNT_MAX = 999_999_999_999
+    enc = F.concat(
+        F.lpad((F.lit(_CNT_MAX) - F.col("cnt")).cast("string"), 12, "0"),
+        F.col("g"),
+    )
     per_n = counts.groupBy("doc_id", "total_chars", "n").agg(
-        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("g").alias("g"))).alias("top"),
+        F.min(enc).alias("top_enc"),
         F.sum(
             F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(F.lit(0))
         ).alias("dup_chars"),
@@ -342,7 +355,10 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "total_chars",
         "n",
-        ((-F.col("top.nc")) * F.length("top.g")).alias("top_chars"),
+        (
+            (F.lit(_CNT_MAX) - F.substring("top_enc", 1, 12).cast("bigint"))
+            * (F.length("top_enc") - 12)
+        ).alias("top_chars"),
         "dup_chars",
     )
 
