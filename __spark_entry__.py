@@ -166,6 +166,8 @@ _FRONT = [
     "text_vocab_topk",
     "sim_semdedup_prune",
     "events_retention_cohorts",
+    "text_mix_resample",
+    "text_novelty_score",
     "dedup_minhash_portable64",
     "dedup_pipeline_survivors_lsh",
     "text_pack_sequences",

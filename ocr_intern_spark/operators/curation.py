@@ -387,8 +387,156 @@ ORDER BY doc_id, seq
 """
 
 
+MIX_HASH_HEX = 6  # md5-prefix width for the resample draw (24 bits)
+
+
+def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mix resampling — the pass that APPLIES
+    q_source_mix_weights: every document draws a uniform variate
+    from its md5(doc_id) prefix and receives ``n_copies`` replicas
+    so each source's expected token budget is uniform
+    (floor(weight) copies + one more iff draw < frac(weight);
+    weight ≤ 1 degenerates to keep-iff-draw < weight).
+
+    All comparisons are INTEGER cross-multiplications — weight is
+    the exact rational tot_tokens / (n_sources·src_tokens), and the
+    draw test ``md5_24bit·denom < rem·2^24`` runs in decimal(38,0)
+    so no float boundary can disagree between engines (at 100 TB the
+    products exceed int64 — hence decimal, DuckDB widens to HUGEINT
+    natively).
+
+    Scale shape: per-source stats are a tiny broadcast; the decision
+    is a narrow codegen'd projection per row — no shuffle at all
+    beyond the stats agg."""
+    d = _docs(spark, sf_dir)
+    per = d.select(
+        "source", token_count(F.col("text")).alias("nt")
+    ).groupBy("source").agg(F.sum("nt").alias("src_tokens"))
+    tot = per.agg(
+        F.sum("src_tokens").alias("tot_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    stats = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("src_tokens"),
+        (F.col("n_sources") * F.col("src_tokens")).alias("denom"),
+        F.col("tot_tokens"),
+    )
+    scale = 16 ** MIX_HASH_HEX
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, MIX_HASH_HEX),
+        16,
+        10,
+    ).cast("bigint")
+    n_whole = (F.col("tot_tokens") / F.col("denom")).cast("bigint")  # floor
+    rem = F.col("tot_tokens") - n_whole * F.col("denom")
+    extra = (
+        draw.cast("decimal(38,0)") * F.col("denom").cast("decimal(38,0)")
+        < rem.cast("decimal(38,0)") * F.lit(scale).cast("decimal(38,0)")
+    )
+    return (
+        d.join(F.broadcast(stats), "source")
+        .select(
+            "doc_id",
+            "source",
+            (n_whole + extra.cast("bigint")).alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MIX_RESAMPLE_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                  END) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+               count(*) AS n_sources FROM per),
+stats AS (
+  SELECT source, n_sources * src_tokens AS denom, tot_tokens
+  FROM per, tot
+)
+SELECT d.doc_id, d.source,
+       CAST(tot_tokens // denom
+            + CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, {MIX_HASH_HEX})) AS BIGINT) AS HUGEINT)
+                        * denom
+                   < (tot_tokens - (tot_tokens // denom) * denom)
+                        * {16 ** MIX_HASH_HEX}
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM documents d JOIN stats USING (source)
+ORDER BY d.doc_id
+"""
+
+
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty (data-pruning signal): the fraction of a
+    document's distinct 8-word grams whose FIRST corpus occurrence
+    (minimum doc_id) is this document. Exact duplicates of earlier
+    docs score 0; fresh content scores 1 — the greedy-coverage
+    ordering criterion from facility-location data selection.
+
+    Scale shape: the gram→first-doc map is one hash aggregate on the
+    gram key (map-side min partials); attribution is an inverted-
+    index equi-join on the same key (never all-pairs, same class as
+    the n-gram Jaccard index); the final per-doc fraction is one
+    doc_id aggregate. Integer counts divided once at the end."""
+    g = _grams(_docs(spark, sf_dir))
+    first = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, len(toks) - {DECON_NGRAM} + 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + {DECON_NGRAM}), ' ')
+           )) AS g
+    FROM (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ) WHERE len(toks) >= {DECON_NGRAM}
+  )
+),
+first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM grams JOIN first USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
+    "text_mix_resample": (q_mix_resample, _MIX_RESAMPLE_SQL),
+    "text_novelty_score": (q_novelty_score, _NOVELTY_SQL),
     "text_source_mix_weights": (q_source_mix_weights, _MIX_SQL),
     "multimodal_interleaved_pack": (q_interleaved_pack, _INTERLEAVED_SQL),
     "text_langid_ngram": (q_langid_ngram, _LANGID_SQL),

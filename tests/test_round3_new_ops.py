@@ -173,3 +173,78 @@ def test_retention_cohorts_invariants(spark):
             expect[(cohort[u], (d - cohort[u]).days)] += 1
     got = {(r.cohort_date, r.day_offset): r.n_users for r in rows}
     assert got == dict(expect)
+
+
+def test_mix_resample_matches_python_reference(spark):
+    import hashlib
+
+    from ocr_intern_spark.operators.curation import (
+        MIX_HASH_HEX,
+        q_mix_resample,
+    )
+
+    rows = q_mix_resample(spark, SF_DIR).collect()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    src_tokens = Counter()
+    for d in docs:
+        src_tokens[d.source] += len(d.text.strip().split()) if d.text.strip() else 0
+    tot = sum(src_tokens.values())
+    n_sources = len(src_tokens)
+    got = {r.doc_id: r.n_copies for r in rows}
+    scale = 16**MIX_HASH_HEX
+    for d in docs:
+        denom = n_sources * src_tokens[d.source]
+        whole, rem = divmod(tot, denom)
+        draw = int(
+            hashlib.md5(str(d.doc_id).encode()).hexdigest()[:MIX_HASH_HEX], 16
+        )
+        expect = whole + (1 if draw * denom < rem * scale else 0)
+        assert got[d.doc_id] == expect, d.doc_id
+    # the resample must move every source's expected token budget
+    # toward uniform: E[tokens] per source == tot/n_sources exactly
+    # in expectation, so realized totals land within a few percent
+    realized = Counter()
+    toks = {d.doc_id: (len(d.text.strip().split()), d.source) for d in docs}
+    for doc_id, n_copies in got.items():
+        nt, src = toks[doc_id]
+        realized[src] += n_copies * nt
+    target = tot / n_sources
+    for src, t in realized.items():
+        assert abs(t - target) / target < 0.25, (src, t, target)
+
+
+def test_novelty_score_matches_python_reference(spark):
+    from ocr_intern_spark.operators.curation import DECON_NGRAM, q_novelty_score
+
+    rows = q_novelty_score(spark, SF_DIR).collect()
+    texts = _doc_texts(spark)
+    grams = {}
+    for doc_id in sorted(texts):
+        toks = texts[doc_id].strip().lower().split()
+        gs = {
+            " ".join(toks[i : i + DECON_NGRAM])
+            for i in range(len(toks) - DECON_NGRAM + 1)
+        }
+        if gs:
+            grams[doc_id] = gs
+    first = {}
+    for doc_id in sorted(grams):
+        for g in grams[doc_id]:
+            first.setdefault(g, doc_id)
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == set(grams)
+    novelties = []
+    for doc_id, gs in grams.items():
+        n_novel = sum(1 for g in gs if first[g] == doc_id)
+        r = got[doc_id]
+        assert r.n_grams == len(gs)
+        assert r.n_novel == n_novel
+        novelties.append(n_novel / len(gs))
+    # non-vacuous: the corpus's duplicate families give 0-novelty
+    # docs while unique docs stay at 1.0
+    assert any(v == 0.0 for v in novelties)
+    assert any(v == 1.0 for v in novelties)
