@@ -428,7 +428,9 @@ def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    n_whole = (F.col("tot_tokens") / F.col("denom")).cast("bigint")  # floor
+    # exact integer division (Spark `/` is double division — fine at
+    # test scale but not provably floor-exact past 2^53)
+    n_whole = F.expr("tot_tokens DIV denom")
     rem = F.col("tot_tokens") - n_whole * F.col("denom")
     extra = (
         draw.cast("decimal(38,0)") * F.col("denom").cast("decimal(38,0)")
