@@ -461,12 +461,13 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequency-table step every tokenizer build (BPE seed vocab,
     unigram-LM init) starts from. Ties broken lexicographically.
 
-    Scale shape: token explode → hash agg with map-side partials for
-    tf; df is a two-level agg (distinct (token, doc) then count) so
-    no count-distinct hash set ever exceeds a partition; final top-K
-    is orderBy+limit = TakeOrderedAndProject (per-partition heaps, a
-    K-row driver merge — no global sort). Rank assigned AFTER the
-    limit on a K-row frame, so the window is bounded."""
+    Scale shape: ONE token explode → per-(token, doc) counts (hash
+    agg, map-side partials) → per-token sum/count in a second level,
+    so tf and df come from a single corpus scan and no count-distinct
+    hash set ever exceeds a partition; final top-K is orderBy+limit =
+    TakeOrderedAndProject (per-partition heaps, a K-row driver merge
+    — no global sort). Rank assigned AFTER the limit on a K-row
+    frame, so the window is bounded."""
     from pyspark.sql.window import Window
 
     d = _docs(spark, sf_dir)
@@ -474,13 +475,10 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
-    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        toks.select("tok", "doc_id").distinct()
-        .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    )
+    per_doc = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
     top = (
-        tf.join(df_, "tok")
+        per_doc.groupBy("tok")
+        .agg(F.sum("cnt").alias("tf"), F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("tf"), F.asc("tok"))
         .limit(VOCAB_TOPK)
     )

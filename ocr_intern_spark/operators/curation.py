@@ -465,7 +465,7 @@ SELECT d.doc_id, d.source,
        CAST(tot_tokens // denom
             + CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, {MIX_HASH_HEX})) AS BIGINT) AS HUGEINT)
                         * denom
-                   < (tot_tokens - (tot_tokens // denom) * denom)
+                   < CAST(tot_tokens - (tot_tokens // denom) * denom AS HUGEINT)
                         * {16 ** MIX_HASH_HEX}
                    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
 FROM documents d JOIN stats USING (source)

@@ -239,25 +239,16 @@ def _cos_expr(a: Column, b: Column) -> Column:
     return F.round(cosine(a, b), 6)
 
 
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantization into IVF_CELLS cells, then
-    exact top-K within the query's IVF_NPROBE nearest cells.
-
-    Centroids are a deterministic PSEUDO-RANDOM sample: the IVF_CELLS
+def _ivf_centroids(e: DataFrame) -> DataFrame:
+    """Deterministic PSEUDO-RANDOM coarse centroids: the IVF_CELLS
     vectors with the smallest md5(vec_id) — md5 order is uniform over
     the corpus, so the sample is unbiased regardless of how vec_ids
     correlate with content (the standard random-init for IVF), yet
-    identical across engines so the DuckDB oracle stays exact. In
-    Spark the pick is orderBy(md5).limit(k) → TakeOrderedAndProject:
+    identical across engines so the DuckDB oracles stay exact. The
+    pick is orderBy(md5).limit(k) → TakeOrderedAndProject:
     per-partition top-k then a driver merge of k·partitions rows —
-    no global sort at any scale.
-
-    Scale shape: the centroid table is tiny and broadcast; assignment
-    is a narrow map (argmax over IVF_CELLS codegen'd dot products);
-    the search scans ONLY the probed cells (cell is the partition/
-    cluster key at real scale, so pruning skips ~(1-nprobe/cells) of
-    the data)."""
-    e = _emb(spark, sf_dir)
+    no global sort at any scale. Returns (cid, cvec), cid stable by
+    md5 order."""
     from pyspark.sql.window import Window
 
     sample = (
@@ -267,20 +258,44 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mk")
         .limit(IVF_CELLS)
     )
-    # stable small ints 0..IVF_CELLS-1 by md5 order (8-row frame)
-    cents = sample.select(
+    return sample.select(
         (F.row_number().over(Window.orderBy("mk")) - 1).alias("cid"),
         F.col("embedding").alias("cvec"),
     )
-    # assignment: best (cos desc, cid asc) per vector
+
+
+def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Cell assignment: per vector the best centroid by (cos desc,
+    cid asc) — a narrow argmax over IVF_CELLS broadcast codegen'd dot
+    products. Returns (vec_id, cell, ccos). Shared by the IVF ANN
+    index and SemDeDup so the two queries (and their oracles) can
+    never drift apart on the tie-break."""
     scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "embedding", "cid",
+        "vec_id", "cid",
         _cos_expr(F.col("embedding"), F.col("cvec")).alias("ccos"),
     )
-    best = scored.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))).alias("b")
-    ).select("vec_id", (-F.col("b.ncid")).alias("cell"))
-    assigned = e.join(best, "vec_id")
+    return scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
+        ).alias("b")
+    ).select(
+        "vec_id", (-F.col("b.ncid")).alias("cell"), F.col("b.ccos").alias("ccos")
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization into IVF_CELLS cells
+    (deterministic md5-sample centroids — see _ivf_centroids), then
+    exact top-K within the query's IVF_NPROBE nearest cells.
+
+    Scale shape: the centroid table is tiny and broadcast; assignment
+    is a narrow map (argmax over IVF_CELLS codegen'd dot products);
+    the search scans ONLY the probed cells (cell is the partition/
+    cluster key at real scale, so pruning skips ~(1-nprobe/cells) of
+    the data)."""
+    e = _emb(spark, sf_dir)
+    cents = _ivf_centroids(e)
+    assigned = e.join(_ivf_assign(e, cents).drop("ccos"), "vec_id")
 
     # probe cells for the query vector
     qrow = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -569,31 +584,9 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     join stays linear-ish, exactly the SemDeDup paper's trick. One
     exchange for assignment, one cell-keyed exchange for the join."""
     e = _emb(spark, sf_dir)
-    from pyspark.sql.window import Window
-
-    sample = (
-        e.select(
-            F.md5(F.col("vec_id").cast("string")).alias("mk"), "embedding"
-        )
-        .orderBy("mk")
-        .limit(IVF_CELLS)
-    )
-    cents = sample.select(
-        (F.row_number().over(Window.orderBy("mk")) - 1).alias("cid"),
-        F.col("embedding").alias("cvec"),
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cid",
-        _cos_expr(F.col("embedding"), F.col("cvec")).alias("ccos"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max(
-            F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
-        ).alias("b")
-    ).select(
-        "vec_id", (-F.col("b.ncid")).alias("cell"), F.col("b.ccos").alias("ccos")
-    )
-    assigned = e.join(best, "vec_id").select("vec_id", "cell", "ccos", "embedding")
+    assigned = e.join(
+        _ivf_assign(e, _ivf_centroids(e)), "vec_id"
+    ).select("vec_id", "cell", "ccos", "embedding")
 
     a = assigned.alias("a")
     b = assigned.alias("b")

@@ -11,16 +11,13 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _doc_texts(spark, n=None):
+def _doc_texts(spark):
     rows = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .select("doc_id", "text")
         .collect()
     )
-    out = {r.doc_id: r.text for r in rows}
-    if n is not None:
-        out = {k: out[k] for k in sorted(out)[:n]}
-    return out
+    return {r.doc_id: r.text for r in rows}
 
 
 def _gopher_ref(doc_id: int, text: str) -> dict:
