@@ -168,6 +168,7 @@ _FRONT = [
     "events_retention_cohorts",
     "text_mix_resample",
     "text_novelty_score",
+    "sim_kmeans_refine",
     "dedup_minhash_portable64",
     "dedup_pipeline_survivors_lsh",
     "text_pack_sequences",

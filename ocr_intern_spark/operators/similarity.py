@@ -656,6 +656,101 @@ ORDER BY a.vec_id
 """
 
 
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of spherical k-means over the embedding
+    corpus: start from the deterministic md5-sample centroids
+    (_ivf_centroids — the same init the IVF index uses), update each
+    cell's centroid to the component-wise mean of its members
+    (rounded to 6, the engine-portability quantum), and re-assign.
+    Emits (vec_id, cell0, cell1, moved) — the refinement step that
+    turns the sampled IVF codebook into a trained one; L iterations
+    are L repetitions of this round (with the connected-components
+    module's checkpoint pattern for lineage truncation).
+
+    Scale shape: assignment is the broadcast argmax (narrow); the
+    centroid update is a posexplode + two-level hash aggregate whose
+    output is k·dim rows (512 here) regardless of corpus size, then
+    re-broadcast — the standard distributed k-means round (what
+    MLlib's KMeans does per iteration). Nothing all-pairs, nothing
+    driver-side except the tiny codebook."""
+    e = _emb(spark, sf_dir)
+    a0 = _ivf_assign(e, _ivf_centroids(e)).select(
+        "vec_id", F.col("cell").alias("cell0")
+    )
+    upd = (
+        e.join(a0, "vec_id")
+        .select("cell0", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell0", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+        .groupBy("cell0")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("ps"))
+        .select(
+            F.col("cell0").alias("cid"),
+            F.transform("ps", lambda s: s["cv"]).alias("cvec"),
+        )
+    )
+    a1 = _ivf_assign(e, upd).select("vec_id", F.col("cell").alias("cell1"))
+    return (
+        a0.join(a1, "vec_id")
+        .select(
+            "vec_id",
+            "cell0",
+            "cell1",
+            (F.col("cell0") != F.col("cell1")).alias("moved"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _assign_sql(cents_cte: str, out_name: str, cell_col: str) -> str:
+    """Assignment CTE pair against an arbitrary (cid, cvec) CTE —
+    the SQL twin of _ivf_assign, parameterized so the k-means oracle
+    reuses it for both the init and the refined codebook."""
+    return f"""
+{out_name}_scored AS (
+  SELECT e.vec_id, c.cid,
+         {_COS_SQL.format(a="e.embedding", b="c.cvec")} AS ccos
+  FROM embeddings e CROSS JOIN {cents_cte} c
+),
+{out_name} AS (
+  SELECT vec_id, cid AS {cell_col} FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid ASC) AS rk
+    FROM {out_name}_scored
+  ) WHERE rk = 1
+)"""
+
+
+_KMEANS_SQL = f"""
+WITH cents0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
+),
+{_assign_sql("cents0", "a0", "cell0")},
+upd AS (
+  SELECT cell0 AS cid, list(cv ORDER BY pos) AS cvec
+  FROM (
+    SELECT cell0, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cv
+    FROM (
+      SELECT a0.cell0,
+             unnest(range(len(e.embedding))) AS pos,
+             unnest(e.embedding) AS v
+      FROM embeddings e JOIN a0 USING (vec_id)
+    )
+    GROUP BY cell0, pos
+  )
+  GROUP BY cell0
+),
+{_assign_sql("upd", "a1", "cell1")}
+SELECT a0.vec_id, a0.cell0, a1.cell1, a0.cell0 != a1.cell1 AS moved
+FROM a0 JOIN a1 USING (vec_id)
+ORDER BY a0.vec_id
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_semdedup_prune": (q_semdedup_prune, _SEMDEDUP_SQL),
@@ -664,4 +759,5 @@ QUERIES = {
     "sim_ann_lsh_buckets": (q_ann_lsh_buckets, _ann_lsh_sql()),
     "sim_embedding_neardup": (q_embedding_neardup_pairs, _neardup_sql()),
     "sim_ivf_topk": (q_ivf_topk, _IVF_SQL),
+    "sim_kmeans_refine": (q_kmeans_refine, _KMEANS_SQL),
 }

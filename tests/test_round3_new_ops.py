@@ -245,3 +245,46 @@ def test_novelty_score_matches_python_reference(spark):
     # docs while unique docs stay at 1.0
     assert any(v == 0.0 for v in novelties)
     assert any(v == 1.0 for v in novelties)
+
+
+def test_kmeans_refine_matches_numpy_reference(spark):
+    import hashlib
+
+    import numpy as np
+
+    from ocr_intern_spark.operators.similarity import IVF_CELLS, q_kmeans_refine
+
+    rows = q_kmeans_refine(spark, SF_DIR).collect()
+    recs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in recs}
+
+    def cos6(a, b):
+        return round(float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 6)
+
+    def assign(cents):
+        out = {}
+        for vid, v in emb.items():
+            best = max(
+                ((cos6(v, c), -cid) for cid, c in cents.items())
+            )
+            out[vid] = -best[1]
+        return out
+
+    by_md5 = sorted(emb, key=lambda vid: hashlib.md5(str(vid).encode()).hexdigest())
+    cents0 = {i: emb[vid] for i, vid in enumerate(by_md5[:IVF_CELLS])}
+    a0 = assign(cents0)
+    cents1 = {}
+    for cid in cents0:
+        members = [emb[vid] for vid, c in a0.items() if c == cid]
+        cents1[cid] = (
+            np.round(np.mean(members, axis=0), 6) if members else cents0[cid]
+        )
+    a1 = assign(cents1)
+    got = {r.vec_id: r for r in rows}
+    assert set(got) == set(emb)
+    for vid in emb:
+        assert got[vid].cell0 == a0[vid], vid
+        assert got[vid].cell1 == a1[vid], vid
+        assert got[vid].moved == (a0[vid] != a1[vid])
+    # refinement is non-vacuous: some vectors change cells
+    assert any(r.moved for r in rows)
