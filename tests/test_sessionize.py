@@ -77,3 +77,65 @@ def test_streaming_session_merges_across_microbatches(spark, tmp_path):
         for r in spark.sql("select * from sess_out").collect()
     }
     assert (1, t0, 3, 6.0) in rows, rows
+
+
+def test_streaming_session_under_rocksdb_state_store(spark, tmp_path):
+    """Same cross-micro-batch merge, but with the RocksDB state store
+    provider — the configuration a 100 TB deployment actually runs
+    (state spills to disk instead of living on the executor heap).
+    Pins that the session-window state round-trips through RocksDB
+    unchanged; conf is restored afterwards so the in-memory default
+    keeps covering the other streaming tests."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        d = tmp_path / "ev"
+        d.mkdir()
+        t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+        def write(i, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "ts": [r[0] for r in rows],
+                        "user_id": [r[1] for r in rows],
+                        "value": [float(r[2]) for r in rows],
+                    }
+                ),
+                str(d / f"part-{i}.parquet"),
+            )
+
+        write(0, [(t0, 1, 1.0), (t0 + dt.timedelta(minutes=10), 1, 2.0)])
+        write(1, [(t0 + dt.timedelta(minutes=20), 1, 3.0),
+                  (t0 + dt.timedelta(hours=4), 99, 0.0)])
+        write(2, [(t0 + dt.timedelta(hours=8), 99, 0.0)])
+
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            sessionize_events(stream, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("sess_rocksdb")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        rows = {
+            (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+            for r in spark.sql("select * from sess_rocksdb").collect()
+        }
+        assert (1, t0, 3, 6.0) in rows, rows
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
