@@ -535,8 +535,247 @@ ORDER BY doc_id
 """
 
 
+# --- C4-style duplicated-span removal ---------------------------------------
+
+SPAN_W = 8  # words per span unit (C4 used three-sentence spans; the
+            # synthetic corpus has no sentence boundaries, so fixed
+            # 8-word segments are the span unit)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring
+    more than once"): the corpus is segmented into non-overlapping
+    SPAN_W-word spans, every span keeps only its FIRST corpus
+    occurrence (minimum (doc_id, pos)), and each document's surviving
+    text is reassembled in original order. Exact duplicate documents
+    collapse to empty; partial overlaps lose only the shared spans.
+
+    Output per doc: (n_spans, n_kept, clean_text). Empty-text docs
+    contribute no spans and are absent (both engines filter them).
+
+    Scale shape: first-occurrence is min(struct(doc_id,pos)) — a
+    map-side-combinable agg on the span key, so a span duplicated a
+    billion times still reduces to one row per partition before the
+    exchange (no window over a hot key); attribution joins that 1-row-
+    per-key frame back on the span STRING (no 64-bit-collision risk,
+    same rule as decontamination); reassembly is ONE doc_id exchange.
+    AQE skew-join splits any residual hot-span partition."""
+    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    nseg = ((F.size(toks) - 1) / SPAN_W).cast("int") + 1
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.array_join(
+                F.slice(toks, i * SPAN_W + 1, SPAN_W), " "
+            ).alias("seg"),
+        ),
+    )
+    s = d.select("doc_id", F.explode(segs).alias("u")).select(
+        "doc_id", F.col("u.pos").alias("pos"), F.col("u.seg").alias("seg")
+    )
+    first = s.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    keep = (F.col("doc_id") == F.col("w.doc_id")) & (
+        F.col("pos") == F.col("w.pos")
+    )
+    return (
+        s.join(first, "seg")
+        .select("doc_id", "pos", "seg", keep.alias("keep"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "seg", "keep"))
+                        ),
+                        lambda u: u["keep"],
+                    ),
+                    lambda u: u["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(
+           list_slice(toks, i * {SPAN_W} + 1, i * {SPAN_W} + {SPAN_W}), ' '
+         ) AS seg
+  FROM base,
+       LATERAL (SELECT unnest(range(0, (len(toks) - 1) // {SPAN_W} + 1)) AS i)
+),
+first AS (
+  SELECT seg, doc_id AS wdoc, pos AS wpos FROM (
+    SELECT seg, doc_id, pos,
+           row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rk
+    FROM segs
+  ) WHERE rk = 1
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN s.doc_id = f.wdoc AND s.pos = f.wpos
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(
+         CASE WHEN s.doc_id = f.wdoc AND s.pos = f.wpos THEN s.seg END,
+         ' ' ORDER BY s.pos), '') AS clean_text
+FROM segs s JOIN first f USING (seg)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
+# --- ExactSubstr-style token-level duplicate removal ------------------------
+
+SUB_L = 8  # window length in words (Lee et al. used 50 BPE tokens;
+           # 8 fits the synthetic doc lengths)
+
+
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-substring removal ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022),
+    token-granular: every OVERLAPPING SUB_L-word window gets a global
+    first-occurrence flag (minimum (doc_id, start), like the C4 span
+    pass but stride 1), and a token is REMOVED iff every window
+    covering it is a later duplicate — so removal boundaries land
+    exactly where the shared substring ends, not at segment edges.
+    Docs shorter than SUB_L words have no windows and keep all tokens.
+
+    Output per doc: (n_tokens, n_removed, clean_text).
+
+    The reference engine has no corpus-level pass at all (per-file
+    loop); this is the "beyond the reference" training-data set.
+
+    Scale shape: stride-1 windows cost SUB_L× the span pass's key
+    volume — the price of token-granular boundaries (Lee et al. pay
+    it with a monolithic suffix array; a shuffle-based engine pays it
+    in exchange bytes). First-occurrence is the same map-side-
+    combinable min(struct) on the window STRING; flag re-assembly is
+    ONE doc_id exchange into a per-doc boolean array; the cover test
+    is then a pure array fold (no per-token rows ever shuffle)."""
+    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    toks_col = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = d.select("doc_id", toks_col.alias("toks"))
+    n = F.size("toks")
+    wins = F.transform(
+        F.sequence(F.lit(0), n - SUB_L),
+        lambda i: F.struct(
+            i.cast("int").alias("start"),
+            F.array_join(F.slice("toks", i + 1, SUB_L), " ").alias("w"),
+        ),
+    )
+    s = (
+        base.where(n >= SUB_L)
+        .select("doc_id", F.explode(wins).alias("u"))
+        .select(
+            "doc_id", F.col("u.start").alias("start"), F.col("u.w").alias("w")
+        )
+    )
+    first = s.groupBy("w").agg(F.min(F.struct("doc_id", "start")).alias("f"))
+    dup = ~(
+        (F.col("doc_id") == F.col("f.doc_id"))
+        & (F.col("start") == F.col("f.start"))
+    )
+    flags = (
+        s.join(first, "w")
+        .select("doc_id", "start", dup.alias("dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("start", "dup"))),
+                lambda u: u["dup"],
+            ).alias("flags")
+        )
+    )
+    j = base.join(flags, "doc_id", "left").select(
+        "doc_id", "toks",
+        F.coalesce("flags", F.array().cast("array<boolean>")).alias("flags"),
+    )
+    nw = F.size("flags")
+
+    def removed(tok_i):
+        lo = F.greatest(tok_i - SUB_L + 1, F.lit(0))
+        hi = F.least(tok_i, nw - 1)
+        cover = F.slice("flags", lo + 1, hi - lo + 1)
+        return (nw > 0) & ~F.array_contains(cover, F.lit(False))
+
+    kept = F.filter(F.sequence(F.lit(0), F.size("toks") - 1),
+                    lambda i: ~removed(i))
+    return j.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("toks", i + 1)), " "
+        ).alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+_SUBSTR_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+wins AS (
+  SELECT doc_id, i AS start,
+         array_to_string(list_slice(toks, i + 1, i + {SUB_L}), ' ') AS w
+  FROM base, LATERAL (SELECT unnest(range(0, len(toks) - {SUB_L} + 1)) AS i)
+  WHERE len(toks) >= {SUB_L}
+),
+first AS (
+  SELECT w, doc_id AS fdoc, start AS fstart FROM (
+    SELECT w, doc_id, start,
+           row_number() OVER (PARTITION BY w ORDER BY doc_id, start) AS rk
+    FROM wins
+  ) WHERE rk = 1
+),
+flags AS (
+  SELECT s.doc_id,
+         list(NOT (s.doc_id = f.fdoc AND s.start = f.fstart)
+              ORDER BY s.start) AS flags
+  FROM wins s JOIN first f USING (w)
+  GROUP BY s.doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(len(b.toks) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(
+         list_transform(kept, j -> b.toks[j + 1]), ' '), '') AS clean_text
+FROM base b LEFT JOIN flags f USING (doc_id),
+     LATERAL (
+       SELECT list_filter(
+                range(0, len(b.toks)),
+                j -> NOT (
+                  coalesce(len(f.flags), 0) > 0
+                  AND NOT list_contains(
+                    list_slice(f.flags,
+                               greatest(j - {SUB_L} + 1, 0) + 1,
+                               least(j, len(f.flags) - 1) + 1),
+                    false)
+                )
+              ) AS kept
+     )
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
+    "text_span_dedup": (q_span_dedup, _SPAN_DEDUP_SQL),
+    "text_substr_dedup": (q_substr_dedup, _SUBSTR_DEDUP_SQL),
     "text_mix_resample": (q_mix_resample, _MIX_RESAMPLE_SQL),
     "text_novelty_score": (q_novelty_score, _NOVELTY_SQL),
     "text_source_mix_weights": (q_source_mix_weights, _MIX_SQL),
