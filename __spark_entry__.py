@@ -162,6 +162,8 @@ def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotated out to make room. Everything else keeps module order between
 # them. Union of r02+r03 rows then covers every registered name.
 _FRONT = [
+    "text_quality_classifier",
+    "text_dsir_select",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",

@@ -772,8 +772,207 @@ ORDER BY b.doc_id
 """
 
 
+# --- model-based quality filtering (fastText-style hashing trick) ----------
+
+QC_BUCKETS = 4096    # hashed feature space (fastText uses 2M; 4096
+                     # exercises real collisions at test scale)
+QC_WSPAN = 2001      # weight quantization: integer milli-units in
+                     # [-1000, 1000] — the logit sum stays in BIGINT
+                     # so the score is bit-portable across engines
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the fastText-classifier shape
+    used by CCNet/LLaMA data pipelines (Joulin et al. 2016 linear
+    classifier + hashing trick): features are unigrams AND adjacent
+    bigrams of the lowercased text, hashed into QC_BUCKETS buckets by
+    the engine-portable FNV-1a-64; each bucket carries an integer
+    milli-weight; a document's logit is the SUM of its gram weights
+    and `keep` is the sign. Weights here are derived deterministically
+    from the bucket id (pmod(fnv('w|'||b), 2001) - 1000) so the oracle
+    can reproduce them — in production they are a trained table
+    broadcast-joined in exactly the same plan position.
+
+    Scale shape: gram explosion is a narrow codegen'd projection
+    (split + zip_with, no UDF); hashing and weight lookup are
+    per-row expressions; the only exchange is the final doc_id
+    hash aggregate with map-side SUM/COUNT partials. Integer logits —
+    no float summation-order hazard between engines."""
+    from ocr_intern_spark.operators.dedup import fnv1a64_spark
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    pairs = F.greatest(n - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, pairs),
+        F.slice(toks, 2, pairs),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g = (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.explode(F.concat(toks, bi)).alias("g"))
+    )
+    bucket = F.expr(f"pmod({fnv1a64_spark('g')}, {QC_BUCKETS})")
+    weight = F.expr(
+        f"pmod({fnv1a64_spark(chr(39) + 'w|' + chr(39) + ' || CAST(b AS STRING)')},"
+        f" {QC_WSPAN}) - 1000"
+    )
+    return (
+        g.select("doc_id", bucket.alias("b"))
+        .select("doc_id", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("w").alias("logit_milli"),
+        )
+        .withColumn("keep", F.col("logit_milli") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _qc_sql() -> str:
+    from ocr_intern_spark.operators.dedup import fnv1a64_duckdb
+
+    fnv_g = fnv1a64_duckdb("g")
+    fnv_w = fnv1a64_duckdb("'w|' || CAST(b AS VARCHAR)")
+    return f"""
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+g AS (SELECT doc_id, unnest(list_concat(t,
+        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+      FROM t),
+bk AS (SELECT doc_id, (({fnv_g} % {QC_BUCKETS}) + {QC_BUCKETS}) % {QC_BUCKETS} AS b
+       FROM g),
+w AS (SELECT doc_id,
+             (({fnv_w} % {QC_WSPAN}) + {QC_WSPAN}) % {QC_WSPAN} - 1000 AS w
+      FROM bk)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(w) AS BIGINT) AS logit_milli,
+       sum(w) > 0 AS keep
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- DSIR-style hashed importance selection ---------------------------------
+
+DSIR_BUCKETS = 1024   # hashed unigram feature space (Xie et al. 2023
+                      # use 10k hashed buckets)
+DSIR_TARGET = "fr"    # the "target domain" sample: the French slice
+                      # stands in for the target corpus (languages are
+                      # the only real distribution shift the synthetic
+                      # corpus carries; sources are homogeneous mixes)
+DSIR_TOPK = 50        # selection budget
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, Data Selection via
+    Importance Resampling): estimate hashed-unigram bucket frequencies
+    on a target-domain sample vs the raw corpus, score every document
+    by how target-like its grams are, keep the top-K. The paper's
+    per-gram log-ratio log(p_t(b)/p_r(b)) is replaced by the
+    SIGN-EQUIVALENT integer cross-multiplication
+    (t_b+1)·R − (r_b+1)·T (Laplace-smoothed, T/R = smoothed totals):
+    linear instead of log so every term and every document score is an
+    exact decimal(38,0)/HUGEINT — bit-portable where a float log-sum
+    is not. Ranking differs from the log form only in term weighting,
+    not per-bucket direction; the selection stays importance-ordered.
+
+    The synthetic corpus's text is language-free word soup, so the
+    per-language function-word phrase bank is appended once,
+    deterministically from the lang label (the repo's probe-injection
+    pattern, same bank as q_langid_ngram) — the SCORER sees only raw
+    hashed tokens and must recover the target slice through the soup.
+
+    Scale shape: bucket stats are ONE hash aggregate over the gram
+    stream (map-side count partials) producing ≤DSIR_BUCKETS rows —
+    broadcast back; scoring is the same narrow gram stream joined to
+    the broadcast bucket table and summed per doc (second corpus scan;
+    persist-or-checkpoint the gram frame to make it one). Top-K is
+    orderBy+limit — TakeOrderedAndProject, per-partition partial
+    top-K, never a full sort. At production scale swap the fixed K
+    for a threshold from approx_percentile(score)."""
+    from ocr_intern_spark.operators.dedup import fnv1a64_spark
+
+    d = _docs(spark, sf_dir)
+    phrase = F.element_at(
+        F.create_map(*[F.lit(x) for kv in LANG_PHRASES.items() for x in kv]),
+        F.col("lang"),
+    )
+    probe = F.concat(F.trim(F.lower(F.col("text"))), F.lit(" "), phrase)
+    g = (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            (F.col("lang") == DSIR_TARGET).alias("is_t"),
+            F.explode(F.split(probe, r"\s+")).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            F.expr(f"pmod({fnv1a64_spark('g')}, {DSIR_BUCKETS})").alias("b"),
+        )
+    )
+    cnt = g.groupBy("b").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(F.col("is_t").cast("bigint")).alias("t_cnt"),
+    )
+    tot = cnt.agg(
+        (F.sum("r_cnt") + DSIR_BUCKETS).alias("R"),
+        (F.sum("t_cnt") + DSIR_BUCKETS).alias("T"),
+    )
+
+    def dec(c):  # decimal(19,0) operands keep the product ≤ 38 digits
+        return c.cast("decimal(19,0)")
+
+    bt = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            dec(F.col("t_cnt") + 1) * dec(F.col("R"))
+            - dec(F.col("r_cnt") + 1) * dec(F.col("T"))
+        ).alias("term"),
+    )
+    return (
+        g.join(F.broadcast(bt), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("term").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )
+
+
+def _dsir_sql() -> str:
+    from ocr_intern_spark.operators.dedup import fnv1a64_duckdb
+
+    fnv_g = fnv1a64_duckdb("g")
+    return f"""
+WITH t AS (SELECT doc_id, lang,
+                  unnest(regexp_split_to_array(
+                    lower(trim(text)) || ' ' || (CASE lang {_PHRASE_CASE} END),
+                    '\\s+')) AS g
+           FROM documents WHERE length(trim(text)) > 0),
+gb AS (SELECT doc_id, lang = '{DSIR_TARGET}' AS is_t,
+              (({fnv_g} % {DSIR_BUCKETS}) + {DSIR_BUCKETS}) % {DSIR_BUCKETS} AS b
+       FROM t),
+cnt AS (SELECT b, count(*) AS r_cnt,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt
+        FROM gb GROUP BY b),
+tot AS (SELECT sum(r_cnt) + {DSIR_BUCKETS} AS R,
+               sum(t_cnt) + {DSIR_BUCKETS} AS T FROM cnt),
+bt AS (SELECT b, CAST(t_cnt + 1 AS HUGEINT) * CAST(R AS HUGEINT)
+                 - CAST(r_cnt + 1 AS HUGEINT) * CAST(T AS HUGEINT) AS term
+       FROM cnt, tot)
+SELECT doc_id, count(*) AS n_grams, sum(term) AS score
+FROM gb JOIN bt USING (b)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {DSIR_TOPK}
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
+    "text_quality_classifier": (q_quality_classifier, _qc_sql()),
+    "text_dsir_select": (q_dsir_select, _dsir_sql()),
     "text_span_dedup": (q_span_dedup, _SPAN_DEDUP_SQL),
     "text_substr_dedup": (q_substr_dedup, _SUBSTR_DEDUP_SQL),
     "text_mix_resample": (q_mix_resample, _MIX_RESAMPLE_SQL),

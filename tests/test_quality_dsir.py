@@ -1,0 +1,129 @@
+"""Pure-Python reference pins for the hashed quality classifier and
+the DSIR-style importance selection. Both also carry hash-exact
+DuckDB oracle rows; these tests pin the SEMANTICS against independent
+Python references (including the FNV-1a-64 fold itself) so the Spark
+implementation and the SQL oracle can't drift together."""
+
+from collections import Counter
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 0x100000001B3
+_MASK = (1 << 64) - 1
+
+
+def _fnv64(s: str) -> int:
+    """FNV-1a-64 over Unicode codepoints (the engine-portable family
+    used by dedup.fnv1a64_spark/_duckdb), as SIGNED 64-bit."""
+    h = _FNV_OFFSET
+    for ch in s:
+        h = ((h ^ ord(ch)) * _FNV_PRIME) & _MASK
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _pmod(x: int, m: int) -> int:
+    return ((x % m) + m) % m
+
+
+def _doc_rows(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "source", "lang")
+        .collect()
+    )
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    from ocr_intern_spark.operators.curation import (
+        QC_BUCKETS,
+        QC_WSPAN,
+        q_quality_classifier,
+    )
+
+    got = {
+        r.doc_id: (r.n_grams, r.logit_milli, r.keep)
+        for r in q_quality_classifier(spark, SF_DIR).collect()
+    }
+    rows = _doc_rows(spark)
+    assert len(got) == sum(1 for r in rows if r.text.strip())
+    for r in sorted(rows, key=lambda r: r.doc_id)[:40]:
+        toks = r.text.strip().lower().split()
+        if not toks:
+            assert r.doc_id not in got
+            continue
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        logit = 0
+        for g in grams:
+            b = _pmod(_fnv64(g), QC_BUCKETS)
+            logit += _pmod(_fnv64(f"w|{b}"), QC_WSPAN) - 1000
+        assert got[r.doc_id] == (len(grams), logit, logit > 0), r.doc_id
+
+
+def test_quality_classifier_keep_is_nonvacuous(spark):
+    from ocr_intern_spark.operators.curation import q_quality_classifier
+
+    rows = q_quality_classifier(spark, SF_DIR).collect()
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
+
+
+def test_dsir_select_matches_python_reference(spark):
+    from ocr_intern_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET,
+        DSIR_TOPK,
+        q_dsir_select,
+    )
+
+    from ocr_intern_spark.operators.curation import LANG_PHRASES
+
+    rows = _doc_rows(spark)
+    r_cnt: Counter = Counter()
+    t_cnt: Counter = Counter()
+    doc_buckets = {}
+    for r in rows:
+        if not r.text.strip():
+            continue
+        toks = (
+            r.text.strip().lower() + " " + LANG_PHRASES[r.lang]
+        ).split()
+        bs = [_pmod(_fnv64(g), DSIR_BUCKETS) for g in toks]
+        doc_buckets[r.doc_id] = bs
+        r_cnt.update(bs)
+        if r.lang == DSIR_TARGET:
+            t_cnt.update(bs)
+    big_r = sum(r_cnt.values()) + DSIR_BUCKETS
+    big_t = sum(t_cnt.values()) + DSIR_BUCKETS
+    term = {
+        b: (t_cnt[b] + 1) * big_r - (r_cnt[b] + 1) * big_t for b in r_cnt
+    }
+    scores = {
+        doc: (len(bs), sum(term[b] for b in bs))
+        for doc, bs in doc_buckets.items()
+    }
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[
+        :DSIR_TOPK
+    ]
+    got = [
+        (r.doc_id, (r.n_grams, int(r.score)))
+        for r in q_dsir_select(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_dsir_target_docs_rank_high(spark):
+    """Docs in the target language are the most target-like corpus
+    members — the selection must be enriched in them far above the
+    corpus base rate (the signal DSIR exists to find)."""
+    from ocr_intern_spark.operators.curation import (
+        DSIR_TARGET,
+        q_dsir_select,
+    )
+
+    rows = _doc_rows(spark)
+    base = sum(1 for r in rows if r.lang == DSIR_TARGET) / len(rows)
+    src = {r.doc_id: r.lang for r in rows}
+    sel = [src[r.doc_id] for r in q_dsir_select(spark, SF_DIR).collect()]
+    frac = sum(1 for s in sel if s == DSIR_TARGET) / len(sel)
+    assert frac > 3 * base, (frac, base)
