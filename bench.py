@@ -46,6 +46,7 @@ HEADLINE = [
     "extract_xycut_order",
     "extract_html_block_classify",
     "text_gopher_repetition",
+    "text_quality_classifier",
 ]
 
 

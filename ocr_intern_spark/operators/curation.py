@@ -914,10 +914,12 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"pmod({fnv1a64_spark('g')}, {DSIR_BUCKETS})").alias("b"),
         )
     )
+    # ≤DSIR_BUCKETS rows — cached so tot and bt don't each re-derive
+    # the full gram scan (Spark shares no subplans across consumers)
     cnt = g.groupBy("b").agg(
         F.count("*").alias("r_cnt"),
         F.sum(F.col("is_t").cast("bigint")).alias("t_cnt"),
-    )
+    ).cache()
     tot = cnt.agg(
         (F.sum("r_cnt") + DSIR_BUCKETS).alias("R"),
         (F.sum("t_cnt") + DSIR_BUCKETS).alias("T"),
