@@ -164,6 +164,7 @@ def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRONT = [
     "text_quality_classifier",
     "text_dsir_select",
+    "extract_table_grid",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",

@@ -268,6 +268,140 @@ ORDER BY doc_id, ord
 """
 
 
+
+
+# --- table-grid cell reconstruction -----------------------------------------
+
+ROW_GAP = 15  # a sorted-y jump above this starts a new table row
+COL_GAP = 50  # a sorted-x jump above this starts a new table column
+
+
+def table_grid(tokens: DataFrame, row_gap: int = ROW_GAP,
+               col_gap: int = COL_GAP) -> DataFrame:
+    """Table-structure recovery over word boxes (the ruling-line-free
+    half of PDF table detection, Kieninger T-Recs-style projection
+    clustering): cluster token y-coordinates into rows and
+    x-coordinates into columns by 1-D gap thresholds, then emit one
+    cell per (row, col) with its text in x order. Input:
+    (doc_id, x, y, text); output: (doc_id, row_id, col_id, cell_text).
+
+    Scale shape: both clusterings are windows over the SAME
+    hashpartitioning(doc_id) — Spark reuses one exchange with two
+    intra-partition sorts; the final (doc_id, row_id, col_id)
+    aggregate is satisfied by the same partitioning (doc_id is a
+    prefix), so the whole operator is ONE shuffle. All-integer
+    coordinates and gap tests — bit-portable."""
+    from pyspark.sql.window import Window
+
+    by_y = Window.partitionBy("doc_id").orderBy("y", "x", "text")
+    by_x = Window.partitionBy("doc_id").orderBy("x", "y", "text")
+    run_y = by_y.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run_x = by_x.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = (
+        tokens.withColumn(
+            "_ny",
+            (
+                F.col("y") - F.coalesce(F.lag("y").over(by_y), F.col("y"))
+                > row_gap
+            ).cast("int"),
+        )
+        .withColumn(
+            "_nx",
+            (
+                F.col("x") - F.coalesce(F.lag("x").over(by_x), F.col("x"))
+                > col_gap
+            ).cast("int"),
+        )
+        .withColumn("row_id", F.sum("_ny").over(run_y))
+        .withColumn("col_id", F.sum("_nx").over(run_x))
+    )
+    cell = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("x", "y", "text"))
+            ),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    return (
+        t.groupBy("doc_id", "row_id", "col_id")
+        .agg(cell.alias("cell_text"))
+        .orderBy("doc_id", "row_id", "col_id")
+    )
+
+
+def q_extract_table_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable table grid: word geometry synthesized natively
+    from the documents table as a 4-row x 6-column table — word i
+    sits at column i%6 (x = col*150 + (i*7)%11) and row i//6
+    (y = row*40 + (i*3)%7). Within-cluster jitter (<=10px x, <=6px y)
+    is far under the gap thresholds; the clustering must recover the
+    grid through it. The DuckDB oracle runs the same 1-D gap
+    clustering as window SQL — integer coordinates end to end."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < p:
+        d = d.repartition(p)
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 24)
+    t = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(toks).alias("i", "text"),
+    ).select(
+        "doc_id",
+        "text",
+        ((F.col("i") % 6) * 150 + (F.col("i") * 7) % 11).alias("x"),
+        ((F.col("i") / 6).cast("int") * 40 + (F.col("i") * 3) % 7).alias("y"),
+    )
+    return table_grid(t)
+
+
+_TABLE_GRID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.i - 1 AS i, u.w AS text
+  FROM (
+    SELECT doc_id,
+           list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 24) AS tl
+    FROM documents
+  ), LATERAL (
+    SELECT unnest(tl) AS w, generate_subscripts(tl, 1) AS i
+  ) u
+),
+geo AS (
+  SELECT doc_id, text,
+         (i % 6) * 150 + (i * 7) % 11 AS x,
+         (i // 6) * 40 + (i * 3) % 7 AS y
+  FROM toks
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN y - coalesce(lag(y) OVER w, y) > {ROW_GAP}
+              THEN 1 ELSE 0 END AS ny,
+         CASE WHEN x - coalesce(lag(x) OVER v, x) > {COL_GAP}
+              THEN 1 ELSE 0 END AS nx
+  FROM geo
+  WINDOW w AS (PARTITION BY doc_id ORDER BY y, x, text),
+         v AS (PARTITION BY doc_id ORDER BY x, y, text)
+),
+cols_clustered AS (
+  SELECT *,
+         sum(ny) OVER (PARTITION BY doc_id ORDER BY y, x, text
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS row_id,
+         sum(nx) OVER (PARTITION BY doc_id ORDER BY x, y, text
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS col_id
+  FROM flagged
+)
+SELECT doc_id, row_id, col_id,
+       array_to_string(list(text ORDER BY x, y, text), ' ') AS cell_text
+FROM cols_clustered
+GROUP BY doc_id, row_id, col_id
+ORDER BY doc_id, row_id, col_id
+"""
+
+
 QUERIES = {
     "extract_xycut_order": (q_xycut_order, _XYCUT_SQL),
+    "extract_table_grid": (q_extract_table_grid, _TABLE_GRID_SQL),
 }
