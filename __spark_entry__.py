@@ -166,6 +166,7 @@ _FRONT = [
     "text_dsir_select",
     "extract_table_grid",
     "sim_pq_adc_recall",
+    "events_state_history",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",

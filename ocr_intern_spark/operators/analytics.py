@@ -852,8 +852,65 @@ ORDER BY cohort_date, day_offset
 """
 
 
+
+
+def q_events_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 state history (the warehouse change-capture shape):
+    per user, consecutive duplicate event_types collapse into one
+    state episode with a validity interval — (user_id, state,
+    effective_from, effective_to NULL-for-current, version). The op
+    every incremental 100 TB dimension build runs after CDC ingest.
+
+    Scale shape: ONE exchange on user_id serves both windows — the
+    change-detection lag and, after the change filter (which
+    preserves partitioning AND sort order, so no re-sort), the lead
+    that closes each interval; version numbers are a running count
+    on the already-filtered rows. No joins, no second shuffle."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.withColumn(
+        "is_change",
+        F.coalesce(
+            F.col("event_type") != F.lag("event_type").over(w), F.lit(True)
+        ),
+    ).where("is_change")
+    return (
+        changed.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("effective_from"),
+            F.lead("ts").over(w).alias("effective_to"),
+            F.row_number().over(w).alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+_STATE_HISTORY_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         coalesce(event_type != lag(event_type) OVER w, true) AS is_change
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (SELECT * FROM flagged WHERE is_change)
+SELECT user_id, event_type AS state,
+       ts AS effective_from,
+       lead(ts) OVER w AS effective_to,
+       CAST(row_number() OVER w AS INT) AS version
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
+    "events_state_history": (q_events_state_history, _STATE_HISTORY_SQL),
     "events_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     "events_by_type": (q_events_by_type, _EVENTS_BY_TYPE_SQL),
     "error_users": (q_error_users, _ERROR_USERS_SQL),
