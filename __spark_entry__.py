@@ -167,6 +167,7 @@ _FRONT = [
     "extract_table_grid",
     "sim_pq_adc_recall",
     "events_state_history",
+    "text_bpe_learn_merges",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",

@@ -1233,8 +1233,141 @@ ORDER BY a, b
 """
 
 
+
+
+# --- BPE merge learning -------------------------------------------------------
+
+BPE_LEARN_ROUNDS = 6  # merges to learn (Sennrich et al. learn 30k;
+                      # the ROUND structure is what matters — see
+                      # the scale note in q_bpe_learn_merges)
+_BPE_SEP = "\x01"    # symbol delimiter inside the fold accumulator
+                      # (never occurs in corpus tokens)
+
+
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units") — the
+    tokenizer-BUILD counterpart of q_bpe_token_stats's tokenizer-APPLY:
+    start from the corpus word-frequency table with words as character
+    sequences; each round counts adjacent symbol pairs weighted by
+    word frequency, adopts the most frequent pair (ties broken
+    lexicographically) as the next merge, and rewrites every word by
+    the greedy left-to-right merge fold. Output: the learned merge
+    table (merge_rank, l, r, pf).
+
+    Engine portability: the greedy rewrite is a delimiter-string fold
+    — append r to the accumulator iff it currently ends with the
+    delimiter + l (so the previous SYMBOL is exactly l), else append
+    delimiter + s. Pure string/integer ops, bit-identical in DuckDB's
+    list_reduce (init emulated by list_prepend, the fnv1a64 pattern).
+
+    Scale shape: the word-frequency agg collapses the corpus once
+    (map-side partials) — every later round runs over the DISTINCT-
+    WORD table, which is orders of magnitude smaller than the corpus;
+    per round: ONE pair-count HashAggregate + TakeOrderedAndProject(1)
+    + a 1-row broadcast back into a narrow rewrite projection. No
+    collect — the adopted pair stays plan-side as a broadcast column,
+    so the whole L-round loop is one lazy DAG (checkpoint every ~10
+    rounds at real merge counts to cap plan depth; at 30k merges
+    production moves the post-agg vocab table to a single partition
+    anyway — it fits — while THIS shape keeps every round distributed
+    and skew-free)."""
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+    )
+
+    def pair_counts(v: DataFrame) -> DataFrame:
+        n = F.size("syms")
+        z = F.zip_with(
+            F.slice("syms", 1, F.greatest(n - 1, F.lit(0))),
+            F.slice("syms", 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        return (
+            v.select(F.explode(z).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pf"))
+        )
+
+    merges = []
+    cur = vocab
+    for k in range(BPE_LEARN_ROUNDS):
+        best = pair_counts(cur).orderBy(F.desc("pf"), "l", "r").limit(1)
+        merges.append(
+            best.select(F.lit(k + 1).alias("merge_rank"), "l", "r", "pf")
+        )
+        folded = F.aggregate(
+            "syms",
+            F.lit(""),
+            lambda acc, s: F.when(
+                acc.endswith(F.concat(F.lit(_BPE_SEP), F.col("l")))
+                & (s == F.col("r")),
+                F.concat(acc, s),
+            ).otherwise(F.concat(acc, F.lit(_BPE_SEP), s)),
+        )
+        cur = cur.crossJoin(F.broadcast(best.select("l", "r"))).select(
+            F.filter(F.split(folded, _BPE_SEP), lambda x: x != "").alias(
+                "syms"
+            ),
+            "freq",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_learn_round_sql(k: int) -> str:
+    return f"""
+pairs{k} AS (
+  SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS pf
+  FROM (
+    SELECT unnest(list_zip(list_slice(syms, 1, len(syms)-1),
+                           list_slice(syms, 2, len(syms)))) AS p, freq
+    FROM vocab{k} WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+),
+best{k} AS (SELECT {k + 1} AS merge_rank, l, r, pf FROM pairs{k}
+            ORDER BY pf DESC, l, r LIMIT 1),
+vocab{k + 1} AS (
+  SELECT list_filter(string_split(
+           list_reduce(list_prepend('', syms),
+             (acc, s) -> CASE WHEN ends_with(acc, chr(1) || b.l) AND s = b.r
+                         THEN acc || s ELSE acc || chr(1) || s END),
+           chr(1)), x -> x != '') AS syms, freq
+  FROM vocab{k}, best{k} b
+)"""
+
+
+def _bpe_learn_sql() -> str:
+    rounds = ",".join(
+        _bpe_learn_round_sql(k)[1:] for k in range(BPE_LEARN_ROUNDS)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM best{k}" for k in range(BPE_LEARN_ROUNDS)
+    )
+    return f"""
+WITH vocab0 AS (
+  SELECT string_split(w, '') AS syms, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE w != '' GROUP BY w
+),{rounds}
+SELECT CAST(merge_rank AS INT) AS merge_rank, l, r, pf
+FROM ({union}) ORDER BY merge_rank
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
+    "text_bpe_learn_merges": (q_bpe_learn_merges, _bpe_learn_sql()),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
     "text_quality_score": (q_quality_score, _QUALITY_SQL),
     "text_corpus_filter_funnel": (q_corpus_filter_funnel, _FUNNEL_SQL),
