@@ -168,6 +168,7 @@ _FRONT = [
     "sim_pq_adc_recall",
     "events_state_history",
     "text_bpe_learn_merges",
+    "sim_hard_negatives",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",

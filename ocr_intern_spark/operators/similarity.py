@@ -980,8 +980,101 @@ ORDER BY qid
 """
 
 
+
+
+# --- contrastive training-pair mining ----------------------------------------
+
+NEG_QMOD = 25   # vec_id % NEG_QMOD == 0 → anchor
+NEG_K = 3       # hard negatives per anchor
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair construction (the batch-mining shape
+    behind SimCSE/DPR-style training): per anchor, the single nearest
+    SAME-label vector becomes the positive and the NEG_K nearest
+    DIFFERENT-label vectors the hard negatives — the highest-loss
+    negatives an in-batch sampler would miss. Output one row per
+    selected pair: (anchor, kind 'pos'|'neg', rk, other, cos).
+
+    Scale shape: anchors are a small broadcast (per training batch);
+    scoring is a narrow codegen'd projection over the corpus; the two
+    window ranks share ONE exchange on anchor. At full-corpus anchor
+    counts this becomes the blocked kNN (q_ivf_topk / neardup band
+    shapes) with the same window tail — this query pins the exact
+    semantics. Cosines rounded to 6 with id tie-breaks (the repo's
+    float-portability discipline)."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    anchors = e.where(F.col("vec_id") % NEG_QMOD == 0).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("embedding").alias("aemb"),
+        F.col("label").alias("albl"),
+    )
+    scored = (
+        e.join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor"))
+        .select(
+            "anchor",
+            F.col("vec_id").alias("other"),
+            (F.col("label") == F.col("albl")).alias("same"),
+            F.round(cosine(F.col("embedding"), F.col("aemb")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    wp = Window.partitionBy("anchor", "same").orderBy(
+        F.desc("cos"), F.asc("other")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(wp))
+    pos = ranked.where(F.col("same") & (F.col("rk") == 1))
+    neg = ranked.where(~F.col("same") & (F.col("rk") <= NEG_K))
+    return (
+        pos.unionAll(neg)
+        .select(
+            "anchor",
+            F.when(F.col("same"), F.lit("pos")).otherwise(F.lit("neg")).alias(
+                "kind"
+            ),
+            "rk",
+            "other",
+            "cos",
+        )
+        .orderBy("anchor", "kind", "rk")
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor, embedding AS aemb, label AS albl
+  FROM embeddings WHERE vec_id % {NEG_QMOD} = 0
+),
+scored AS (
+  SELECT a.anchor, e.vec_id AS other, e.label = a.albl AS same,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, a.aemb),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * v)))
+              * sqrt(list_sum(list_transform(a.aemb, v -> CAST(v AS DOUBLE) * v)))),
+           6) AS cos
+  FROM embeddings e JOIN anchors a ON e.vec_id != a.anchor
+),
+ranked AS (
+  SELECT anchor, other, same, cos,
+         CAST(row_number() OVER (PARTITION BY anchor, same
+                                 ORDER BY cos DESC, other ASC) AS INT) AS rk
+  FROM scored
+)
+SELECT anchor, CASE WHEN same THEN 'pos' ELSE 'neg' END AS kind,
+       rk, other, cos
+FROM ranked
+WHERE (same AND rk = 1) OR (NOT same AND rk <= {NEG_K})
+ORDER BY anchor, kind, rk
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    "sim_hard_negatives": (q_hard_negatives, _HARD_NEG_SQL),
     "sim_pq_adc_recall": (q_pq_adc_recall, _PQ_RECALL_SQL),
     "sim_semdedup_prune": (q_semdedup_prune, _SEMDEDUP_SQL),
     "sim_knn_join_topk": (q_knn_join_topk, _KNN_JOIN_SQL),
