@@ -169,6 +169,7 @@ _FRONT = [
     "events_state_history",
     "text_bpe_learn_merges",
     "sim_hard_negatives",
+    "text_gopher_quality_flags",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",

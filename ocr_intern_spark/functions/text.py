@@ -1365,8 +1365,90 @@ FROM ({union}) ORDER BY merge_rank
 """
 
 
+
+
+# --- Gopher quality-signal flags ---------------------------------------------
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality signals (Rae et al. 2021 §A1.1, the
+    non-repetition half — repetition is q_gopher_repetition): word
+    count in [50, 100k]; mean word length in [3, 10]; ≥80% of words
+    contain an alphabetic character; at least two occurrences of the
+    paper's eight English stop words (occurrence count, the
+    datatrove/Dolma reading). All thresholds are the paper's.
+
+    Every rational test is an integer CROSS-MULTIPLICATION
+    (3·nw ≤ chars ≤ 10·nw; 5·n_alpha ≥ 4·nw) — no division, no float,
+    bit-portable by construction. One narrow codegen pass, zero
+    exchanges beyond the output sort."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    nw = F.size(toks)
+    chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stops_lit = F.array(*[F.lit(w) for w in GOPHER_STOPS])
+    n_stops = F.size(
+        F.filter(toks, lambda t: F.array_contains(stops_lit, t))
+    )
+    out = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        nw.alias("n_words"),
+        ((nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)).alias(
+            "word_count_ok"
+        ),
+        ((chars >= 3 * nw) & (chars <= 10 * nw)).alias("mean_word_len_ok"),
+        (5 * n_alpha >= 4 * nw).alias("alpha_word_ok"),
+        (n_stops >= 2).alias("stop_word_ok"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("word_count_ok")
+        & F.col("mean_word_len_ok")
+        & F.col("alpha_word_ok")
+        & F.col("stop_word_ok"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS nw,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS chars,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS n_alpha,
+         len(list_filter(toks,
+             x -> list_contains({GOPHER_STOPS!r}, x))) AS n_stops
+  FROM t
+)
+SELECT doc_id, nw AS n_words,
+       nw >= {GOPHER_MIN_WORDS} AND nw <= {GOPHER_MAX_WORDS}
+         AS word_count_ok,
+       chars >= 3 * nw AND chars <= 10 * nw AS mean_word_len_ok,
+       5 * n_alpha >= 4 * nw AS alpha_word_ok,
+       n_stops >= 2 AS stop_word_ok,
+       (nw >= {GOPHER_MIN_WORDS} AND nw <= {GOPHER_MAX_WORDS})
+         AND (chars >= 3 * nw AND chars <= 10 * nw)
+         AND (5 * n_alpha >= 4 * nw)
+         AND (n_stops >= 2) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
+    "text_gopher_quality_flags": (q_gopher_quality_flags, _GOPHER_QUALITY_SQL),
     "text_bpe_learn_merges": (q_bpe_learn_merges, _bpe_learn_sql()),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
     "text_quality_score": (q_quality_score, _QUALITY_SQL),

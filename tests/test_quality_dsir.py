@@ -127,3 +127,53 @@ def test_dsir_target_docs_rank_high(spark):
     sel = [src[r.doc_id] for r in q_dsir_select(spark, SF_DIR).collect()]
     frac = sum(1 for s in sel if s == DSIR_TARGET) / len(sel)
     assert frac > 3 * base, (frac, base)
+
+
+def test_gopher_quality_flags_matches_python_reference(spark):
+    import re
+
+    from ocr_intern_spark.functions.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPS,
+        q_gopher_quality_flags,
+    )
+
+    got = {
+        r.doc_id: (
+            r.n_words, r.word_count_ok, r.mean_word_len_ok,
+            r.alpha_word_ok, r.stop_word_ok, r.keep,
+        )
+        for r in q_gopher_quality_flags(spark, SF_DIR).collect()
+    }
+    rows = _doc_rows(spark)
+    assert len(got) == sum(1 for r in rows if r.text.strip())
+    seen_keep = set()
+    for r in rows:
+        toks = r.text.strip().lower().split()
+        if not toks:
+            continue
+        nw = len(toks)
+        chars = sum(len(t) for t in toks)
+        n_alpha = sum(1 for t in toks if re.search("[a-zA-Z]", t))
+        n_stops = sum(1 for t in toks if t in GOPHER_STOPS)
+        want = (
+            nw,
+            GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS,
+            3 * nw <= chars <= 10 * nw,
+            5 * n_alpha >= 4 * nw,
+            n_stops >= 2,
+        )
+        want = want + (all(want[1:]),)
+        assert got[r.doc_id] == want, r.doc_id
+        seen_keep.add(want[1])
+    assert seen_keep == {True, False}  # word-count rule is non-vacuous
+    # the sf0.001 soup contains no stop words at all, so overall keep
+    # only varies at sf0.01 — pin the non-vacuity there
+    big = {
+        r.keep
+        for r in q_gopher_quality_flags(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert big == {True, False}
