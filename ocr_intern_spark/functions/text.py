@@ -1446,8 +1446,99 @@ FROM m ORDER BY doc_id
 """
 
 
+
+
+# --- all-pairs TF-IDF cosine similarity join -----------------------------------
+
+ALLPAIRS_TAU = 0.5   # cosine threshold for emitted pairs
+ALLPAIRS_MAX_DF = 100  # inverted-index skew cut: words in more docs
+                       # than this leave the index (their idf weight
+                       # is negligible and their postings lists are
+                       # exactly the quadratic blowup)
+
+
+def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity search (Bayardo et al., WWW 2007): every
+    document pair whose TF-IDF cosine meets ALLPAIRS_TAU — the
+    real-valued companion to the set-based near-dup ops (n-gram
+    Jaccard, winnowing): those catch copies; weighted cosine catches
+    topical near-duplicates that share RARE vocabulary.
+
+    Scale shape: candidate pairs come from an inverted-index
+    self-join on words (never all-pairs), with the ngram-Jaccard
+    skew cut — words with df > ALLPAIRS_MAX_DF leave the index,
+    which is simultaneously the posting-list blowup guard and a
+    weight-floor (their idf ≈ 0). Per-word partial dot products are
+    map-side combinable into the per-pair sum. Bayardo's prefix
+    filter is the literature refinement of the same index (sort
+    features by weight, index only the prefix that can still reach
+    τ); the df cut is its blunt, skew-proof first approximation.
+    Cosines rounded to 6 and THEN thresholded in both engines, so no
+    float boundary can disagree."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).where(F.length("w") > 0)
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n"))
+    wt = (
+        tf.join(df.where(F.col("df") <= ALLPAIRS_MAX_DF), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "w",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
+        )
+    )
+    norm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    u = wt.join(norm, "doc_id").select(
+        "doc_id", "w", (F.col("wt") / F.col("nrm")).alias("u")
+    )
+    a = u.select(F.col("doc_id").alias("a"), "w", F.col("u").alias("ua"))
+    b = u.select(F.col("doc_id").alias("b"), "w", F.col("u").alias("ub"))
+    return (
+        a.join(b, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6).alias("cos"))
+        .where(F.col("cos") >= ALLPAIRS_TAU)
+        .orderBy("a", "b")
+    )
+
+
+_ALLPAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w
+       HAVING count(*) <= {ALLPAIRS_MAX_DF}),
+n_docs AS (SELECT count(*) AS n FROM documents),
+wt AS (
+  SELECT doc_id, w, tf * ln(CAST(n AS DOUBLE) / df) AS wt
+  FROM tf JOIN df USING (w), n_docs
+),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY doc_id),
+u AS (SELECT doc_id, w, wt / nrm AS u FROM wt JOIN nrm USING (doc_id))
+SELECT x.doc_id AS a, y.doc_id AS b,
+       round(sum(x.u * y.u), 6) AS cos
+FROM u x JOIN u y ON x.w = y.w AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING round(sum(x.u * y.u), 6) >= {ALLPAIRS_TAU}
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
+    "text_allpairs_cosine": (q_allpairs_cosine, _ALLPAIRS_SQL),
     "text_gopher_quality_flags": (q_gopher_quality_flags, _GOPHER_QUALITY_SQL),
     "text_bpe_learn_merges": (q_bpe_learn_merges, _bpe_learn_sql()),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
