@@ -170,6 +170,7 @@ _FRONT = [
     "text_bpe_learn_merges",
     "sim_hard_negatives",
     "text_gopher_quality_flags",
+    "text_allpairs_cosine",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",
