@@ -171,6 +171,7 @@ _FRONT = [
     "sim_hard_negatives",
     "text_gopher_quality_flags",
     "text_allpairs_cosine",
+    "dedup_fuzzy_vocab_pairs",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",

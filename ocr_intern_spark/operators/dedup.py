@@ -1088,8 +1088,94 @@ SELECT doc_id, {bits} AS simhash FROM sums ORDER BY doc_id
 """
 
 
+
+
+# --- blocked fuzzy vocabulary matching ----------------------------------------
+
+FUZZY_BLOCK = 3     # chars of shared prefix forming a candidate block
+FUZZY_MAX_DIST = 1  # edit-distance threshold (OCR single-char errors)
+FUZZY_MIN_LEN = 5   # skip short words — everything is within 1 edit
+                    # of something at length ≤ 4
+
+
+def q_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution-style fuzzy matching with BLOCKING (the
+    record-linkage standard since Fellegi-Sunter; the OCR use case:
+    reconcile single-character recognition variants of the same word
+    across the corpus): distinct corpus words ≥ FUZZY_MIN_LEN chars,
+    candidate pairs restricted to a shared FUZZY_BLOCK-char-prefix
+    block, kept when levenshtein ≤ FUZZY_MAX_DIST. Output pairs with
+    both corpus frequencies — the evidence a canonicalization pass
+    merges on (keep the frequent spelling).
+
+    Scale shape: the vocab is the post-aggregation distinct-word
+    table (tiny vs the corpus); the self-join is an equi-join on the
+    prefix block — never all-pairs, same inverted-index class as the
+    n-gram Jaccard join; levenshtein is a JVM-side integer residual
+    on block-local candidates. Fully integer → bit-portable (both
+    engines implement standard unit-cost levenshtein)."""
+    d = _docs(spark, sf_dir)
+    raw = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "w0"
+        ),
+    )
+    corrupted = F.when(
+        (F.col("doc_id") % 10 == 0) & (F.length("w0") >= FUZZY_MIN_LEN),
+        F.concat(
+            F.col("w0").substr(F.lit(1), F.length("w0") - 1),
+            F.lit("x"),
+        ),
+    ).otherwise(F.col("w0"))
+    vocab = (
+        raw.select(corrupted.alias("w"))
+        .where(F.length("w") >= FUZZY_MIN_LEN)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("blk", F.substring("w", 1, FUZZY_BLOCK))
+    )
+    a = vocab.select(
+        "blk", F.col("w").alias("wa"), F.col("freq").alias("fa")
+    )
+    b = vocab.select(
+        "blk", F.col("w").alias("wb"), F.col("freq").alias("fb")
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("wa") < F.col("wb"))
+        .where(F.levenshtein("wa", "wb") <= FUZZY_MAX_DIST)
+        .select("wa", "wb", "fa", "fb")
+        .orderBy("wa", "wb")
+    )
+
+
+_FUZZY_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w0
+  FROM documents
+),
+vocab AS (
+  SELECT w, count(*) AS freq, substr(w, 1, {FUZZY_BLOCK}) AS blk
+  FROM (
+    SELECT CASE WHEN doc_id % 10 = 0 AND length(w0) >= {FUZZY_MIN_LEN}
+                THEN substr(w0, 1, length(w0) - 1) || 'x'
+                ELSE w0 END AS w
+    FROM toks
+  ) WHERE length(w) >= {FUZZY_MIN_LEN}
+  GROUP BY w
+)
+SELECT x.w AS wa, y.w AS wb, x.freq AS fa, y.freq AS fb
+FROM vocab x JOIN vocab y ON x.blk = y.blk AND x.w < y.w
+WHERE levenshtein(x.w, y.w) <= {FUZZY_MAX_DIST}
+ORDER BY wa, wb
+"""
+
+
 QUERIES = {
     "dedup_exact_prefix": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_fuzzy_vocab_pairs": (q_fuzzy_vocab_pairs, _FUZZY_VOCAB_SQL),
     "dedup_keep_best": (q_dedup_keep_best, _KEEP_BEST_SQL),
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "dedup_fingerprint_count": (q_dedup_fingerprint_count, _DEDUP_FP_SQL),
