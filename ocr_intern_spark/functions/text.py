@@ -1474,7 +1474,10 @@ def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     features by weight, index only the prefix that can still reach
     τ); the df cut is its blunt, skew-proof first approximation.
     Cosines rounded to 6 and THEN thresholded in both engines, so no
-    float boundary can disagree."""
+    float boundary can disagree. The unit-vector postings frame is
+    consumed twice by the self-join (Spark shares no subplans) — at
+    production scale it is written once as the index table and both
+    sides read it (the ngram-Jaccard cache→checkpoint-table swap)."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id",
