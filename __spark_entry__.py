@@ -172,6 +172,7 @@ _FRONT = [
     "text_gopher_quality_flags",
     "text_allpairs_cosine",
     "dedup_fuzzy_vocab_pairs",
+    "dedup_split_leakage_safe",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",

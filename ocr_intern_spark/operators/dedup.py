@@ -1173,8 +1173,76 @@ ORDER BY wa, wb
 """
 
 
+
+
+# --- leakage-safe train/val/test split -----------------------------------------
+
+SPLIT_TRAIN_BUCKETS = 8   # md5(root) % 10: 0-7 train, 8 val, 9 test
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset splitting: train/val/test assignment is a
+    deterministic md5 draw on the DUPLICATE-CLUSTER root, not the
+    doc — so near-duplicates can never straddle a split boundary (the
+    classic eval-contamination bug: a test doc whose near-copy sits
+    in train). Clusters come from the same Jaccard≥0.5 connected
+    components as q_dup_clusters; unclustered docs are their own
+    singleton root.
+
+    Scale shape: the CC stage is the documented iterative recipe
+    (only a convergence scalar reaches the driver); the cluster table
+    is tiny relative to the corpus (only duplicated docs appear) and
+    joins back as the build side; the split draw is a narrow
+    projection on the root. Deterministic across runs, engines,
+    partition layouts, and cluster sizes — same md5-bucket discipline
+    as q_deterministic_sample."""
+    d = _docs(spark, sf_dir)
+    clusters = connected_components(
+        q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    )
+    root = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    draw = (
+        F.conv(F.substring(F.md5(root.cast("string")), 1, 6), 16, 10)
+        .cast("bigint") % 10
+    )
+    return (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            root.alias("root"),
+            F.when(draw < SPLIT_TRAIN_BUCKETS, F.lit("train"))
+            .when(draw == SPLIT_TRAIN_BUCKETS, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPLIT_SQL = f"""
+WITH cl AS ({_DUP_CLUSTERS_SQL}),
+assigned AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS root
+  FROM documents d LEFT JOIN cl USING (doc_id)
+)
+SELECT doc_id, root,
+       CASE WHEN draw < {SPLIT_TRAIN_BUCKETS} THEN 'train'
+            WHEN draw = {SPLIT_TRAIN_BUCKETS} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, root,
+         CAST(('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 10 AS draw
+  FROM assigned
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_prefix": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_split_leakage_safe": (q_split_leakage_safe, _SPLIT_SQL),
     "dedup_fuzzy_vocab_pairs": (q_fuzzy_vocab_pairs, _FUZZY_VOCAB_SQL),
     "dedup_keep_best": (q_dedup_keep_best, _KEEP_BEST_SQL),
     "dedup_simhash": (q_simhash, _simhash_sql()),
