@@ -207,6 +207,56 @@ def stream_dedup_exact(
     )
 
 
+HH_TOKENS_DDL = "tok string"
+HH_OUT_DDL = "tok string, count long"
+_HH_STATE_DDL = "count long, promoted boolean"
+
+
+def stream_heavy_hitters(
+    toks: DataFrame, min_count: int, idle_timeout_ms: int = 600_000
+) -> DataFrame:
+    """Streaming heavy-hitter PROMOTION tracking
+    (`applyInPandasWithState`): per-key running counts across
+    micro-batches; a key is emitted exactly once, the moment its
+    cumulative count crosses ``min_count`` — the ingest-side trigger
+    for hot-key mitigation (salt it, block it, or alert) long before
+    any batch aggregation would notice. The batch-side counterpart is
+    the count-min sketch (test_count_min.py); this is the exact,
+    keyed, incremental variant.
+
+    Scale/state bounds: state per key is TWO scalars (count, promoted
+    flag); idle keys decay via processing-time timeout, so total state
+    tracks the ACTIVE key set, not the stream's full history — the
+    same bounded-state discipline as dropDuplicatesWithinWatermark.
+    Keys are hash-distributed by tok; at 100 TB/day the state store
+    runs under RocksDB (see test_sessionize's provider pin)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        tok = key[0]
+        if state.hasTimedOut:
+            state.remove()  # decay: idle key leaves the store
+            return
+        cnt, promoted = state.get if state.exists else (0, False)
+        for pdf in pdfs:
+            cnt += len(pdf)
+        emit = not promoted and cnt >= min_count
+        state.update((cnt, bool(promoted or emit)))
+        state.setTimeoutDuration(idle_timeout_ms)
+        if emit:
+            yield pd.DataFrame({"tok": [tok], "count": [cnt]})
+
+    return toks.groupBy("tok").applyInPandasWithState(
+        fn,
+        outputStructType=HH_OUT_DDL,
+        stateStructType=_HH_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def sessionize_events(
     events: DataFrame,
     gap: str = "30 minutes",
