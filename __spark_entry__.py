@@ -173,6 +173,7 @@ _FRONT = [
     "text_allpairs_cosine",
     "dedup_fuzzy_vocab_pairs",
     "dedup_split_leakage_safe",
+    "graph_provenance_rank",
     "text_span_dedup",
     "text_substr_dedup",
     "text_gopher_repetition",
