@@ -23,6 +23,7 @@ from ocr_intern_spark.operators import (
     dedup,
     extract_queries,
     layout,
+    retrieval,
     similarity,
     temporal,
 )
@@ -31,7 +32,7 @@ from ocr_intern_spark.sources.corpus import stub_ocr_tokens
 
 _MODULES = (
     extract_queries, analytics, dedup, similarity, text_q, temporal, layout,
-    curation,
+    curation, retrieval,
 )
 
 
@@ -162,6 +163,10 @@ def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotated out to make room. Everything else keeps module order between
 # them. Union of r02+r03 rows then covers every registered name.
 _FRONT = [
+    "text_bm25_search",
+    "text_pmi_collocations",
+    "events_funnel",
+    "graph_label_propagation",
     "text_quality_classifier",
     "text_dsir_select",
     "extract_table_grid",
@@ -196,9 +201,6 @@ _FRONT = [
     "events_asof_plan",
     "error_session_attribution",
     "extract_full_pipeline",
-    "extract_template_fields",
-    "extract_template_fields_auto",
-    "export_fanout",
     "extract_doc_confidence",
     "extract_xycut_order",
     "text_decontaminate_flags",
@@ -211,6 +213,14 @@ _FRONT = [
     "text_langid_ngram",
     "text_quality_curriculum_bins",
     "sim_int8_quant_recall",
+    # 103 registered names vs a 50-row driver window per round means 3
+    # can't get a driver row from the r02+r03 union; the 3 sacrificed
+    # are rows-only entries (no oracle SQL — their driver row would
+    # only assert "ran, ≥0 rows") that the golden pytest suite already
+    # pins by exact equality against the pure-Python oracle:
+    "extract_template_fields",
+    "extract_template_fields_auto",
+    "export_fanout",
 ]
 _BACK = [
     "sim_ann_lsh_buckets",

@@ -908,8 +908,106 @@ ORDER BY user_id, version
 """
 
 
+# --- ordered conversion funnel ---------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_HORIZON_S = 86400  # stage-k event must land within 24 h of
+                          # stage k-1 (without a horizon every heavy
+                          # user in the corpus completes all stages —
+                          # degenerate at every sf)
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    reaches stage k only via an event at or after their stage-(k-1)
+    entry time AND within FUNNEL_HORIZON_S of it (the strict-ordering
+    + conversion-window semantics of product-analytics funnels, not
+    mere set intersection — users_click_and_error covers that).
+    Output: one row per stage with the user count and the conversion
+    rate from the previous stage.
+
+    Scale shape: ONE hash exchange on user_id; per-user stage entry
+    times come from sorted per-type timestamp arrays built by a single
+    collect_list aggregate (map-side partial), then pure array
+    higher-order functions (`array_min(filter(ts, t >= prev))`) — no
+    second scan, no self-join, no window over the raw event stream.
+    Per-user state is bounded by that user's event count; for
+    pathological fan-in (a bot with 10^8 events) swap to the two-pass
+    conditional-min form (agg stage-1 time, join back, agg stage-2)
+    at the cost of one extra exchange — stated, not hidden. The final
+    3-row funnel is a driver-side-free single-row aggregate unpivoted
+    with a literal stack."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == s, F.col("ts"))
+                )
+            ).alias(f"ts_{s}")
+            for s in _FUNNEL_STAGES
+        ]
+    )
+    horizon = F.expr(f"INTERVAL {FUNNEL_HORIZON_S} SECOND")
+    t1 = F.try_element_at(F.col("ts_view"), F.lit(1))
+    t2 = F.array_min(
+        F.filter("ts_click", lambda t: (t >= t1) & (t <= t1 + horizon))
+    )
+    t3 = F.array_min(
+        F.filter("ts_purchase", lambda t: (t >= t2) & (t <= t2 + horizon))
+    )
+    counts = per_user.agg(
+        F.count(t1).alias("n1"),
+        F.count(t2).alias("n2"),
+        F.count(t3).alias("n3"),
+    )
+    stacked = counts.select(
+        F.expr(
+            "stack(3, "
+            "'1_view', n1, CAST(NULL AS DOUBLE), "
+            "'2_click', n2, CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END, "
+            "'3_purchase', n3, CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END"
+            ") AS (stage, users, conv_from_prev)"
+        )
+    )
+    return stacked.orderBy("stage")
+
+
+_FUNNEL_EVENTS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS ts_view,
+         list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS ts_click,
+         list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS ts_purchase
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT t1, t2,
+         list_min(list_filter(ts_purchase,
+           t -> t >= t2 AND t <= t2 + INTERVAL {FUNNEL_HORIZON_S} SECOND)) AS t3
+  FROM (
+    SELECT ts_purchase, t1,
+           list_min(list_filter(ts_click,
+             t -> t >= t1 AND t <= t1 + INTERVAL {FUNNEL_HORIZON_S} SECOND)) AS t2
+    FROM (SELECT ts_click, ts_purchase, ts_view[1] AS t1 FROM per_user)
+  )
+),
+counts AS (
+  SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM staged
+)
+SELECT stage, users, conv_from_prev FROM (
+  SELECT '1_view' AS stage, n1 AS users, CAST(NULL AS DOUBLE) AS conv_from_prev FROM counts
+  UNION ALL
+  SELECT '2_click', n2, CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END FROM counts
+  UNION ALL
+  SELECT '3_purchase', n3, CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END FROM counts
+) ORDER BY stage
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
+    "events_funnel": (q_events_funnel, _FUNNEL_EVENTS_SQL),
     "events_state_history": (q_events_state_history, _STATE_HISTORY_SQL),
     "events_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     "events_by_type": (q_events_by_type, _EVENTS_BY_TYPE_SQL),

@@ -1073,9 +1073,95 @@ SELECT doc_id, round(pr, 6) AS pr FROM r{PR_ROUNDS} ORDER BY doc_id
 """
 
 
+# --- label propagation communities ------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    over the UNDIRECTED gram-sharing provenance graph: every node
+    starts labeled with its own doc_id; each round it adopts the modal
+    label among its neighbors PLUS itself, ties broken toward the
+    smaller label — the deterministic variant (plain LPA breaks ties
+    randomly, which no oracle can replay). Communities are a coarser,
+    cheaper grouping signal than connected components when near-dup
+    galaxies are chained through weak bridges: LPA stops label bleed
+    at sparse cuts instead of flooding the whole component.
+
+    Scale shape: each round is ONE edges→labels hash join + one
+    (node, label) count aggregate + one per-node top-1 window — the
+    same per-round cost as q_provenance_rank, lazily unrolled for
+    LPA_ROUNDS with the same checkpoint-every-~10-rounds recipe at
+    real iteration counts. The self-vote rides the label frame
+    (unionByName — no extra scan); isolated documents therefore keep
+    their own label without a left join. Integer-only state: no float
+    portability concerns."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    g = _grams(d)
+    first = g.groupBy("g").agg(F.min("doc_id").alias("src"))
+    dir_e = (
+        g.join(first, "g")
+        .where(F.col("doc_id") != F.col("src"))
+        .select(F.col("doc_id").alias("a"), F.col("src").alias("b"))
+        .distinct()
+    )
+    edges = dir_e.unionByName(
+        dir_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().cache()  # reused every round; checkpoint table at scale
+    lab = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(LPA_ROUNDS):
+        nbr = edges.join(
+            lab.select(F.col("doc_id").alias("b"), "label"), "b"
+        ).select("a", "label")
+        votes = nbr.unionByName(
+            lab.select(F.col("doc_id").alias("a"), "label")
+        )
+        cnt = votes.groupBy("a", "label").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("a").orderBy(F.desc("cnt"), "label")
+        lab = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("a").alias("doc_id"), "label")
+        )
+    return lab.orderBy("doc_id")
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(LPA_ROUNDS):
+        rounds.append(f"""
+l{k + 1} AS (
+  SELECT a AS doc_id, label FROM (
+    SELECT a, label,
+           row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label) AS rk
+    FROM (
+      SELECT a, label, count(*) AS cnt FROM (
+        SELECT e.a, p.label FROM edges e JOIN {prev} p ON p.doc_id = e.b
+        UNION ALL SELECT doc_id AS a, label FROM {prev}
+      ) GROUP BY a, label
+    )
+  ) WHERE rk = 1
+)""")
+        prev = f"l{k + 1}"
+    return f"""
+WITH grams AS ({_GRAMS_SQL}),
+first AS (SELECT g, min(doc_id) AS src FROM grams GROUP BY g),
+de AS (SELECT DISTINCT gr.doc_id AS a, f.src AS b
+       FROM grams gr JOIN first f USING (g) WHERE gr.doc_id != f.src),
+edges AS (SELECT a, b FROM de UNION SELECT b, a FROM de),
+l0 AS (SELECT doc_id, doc_id AS label FROM documents),{",".join(x[1:] for x in rounds)}
+SELECT doc_id, label FROM l{LPA_ROUNDS} ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
     "graph_provenance_rank": (q_provenance_rank, _provenance_sql()),
+    "graph_label_propagation": (q_label_propagation, _lpa_sql()),
     "text_quality_classifier": (q_quality_classifier, _qc_sql()),
     "text_dsir_select": (q_dsir_select, _dsir_sql()),
     "text_span_dedup": (q_span_dedup, _SPAN_DEDUP_SQL),

@@ -1,0 +1,276 @@
+"""Corpus retrieval operators: BM25 keyword search and PMI
+collocation mining.
+
+These are the index/probe side of a training-data pipeline — BM25 is
+the standard first-stage retriever for query-based corpus audits
+(contamination probes, targeted subset extraction, RAG candidate
+generation before embedding re-rank), and PMI collocations are the
+classic statistically-significant-phrase signal (Church & Hanks 1990)
+used for tokenizer sanity checks and stop-phrase lists.
+
+No reference-parity mapping: the reference (wizardus999-code/
+OCR-intern) has no retrieval surface; these extend the engine's
+training-data-pipeline coverage alongside the dedup / quality /
+curation operators.
+
+Float-portability discipline (shared with graph_provenance_rank):
+per-term / per-pair contributions are rounded to 1e-9 BEFORE any
+commutative sum whose accumulation order Spark does not guarantee,
+and final scores to 1e-6, so the DuckDB oracle hashes bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < p:
+        d = d.repartition(p)
+    return d
+
+
+# --- BM25 keyword search -----------------------------------------------------
+
+# Robertson/Sparck-Jones BM25 with the standard Lucene constants.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "dup", "window")  # one rare term ("dup") for
+                                         # real idf spread in the corpus
+BM25_TOPK = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed conjunctive-OR query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  (Lucene's BM25 idf,
+    always ≥ 0).
+
+    Scale shape: with a FIXED small query, tf(t) per document is a
+    narrow higher-order-function expression over the token array
+    (`size(filter(toks, w -> w = t))`) — no explode, no per-token
+    shuffle. Corpus statistics (N, avgdl, df per term) reduce to ONE
+    1-row aggregate that is broadcast back, so the whole query is:
+    one scan → one 1-row agg → narrow codegen scoring →
+    TakeOrderedAndProject. At 10^12 docs nothing shuffles except the
+    k-row top-k merge. (A user-supplied ad-hoc term SET would use the
+    inverted-index explode like q_tfidf_keywords; fixed probes use
+    this zero-shuffle form.)
+
+    Per-term contributions are rounded to 1e-9 before the explicit
+    3-term sum (sum order is textual, not aggregated — deterministic),
+    final score to 1e-6.
+    """
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+    def _tf(term: str):
+        # one-arg closure: a 2-param lambda would be read by the HOF
+        # binder as (element, index)
+        return F.size(F.filter(F.col("toks"), lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_QUERY)]
+    per_doc = base.select("doc_id", "dl", *tf_cols)
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+
+    def contrib(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        dff = F.col(f"df{i}").cast("double")
+        idf = F.log(
+            1.0 + (F.col("n") - dff + 0.5) / (dff + 0.5)
+        )
+        norm = tf + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * (F.col("dl") / F.col("avgdl"))
+        )
+        return F.round(idf * ((tf * (BM25_K1 + 1.0)) / norm), 9)
+
+    score = F.round(sum(contrib(i) for i in range(len(BM25_QUERY))), 6)
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    contribs = " + ".join(
+        f"round(ln(1.0 + (n - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0})"
+        f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * (dl / avgdl)))), 9)"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> length(w) > 0) AS toks
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM base
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM per_doc
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, round({contribs}, 6) AS score
+  FROM per_doc, stats
+) WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+# --- PMI collocations --------------------------------------------------------
+
+PMI_MIN_PAIR = 5   # minimum bigram count (Church & Hanks' sparsity guard)
+PMI_TOPK = 50
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual
+    information: pmi(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with P(x,y)
+    estimated over adjacent bigram slots and P(x) over all tokens —
+    computed as ln((c2·N_tok·N_tok) / (c1x·c1y·N_pair)) in one
+    double-precision expression identical in both engines.
+
+    Scale shape: bigrams come from zip-with-shift on the token array
+    (narrow — the q_bigram_logprob pattern, no self-join). The corpus
+    is scanned exactly TWICE (once per gram order): the unigram-count
+    and bigram-count aggregates are cached and every downstream
+    consumer — totals, the two idf-style joins, the cutoff — derives
+    from those vocabulary-sized frames, never from a re-scan (Spark
+    shares no subplans across consumers; without the cache this query
+    plans 5 corpus scans — measured). At 100 TB the caches become
+    checkpoint tables (the jaccard-index recipe) and the unigram side
+    is broadcast — natural-language vocabularies plateau in the
+    millions while bigram slots scale with the corpus. The count
+    cutoff shrinks the bigram side BEFORE any join.
+    """
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        d.where(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+        .cache()  # vocab-sized; reused for c1x, c1y, and n_tok
+    )
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .cache()  # bigram-type-sized; reused for c2 and n_pair
+    )
+    c2 = bgc.where(F.col("c2") >= PMI_MIN_PAIR)
+    totals = uni.agg(F.sum("c1").alias("n_tok"))
+    n_pair = bgc.agg(F.sum("c2").alias("n_pair"))
+    pmi = F.round(
+        F.log(
+            (F.col("c2").cast("double") * F.col("n_tok") * F.col("n_tok"))
+            / (
+                F.col("c1x").cast("double")
+                * F.col("c1y")
+                * F.col("n_pair")
+            )
+        ),
+        6,
+    )
+    return (
+        c2.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c1").alias("c1x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c1").alias("c1y"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_pair))
+        .select("w1", "w2", "c2", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
+_PMI_SQL = f"""
+WITH base AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT p[1] AS w1, p[2] AS w2 FROM (
+    SELECT unnest(list_zip(list_slice(toks, 1, len(toks) - 1),
+                           list_slice(toks, 2, len(toks)))) AS p
+    FROM base WHERE len(toks) >= 2
+  ) WHERE length(p[1]) > 0 AND length(p[2]) > 0
+),
+uni AS (
+  SELECT w, count(*) AS c1 FROM (
+    SELECT unnest(toks) AS w FROM base
+  ) WHERE length(w) > 0 GROUP BY w
+),
+c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+  HAVING count(*) >= {PMI_MIN_PAIR}
+),
+totals AS (SELECT sum(c1) AS n_tok FROM uni),
+np AS (SELECT count(*) AS n_pair FROM bg)
+SELECT w1, w2, c2,
+       round(ln((CAST(c2 AS DOUBLE) * n_tok * n_tok)
+                / (CAST(ux.c1 AS DOUBLE) * uy.c1 * n_pair)), 6) AS pmi
+FROM c2
+JOIN uni ux ON ux.w = c2.w1
+JOIN uni uy ON uy.w = c2.w2
+CROSS JOIN totals CROSS JOIN np
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOPK}
+"""
+
+
+QUERIES = {
+    "text_bm25_search": (q_bm25_search, _bm25_sql()),
+    "text_pmi_collocations": (q_pmi_collocations, _PMI_SQL),
+}
