@@ -1005,9 +1005,63 @@ SELECT stage, users, conv_from_prev FROM (
 """
 
 
+# --- time-weighted average ---------------------------------------------------
+
+
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` (TWAP): each value
+    is weighted by how long it was the user's current value — the
+    interval to the NEXT event — so a burst of identical readings
+    doesn't dominate the mean the way a plain avg lets it (the
+    standard financial/metrics TWAP semantics; the last event has no
+    interval and is excluded).
+
+    Scale shape: one window over a single user_id hash exchange
+    (lead), then the per-user aggregate is satisfied by the SAME
+    partitioning — one shuffle total. Interval arithmetic is exact
+    integer MICROSECONDS (unix_micros / epoch_us; the corpus
+    timestamps are microsecond-grained, so second-truncated math
+    would silently zero short gaps)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the corpus column is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP.
+    # The cast applies a constant session-zone offset that the lead
+    # subtraction cancels exactly.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dt = F.lead(us).over(w) - us
+    rows = e.select("user_id", "value", dt.alias("dt_us")).where(
+        F.col("dt_us").isNotNull()
+    )
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_TWAP_SQL = """
+SELECT user_id, count(*) AS n_intervals,
+       round(sum(value * dt_us) / sum(dt_us), 6) AS twap
+FROM (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+WHERE dt_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_funnel": (q_events_funnel, _FUNNEL_EVENTS_SQL),
+    "events_twap": (q_events_twap, _TWAP_SQL),
     "events_state_history": (q_events_state_history, _STATE_HISTORY_SQL),
     "events_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     "events_by_type": (q_events_by_type, _EVENTS_BY_TYPE_SQL),

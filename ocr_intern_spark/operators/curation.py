@@ -1158,10 +1158,107 @@ SELECT doc_id, label FROM l{LPA_ROUNDS} ORDER BY doc_id
 """
 
 
+# --- triangle census ---------------------------------------------------------
+
+
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the gram-sharing graph: triangle count,
+    wedge (open 2-path) count, and the global clustering coefficient
+    3·triangles / wedges — the standard graph-health signal that
+    separates tight duplicate cliques (coefficient → 1) from loose
+    hub-and-spoke contamination (→ 0). Complements the component /
+    community / PageRank views with local density.
+
+    Scale shape: edges are canonicalized a<b, so each triangle is
+    enumerated exactly once by the two-hop join e1(a,b)⋈e2(b,c)⋈
+    e3(a,c) — three hash equi-joins on single keys, never an
+    all-pairs product; at real scale the standard degree-orientation
+    refinement (orient toward the higher-degree endpoint) bounds the
+    join fan-out by the arboricity instead of max degree — stated.
+    Wedges come from ONE degree aggregate; every count is an integer
+    (the single rounded division happens on two already-final
+    scalars)."""
+    d = _docs(spark, sf_dir)
+    g = _grams(d)
+    first = g.groupBy("g").agg(F.min("doc_id").alias("src"))
+    de = (
+        g.join(first, "g")
+        .where(F.col("doc_id") != F.col("src"))
+        .select(F.col("doc_id").alias("x"), F.col("src").alias("y"))
+        .distinct()
+    )
+    edges = de.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct().cache()  # reused by degree + 3 joins
+    n1 = d.agg(F.count("*").alias("n_nodes"))
+    ne = edges.agg(F.count("*").alias("n_edges"))
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    nw = deg.agg(
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    coeff = F.when(
+        F.col("n_wedges") > 0,
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+    )
+    return (
+        n1.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            coeff.alias("clustering_coeff"),
+        )
+    )
+
+
+_TRIANGLE_SQL = f"""
+WITH grams AS ({_GRAMS_SQL}),
+first AS (SELECT g, min(doc_id) AS src FROM grams GROUP BY g),
+de AS (SELECT DISTINCT gr.doc_id AS x, f.src AS y
+       FROM grams gr JOIN first f USING (g) WHERE gr.doc_id != f.src),
+edges AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM de),
+n1 AS (SELECT count(*) AS n_nodes FROM documents),
+ne AS (SELECT count(*) AS n_edges FROM edges),
+deg AS (SELECT n, count(*) AS deg FROM (
+          SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges
+        ) GROUP BY n),
+nw AS (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges, 6) END AS clustering_coeff
+FROM n1, ne, nw, tri
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
     "graph_provenance_rank": (q_provenance_rank, _provenance_sql()),
     "graph_label_propagation": (q_label_propagation, _lpa_sql()),
+    "graph_triangle_stats": (q_triangle_stats, _TRIANGLE_SQL),
     "text_quality_classifier": (q_quality_classifier, _qc_sql()),
     "text_dsir_select": (q_dsir_select, _dsir_sql()),
     "text_span_dedup": (q_span_dedup, _SPAN_DEDUP_SQL),

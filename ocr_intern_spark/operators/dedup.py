@@ -1240,8 +1240,82 @@ ORDER BY doc_id
 """
 
 
+# --- incremental ingest dedup ------------------------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a NEW batch of documents (here the
+    deterministic doc_id % 2 == 1 slice stands in for today's crawl)
+    is checked against the already-indexed corpus (the % 2 == 0
+    slice) AND against itself. Per incoming doc: is_novel (no corpus
+    match and first occurrence within the batch) and dup_of — the
+    matched corpus keeper, else the earlier batch twin, else NULL.
+    This is the shape every recurring-crawl pipeline runs daily:
+    never re-deduplicate the whole corpus, only join the delta
+    against the fingerprint index.
+
+    Scale shape: the corpus side collapses to its fingerprint INDEX
+    (min-doc per fp — one map-side-combined aggregate, at 100 TB a
+    maintained bucketed table instead of a re-derivation); the batch
+    joins it fp-equi (hash join; a runtime bloom filter on the tiny
+    batch's fp set prunes the index scan — the SPARK-32268 pattern
+    pinned in test_runtime_bloom_filter.py); within-batch firsts are
+    one window over the SAME fp partitioning. 128-bit md5 keys keep
+    the join collision-free at 10^12 docs (the winnowing-pair
+    argument; xxhash64 is for bucketing only)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    prefix = F.array_join(
+        F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5), " "
+    )
+    docs = d.select("doc_id", F.md5(prefix).alias("fp"))
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    idx = corpus.groupBy("fp").agg(F.min("doc_id").alias("corpus_doc"))
+    b = batch.withColumn(
+        "batch_first", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    joined = b.join(idx, "fp", "left")
+    is_novel = F.col("corpus_doc").isNull() & (
+        F.col("doc_id") == F.col("batch_first")
+    )
+    dup_of = F.coalesce(
+        "corpus_doc",
+        F.when(F.col("doc_id") != F.col("batch_first"), F.col("batch_first")),
+    )
+    return joined.select(
+        "doc_id",
+        is_novel.alias("is_novel"),
+        dup_of.alias("dup_of"),
+    ).orderBy("doc_id")
+
+
+_DEDUP_INCREMENTAL_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 5), ' ')) AS fp
+  FROM documents
+),
+idx AS (
+  SELECT fp, min(doc_id) AS corpus_doc FROM docs WHERE doc_id % 2 = 0 GROUP BY fp
+),
+b AS (
+  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS batch_first
+  FROM docs WHERE doc_id % 2 = 1
+)
+SELECT b.doc_id,
+       corpus_doc IS NULL AND b.doc_id = batch_first AS is_novel,
+       coalesce(corpus_doc,
+                CASE WHEN b.doc_id != batch_first THEN batch_first END) AS dup_of
+FROM b LEFT JOIN idx USING (fp)
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_prefix": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_incremental_batch": (q_dedup_incremental, _DEDUP_INCREMENTAL_SQL),
     "dedup_split_leakage_safe": (q_split_leakage_safe, _SPLIT_SQL),
     "dedup_fuzzy_vocab_pairs": (q_fuzzy_vocab_pairs, _FUZZY_VOCAB_SQL),
     "dedup_keep_best": (q_dedup_keep_best, _KEEP_BEST_SQL),

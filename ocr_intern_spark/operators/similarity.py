@@ -1072,8 +1072,132 @@ ORDER BY anchor, kind, rk
 """
 
 
+# --- MMR diverse selection ----------------------------------------------------
+
+MMR_K = 5  # greedy rounds; score = 0.7·relevance − 0.3·max-sim-to-selected,
+           # written with those literals in BOTH engines (no λ arithmetic
+           # at query time — float-portability discipline)
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick MMR_K embeddings maximizing
+    0.7·cos(v, query) − 0.3·max_{s∈selected} cos(v, s) — the
+    diversity-aware data-selection pass that plain top-k retrieval
+    (q_cosine_topk) lacks: it refuses to spend the budget on K copies
+    of the same near-duplicate neighborhood.
+
+    Scale shape: each greedy round is ONE corpus scan scoring against
+    the ≤K-row selected set (literal broadcast arrays — the selected
+    vectors must ship to every executor under any design) followed by
+    a TakeOrderedAndProject(1). The K per-round 1-row collects are the
+    bounded driver-side scalars this repo already budgets for
+    (connected-components convergence class); K is a constant, never
+    corpus-sized. The relevance frame is cached across rounds (a
+    checkpoint table at 100 TB). All cosines rounded to 1e-9 before
+    the score arithmetic, scores to 1e-6 — both engines agree
+    bit-exactly."""
+    e = _emb(spark, sf_dir)
+    q = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    base = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label", "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias("rel"),
+        )
+        .cache()  # re-scored every round; checkpoint table at scale
+    )
+    selected: list = []
+    out_rows: list = []
+    for k in range(MMR_K):
+        cand = base
+        if selected:
+            sims = [
+                F.round(
+                    cosine(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(v)) for v in row["embedding"]]),
+                    ),
+                    9,
+                )
+                for row in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            cand = cand.where(
+                ~F.col("vec_id").isin([row["vec_id"] for row in selected])
+            )
+            score = F.round(0.7 * F.col("rel") - 0.3 * maxsim, 6)
+        else:
+            score = F.round(0.7 * F.col("rel"), 6)
+        pick = (
+            cand.select("vec_id", "label", "embedding", score.alias("mmr"))
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(pick)
+        out_rows.append((k + 1, pick["vec_id"], pick["label"], pick["mmr"]))
+    return spark.createDataFrame(
+        out_rows, "rank int, vec_id bigint, label int, mmr double"
+    ).orderBy("rank")
+
+
+def _sql_cos(x: str, y: str) -> str:
+    return (
+        f"(list_sum(list_transform(list_zip({x}, {y}), "
+        f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform({x}, v -> CAST(v AS DOUBLE) * v))) "
+        f"* sqrt(list_sum(list_transform({y}, v -> CAST(v AS DOUBLE) * v)))))"
+    )
+
+
+def _mmr_sql() -> str:
+    picks = []
+    for k in range(1, MMR_K + 1):
+        if k == 1:
+            picks.append("""
+p1 AS (SELECT vec_id, label, embedding, round(0.7 * rel, 6) AS mmr
+       FROM scored ORDER BY mmr DESC, vec_id LIMIT 1)""")
+            continue
+        prev = [f"p{i}" for i in range(1, k)]
+        sims = ", ".join(
+            f"round({_sql_cos('s.embedding', f'{p}.embedding')}, 9)"
+            for p in prev
+        )
+        maxsim = sims if k == 2 else f"greatest({sims})"
+        excl = " UNION ALL ".join(f"SELECT vec_id FROM {p}" for p in prev)
+        froms = ", ".join(prev)
+        picks.append(f"""
+p{k} AS (
+  SELECT vec_id, label, embedding, mmr FROM (
+    SELECT s.vec_id, s.label, s.embedding,
+           round(0.7 * s.rel - 0.3 * {maxsim}, 6) AS mmr
+    FROM scored s, {froms}
+    WHERE s.vec_id NOT IN ({excl})
+  ) ORDER BY mmr DESC, vec_id LIMIT 1
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, vec_id, label, mmr FROM p{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id, label, embedding,
+         round({_sql_cos('embedding', 'qvec')}, 9) AS rel
+  FROM embeddings, q WHERE vec_id != {QUERY_VEC_ID}
+),{",".join(p[1:] for p in picks)}
+SELECT rank, vec_id, label, mmr FROM ({union}) ORDER BY rank
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    "sim_mmr_select": (q_mmr_select, _mmr_sql()),
     "sim_hard_negatives": (q_hard_negatives, _HARD_NEG_SQL),
     "sim_pq_adc_recall": (q_pq_adc_recall, _PQ_RECALL_SQL),
     "sim_semdedup_prune": (q_semdedup_prune, _SEMDEDUP_SQL),
