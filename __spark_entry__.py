@@ -213,14 +213,31 @@ _FRONT = [
     "text_langid_ngram",
     "text_quality_curriculum_bins",
     "sim_int8_quant_recall",
-    # 103 registered names vs a 50-row driver window per round means 3
-    # can't get a driver row from the r02+r03 union; the 3 sacrificed
-    # are rows-only entries (no oracle SQL — their driver row would
-    # only assert "ran, ≥0 rows") that the golden pytest suite already
-    # pins by exact equality against the pure-Python oracle:
+    # deliberately past slot 50 — see _DEFERRED below:
     "extract_template_fields",
     "extract_template_fields_auto",
     "export_fanout",
+]
+
+# More names than driver slots: 50 window rows per round × 2 rounds
+# of history < the registered-query count, so some names can never
+# get a driver row from the r02+r03 union. _DEFERRED is the explicit
+# list of names deliberately left outside the window, each with the
+# reason its alternative verification is sufficient:
+# - the three rows-only template/export entries have NO oracle SQL
+#   (a driver row would only assert "ran, ≥0 rows") and are pinned by
+#   exact-equality goldens vs the pure-Python oracle in pytest;
+# - the continuation additions each have a hash-exact DuckDB oracle
+#   verified by the local replica (tools/check_oracle.py — the same
+#   compare the driver runs) plus a pure-Python/numpy reference pin.
+_DEFERRED = [
+    "extract_template_fields",
+    "extract_template_fields_auto",
+    "export_fanout",
+    "dedup_incremental_batch",
+    "events_twap",
+    "graph_triangle_stats",
+    "sim_mmr_select",
 ]
 _BACK = [
     "sim_ann_lsh_buckets",
