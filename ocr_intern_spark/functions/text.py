@@ -1272,56 +1272,66 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     production moves the post-agg vocab table to a single partition
     anyway — it fits — while THIS shape keeps every round distributed
     and skew-free)."""
-    d = _docs(spark, sf_dir)
-    vocab = (
+    vocab = _bpe_vocab(_docs(spark, sf_dir)).select("syms", "freq")
+    merges = []
+    cur = vocab
+    for k in range(BPE_LEARN_ROUNDS):
+        best = _bpe_pair_counts(cur).orderBy(F.desc("pf"), "l", "r").limit(1)
+        merges.append(
+            best.select(F.lit(k + 1).alias("merge_rank"), "l", "r", "pf")
+        )
+        cur = _bpe_merge_round(cur, best, carry=["freq"])
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_vocab(d: DataFrame) -> DataFrame:
+    """Corpus word-frequency table with words as char sequences."""
+    return (
         d.select(
             F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
         )
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
-        .select(F.split("w", "").alias("syms"), "freq")
+        .select("w", F.split("w", "").alias("syms"), "freq")
     )
 
-    def pair_counts(v: DataFrame) -> DataFrame:
-        n = F.size("syms")
-        z = F.zip_with(
-            F.slice("syms", 1, F.greatest(n - 1, F.lit(0))),
-            F.slice("syms", 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-        )
-        return (
-            v.select(F.explode(z).alias("p"), "freq")
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("pf"))
-        )
 
-    merges = []
-    cur = vocab
-    for k in range(BPE_LEARN_ROUNDS):
-        best = pair_counts(cur).orderBy(F.desc("pf"), "l", "r").limit(1)
-        merges.append(
-            best.select(F.lit(k + 1).alias("merge_rank"), "l", "r", "pf")
-        )
-        folded = F.aggregate(
-            "syms",
-            F.lit(""),
-            lambda acc, s: F.when(
-                acc.endswith(F.concat(F.lit(_BPE_SEP), F.col("l")))
-                & (s == F.col("r")),
-                F.concat(acc, s),
-            ).otherwise(F.concat(acc, F.lit(_BPE_SEP), s)),
-        )
-        cur = cur.crossJoin(F.broadcast(best.select("l", "r"))).select(
-            F.filter(F.split(folded, _BPE_SEP), lambda x: x != "").alias(
-                "syms"
-            ),
-            "freq",
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out.orderBy("merge_rank")
+def _bpe_pair_counts(v: DataFrame) -> DataFrame:
+    n = F.size("syms")
+    z = F.zip_with(
+        F.slice("syms", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("syms", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        v.select(F.explode(z).alias("p"), "freq")
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("freq").alias("pf"))
+    )
+
+
+def _bpe_merge_round(
+    cur: DataFrame, best: DataFrame, carry: list[str]
+) -> DataFrame:
+    """One greedy rewrite round: apply the broadcast 1-row best pair
+    to every word's symbol sequence via the delimiter-string fold."""
+    folded = F.aggregate(
+        "syms",
+        F.lit(""),
+        lambda acc, s: F.when(
+            acc.endswith(F.concat(F.lit(_BPE_SEP), F.col("l")))
+            & (s == F.col("r")),
+            F.concat(acc, s),
+        ).otherwise(F.concat(acc, F.lit(_BPE_SEP), s)),
+    )
+    return cur.crossJoin(F.broadcast(best.select("l", "r"))).select(
+        *carry,
+        F.filter(F.split(folded, _BPE_SEP), lambda x: x != "").alias("syms"),
+    )
 
 
 def _bpe_learn_round_sql(k: int) -> str:
@@ -1362,6 +1372,108 @@ WITH vocab0 AS (
 ),{rounds}
 SELECT CAST(merge_rank AS INT) AS merge_rank, l, r, pf
 FROM ({union}) ORDER BY merge_rank
+"""
+
+
+def q_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY for the learned BPE merges — the encode side
+    of q_bpe_learn_merges, and the per-document fertility metric
+    (subword tokens per whitespace word) that tokenizer-vs-corpus
+    fit is judged by (e.g. XLM-R's fertility tables).
+
+    Shape: the merges are learned on the DISTINCT-WORD table exactly
+    as in q_bpe_learn_merges, with the surface form `w` carried
+    through the rewrite rounds, so after the last round the vocab
+    table IS the encode map (w → subword count). Encoding the corpus
+    is then word-explode + a BROADCAST join against that map + one
+    per-doc count/sum aggregate — the corpus is never re-folded
+    per-document, and nothing about the join side grows with corpus
+    size (natural-language vocabularies plateau; at web scale the
+    map is still a broadcast or at worst a bucketed dim table).
+
+    fertility = n_subtok / n_words, one double division rounded to
+    1e-6 — identical in both engines."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    cur = _bpe_vocab(d)
+    for _ in range(BPE_LEARN_ROUNDS):
+        best = _bpe_pair_counts(cur).orderBy(F.desc("pf"), "l", "r").limit(1)
+        cur = _bpe_merge_round(cur, best, carry=["w", "freq"])
+    encode_map = cur.select("w", F.size("syms").alias("n_sub"))
+    return (
+        words.join(F.broadcast(encode_map), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subtok"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subtok",
+            F.round(
+                F.col("n_subtok").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_apply_round_sql(k: int) -> str:
+    """Learn-round CTEs with the surface word threaded through, so
+    the final vocab table doubles as the encode map."""
+    return f"""
+pairs{k} AS (
+  SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS pf
+  FROM (
+    SELECT unnest(list_zip(list_slice(syms, 1, len(syms)-1),
+                           list_slice(syms, 2, len(syms)))) AS p, freq
+    FROM vocab{k} WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+),
+best{k} AS (SELECT l, r FROM pairs{k} ORDER BY pf DESC, l, r LIMIT 1),
+vocab{k + 1} AS (
+  SELECT w, list_filter(string_split(
+           list_reduce(list_prepend('', syms),
+             (acc, s) -> CASE WHEN ends_with(acc, chr(1) || b.l) AND s = b.r
+                         THEN acc || s ELSE acc || chr(1) || s END),
+           chr(1)), x -> x != '') AS syms, freq
+  FROM vocab{k}, best{k} b
+)"""
+
+
+def _bpe_apply_sql() -> str:
+    rounds = ",".join(
+        _bpe_apply_round_sql(k)[1:] for k in range(BPE_LEARN_ROUNDS)
+    )
+    return f"""
+WITH vocab0 AS (
+  SELECT w, string_split(w, '') AS syms, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE w != '' GROUP BY w
+),{rounds},
+encode_map AS (
+  SELECT w, len(syms) AS n_sub FROM vocab{BPE_LEARN_ROUNDS}
+),
+words AS (
+  SELECT doc_id, unnest(
+    regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subtok,
+       round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
+FROM words JOIN encode_map USING (w)
+WHERE w != ''
+GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1544,6 +1656,7 @@ QUERIES = {
     "text_allpairs_cosine": (q_allpairs_cosine, _ALLPAIRS_SQL),
     "text_gopher_quality_flags": (q_gopher_quality_flags, _GOPHER_QUALITY_SQL),
     "text_bpe_learn_merges": (q_bpe_learn_merges, _bpe_learn_sql()),
+    "text_bpe_apply_fertility": (q_bpe_apply_fertility, _bpe_apply_sql()),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
     "text_quality_score": (q_quality_score, _QUALITY_SQL),
     "text_corpus_filter_funnel": (q_corpus_filter_funnel, _FUNNEL_SQL),

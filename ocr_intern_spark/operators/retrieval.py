@@ -270,7 +270,123 @@ LIMIT {PMI_TOPK}
 """
 
 
+# --- Reciprocal-rank fusion (hybrid lexical + semantic retrieval) ------------
+
+RRF_K = 60          # Cormack et al. SIGIR'09 constant
+RRF_LIST_K = 20     # depth of each input ranking
+RRF_TOPK = 20
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-RRF_LIST_K with dense ranks attached — the q_bm25_search
+    result (already a deterministic ORDER BY score DESC, doc_id) plus
+    row_number over that same ordering. The window runs over a
+    RRF_LIST_K-row frame, not the corpus."""
+    from pyspark.sql import Window
+
+    top = q_bm25_search(spark, sf_dir).limit(RRF_LIST_K)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select("doc_id", F.row_number().over(w).alias("lex_rank"))
+
+
+def _cosine_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_intern_spark.operators.similarity import q_cosine_topk
+
+    from pyspark.sql import Window
+
+    top = q_cosine_topk(spark, sf_dir).limit(RRF_LIST_K)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w).alias("sem_rank"),
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of a lexical and a semantic ranking — the standard hybrid-
+    retrieval merge in RAG stacks: rrf(d) = Σ_lists 1/(K + rank_d),
+    K=60, a document absent from a list contributing 0.
+
+    Inputs are this engine's own retrievers over the SAME id space:
+    the BM25 top-20 (fixed probe query, documents table) and the
+    exact cosine top-20 against the QUERY_VEC_ID embedding (vec_id ≡
+    doc_id in the corpus). Full-outer join on doc_id, so docs found
+    by either list are scored.
+
+    Scale shape: each input ranking is scan → TakeOrderedAndProject
+    (k rows); the fusion itself joins two K-ROW frames — constant
+    work regardless of corpus size, after the rankers' single scans.
+    The rank windows run over k-row frames (one partition by
+    construction, and bounded by k, so the single-partition window
+    is correct, not a bottleneck).
+
+    Portability: ranks are integers; each 1/(K+rank) is one IEEE
+    double division rounded to 1e-9; the two-term sum is textual
+    (coalesce(a,0)+coalesce(b,0)), final score rounded to 1e-6."""
+    lex = _bm25_ranked(spark, sf_dir)
+    sem = _cosine_ranked(spark, sf_dir)
+
+    def rr(col: str):
+        return F.coalesce(
+            F.round(F.lit(1.0) / (F.lit(RRF_K) + F.col(col)), 9),
+            F.lit(0.0),
+        )
+
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(rr("lex_rank") + rr("sem_rank"), 6).alias("rrf"),
+            "lex_rank",
+            "sem_rank",
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOPK)
+    )
+
+
+def _rrf_sql() -> str:
+    bm25 = _bm25_sql()
+    return f"""
+WITH bm25 AS ({bm25}),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM bm25 LIMIT {RRF_LIST_K}
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+cosed AS (
+  SELECT vec_id AS doc_id,
+         round(
+           list_sum(list_transform(list_zip(embedding, qvec),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * x)))
+              * sqrt(list_sum(list_transform(qvec,
+                    x -> CAST(x AS DOUBLE) * x)))),
+           6) AS cos
+  FROM embeddings, q WHERE vec_id != 0
+  ORDER BY cos DESC, vec_id ASC LIMIT {RRF_LIST_K}
+),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+  FROM cosed
+)
+SELECT doc_id,
+       round(COALESCE(round(1.0 / ({RRF_K} + lex_rank), 9), 0.0)
+             + COALESCE(round(1.0 / ({RRF_K} + sem_rank), 9), 0.0),
+             6) AS rrf,
+       CAST(lex_rank AS INT) AS lex_rank,
+       CAST(sem_rank AS INT) AS sem_rank
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
 QUERIES = {
     "text_bm25_search": (q_bm25_search, _bm25_sql()),
     "text_pmi_collocations": (q_pmi_collocations, _PMI_SQL),
+    "text_rrf_fusion": (q_rrf_fusion, _rrf_sql()),
 }

@@ -77,3 +77,59 @@ def test_bpe_greedy_overlap_and_tiebreak(spark):
         ]
     assert got[0] == (1, "a", "a", 9)
     assert got[1] == (2, "aa", "aa", 3)
+
+
+def _ref_encode_map(word_freq: dict[str, int], rounds: int):
+    """Rewritten vocab after `rounds` greedy merges: word → n subwords."""
+    vocab = {w: list(w) for w in word_freq}
+    freq = dict(word_freq)
+    for _ in range(rounds):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += freq[w]
+        (l, r), _pf = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            merged = []
+            for s in syms:
+                if merged and merged[-1] == l and s == r:
+                    merged[-1] = l + r
+                else:
+                    merged.append(s)
+            vocab[w] = merged
+    return {w: len(syms) for w, syms in vocab.items()}
+
+
+def test_bpe_apply_fertility_matches_python_reference(spark):
+    """Per-doc fertility recomputed from the reference encode map
+    must match q_bpe_apply_fertility exactly."""
+    from ocr_intern_spark.functions.text import (
+        BPE_LEARN_ROUNDS,
+        q_bpe_apply_fertility,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    wf: Counter = Counter()
+    doc_words = {}
+    for r in rows:
+        ws = [w for w in r.text.strip().lower().split() if w]
+        doc_words[r.doc_id] = ws
+        wf.update(ws)
+    enc = _ref_encode_map(wf, BPE_LEARN_ROUNDS)
+
+    got = q_bpe_apply_fertility(spark, SF_DIR).collect()
+    assert len(got) == sum(1 for ws in doc_words.values() if ws)
+    for r in got:
+        ws = doc_words[r.doc_id]
+        n_sub = sum(enc[w] for w in ws)
+        assert r.n_words == len(ws)
+        assert r.n_subtok == n_sub
+        assert abs(r.fertility - round(n_sub / len(ws), 6)) < 1e-12
+    # non-vacuous: merges actually shorten something (fertility < 1
+    # word→chars baseline would be n_chars/word; just require that at
+    # least one doc has fertility below the raw char count ratio)
+    assert any(r.n_subtok < sum(len(w) for w in doc_words[r.doc_id]) for r in got)

@@ -225,3 +225,47 @@ def test_lpa_matches_python_reference(spark):
     # non-vacuous: real communities form (fewer labels than docs, >1)
     n_comm = len(set(got.values()))
     assert 1 < n_comm < len(got)
+
+
+# --- RRF fusion ---------------------------------------------------------------
+
+
+def test_rrf_fusion_python_reference_and_fusion_property(spark):
+    """RRF score recomputed from the two input rankings in plain
+    Python must match, and the fusion must actually FUSE: a doc
+    present in both lists scores the sum of both reciprocal ranks."""
+    from ocr_intern_spark.operators.retrieval import (
+        RRF_K,
+        RRF_LIST_K,
+        q_bm25_search,
+        q_rrf_fusion,
+    )
+    from ocr_intern_spark.operators.similarity import q_cosine_topk
+
+    lex = [
+        r.doc_id
+        for r in q_bm25_search(spark, SF_DIR).limit(RRF_LIST_K).collect()
+    ]
+    sem = [
+        r.vec_id
+        for r in q_cosine_topk(spark, SF_DIR).limit(RRF_LIST_K).collect()
+    ]
+    want = {}
+    for rank, d in enumerate(lex, start=1):
+        want[d] = want.get(d, 0.0) + round(1.0 / (RRF_K + rank), 9)
+    for rank, d in enumerate(sem, start=1):
+        want[d] = want.get(d, 0.0) + round(1.0 / (RRF_K + rank), 9)
+
+    got = q_rrf_fusion(spark, SF_DIR).collect()
+    for r in got:
+        assert abs(r.rrf - round(want[r.doc_id], 6)) < 1e-12, r
+    # ranking is by fused score, descending, doc_id tie-break
+    scores = [r.rrf for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # non-vacuous fusion: both single-list docs and (if any overlap
+    # exists) dual-list docs are represented with correct null ranks
+    both = [r for r in got if r.lex_rank is not None and r.sem_rank is not None]
+    only = [r for r in got if (r.lex_rank is None) != (r.sem_rank is None)]
+    assert only, "expected docs found by exactly one retriever"
+    for r in both:
+        assert r.rrf > 1.0 / (RRF_K + 1), "dual-list doc must beat any single-list doc's max"
