@@ -1479,6 +1479,116 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 
+# --- character-entropy quality signal -----------------------------------------
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) —
+    the classic gibberish/boilerplate screen: keyboard mash, base64
+    blobs and repeated-char padding sit far from natural-language
+    entropy (English ≈ 4.1 bits/char at the character level), so
+    both tails get cut. Complements the word-level Gopher rules with
+    a signal that needs no tokenizer at all.
+
+    Shape: FULLY NARROW — chars are sorted per row and the per-char
+    counts folded with one aggregate() pass (state: previous char,
+    run length, Σ count·ln(count), distinct count), so the entropy
+    H = (ln n − Σ c·ln c / n) / ln 2 is computed without exploding
+    the corpus or shuffling anything; the only exchange in the plan
+    is the presentation ORDER BY. Per-doc cost is O(len · log len)
+    for the sort — independent of corpus size, embarrassingly
+    parallel at 100 TB.
+
+    Portability: the fold accumulates c·ln(c) in sorted-char order,
+    the oracle sums per-group in arbitrary order — both are ≤100-term
+    double sums whose reassociation error is ~1e-12, absorbed by the
+    1e-6 round (the same contract as every logprob op here)."""
+    d = _docs(spark, sf_dir)
+    chars = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), r"\s", ""), ""),
+        lambda x: x != "",
+    )
+    n = F.size(chars).cast("long")
+
+    def step(acc: Column, c: Column) -> Column:
+        run_term = F.when(
+            acc["run"] > 0,
+            acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0))
+        return F.when(
+            acc["prev"] == c,
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + F.lit(1).cast("long")).alias("run"),
+                acc["s"].alias("s"),
+                acc["d"].alias("d"),
+            ),
+        ).otherwise(
+            F.struct(
+                c.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (acc["s"] + run_term).alias("s"),
+                (acc["d"] + F.lit(1).cast("long")).alias("d"),
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        run_term = F.when(
+            acc["run"] > 0,
+            acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            (acc["s"] + run_term).alias("s"), acc["d"].alias("d")
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    agg = F.aggregate(F.sort_array(chars), zero, step, finish)
+    return (
+        d.select("doc_id", n.alias("n_chars_nonws"), agg.alias("a"))
+        .where(F.col("n_chars_nonws") > 0)
+        .select(
+            "doc_id",
+            "n_chars_nonws",
+            F.col("a.d").alias("n_distinct_chars"),
+            F.round(
+                (
+                    F.log(F.col("n_chars_nonws").cast("double"))
+                    - F.col("a.s") / F.col("n_chars_nonws")
+                )
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(regexp_replace(lower(text), '\\s', '', 'g'), ''),
+           x -> x != '')) AS c
+  FROM documents
+),
+cnt AS (SELECT doc_id, c, count(*) AS k FROM chars GROUP BY doc_id, c),
+agg AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS d,
+         sum(k * ln(k)) AS s
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n AS n_chars_nonws, d AS n_distinct_chars,
+       round((ln(n) - s / n) / ln(2), 6) AS entropy_bits
+FROM agg WHERE n > 0 ORDER BY doc_id
+"""
+
+
 # --- Gopher quality-signal flags ---------------------------------------------
 
 GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
@@ -1657,6 +1767,7 @@ QUERIES = {
     "text_gopher_quality_flags": (q_gopher_quality_flags, _GOPHER_QUALITY_SQL),
     "text_bpe_learn_merges": (q_bpe_learn_merges, _bpe_learn_sql()),
     "text_bpe_apply_fertility": (q_bpe_apply_fertility, _bpe_apply_sql()),
+    "text_char_entropy": (q_char_entropy, _CHAR_ENTROPY_SQL),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
     "text_quality_score": (q_quality_score, _QUALITY_SQL),
     "text_corpus_filter_funnel": (q_corpus_filter_funnel, _FUNNEL_SQL),

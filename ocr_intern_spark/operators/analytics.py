@@ -1058,8 +1058,88 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- robust rate-anomaly detection --------------------------------------------
+
+ANOM_Z = 3.0  # |cnt − median| > Z·MAD flags the hour — the robust
+              # (outlier-immune) analogue of the 3-sigma rule
+
+
+def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomaly flags per event type via median +
+    MAD (median absolute deviation) — the robust z-score an ingest
+    monitor uses to catch crawler stalls, bot bursts and pipeline
+    replays: unlike mean/stddev, the median/MAD baseline is not
+    dragged by the very anomalies it is meant to flag.
+
+    Scale shape: the raw stream collapses to (event_type, hour)
+    counts with ONE map-side-combinable aggregate — everything after
+    operates on the tiny rate table: two exact per-type medians
+    (hour-count cardinality per type is bounded: 24·365·types rows/
+    year, so exact median is cheap; approx_percentile is the stated
+    swap if types explode) and two broadcast joins of a types-sized
+    frame back onto the rate table. MAD==0 (a perfectly constant
+    rate) falls back to flagging any deviation at all.
+
+    Portability: counts and medians are exact (median of integers is
+    k or k.5 in both engines); the single float division robust_z is
+    rounded to 1e-6."""
+    e = _t(spark, sf_dir, "events")
+    rate = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        ).agg(F.count("*").alias("cnt"))
+    )
+    med = rate.groupBy("event_type").agg(F.median("cnt").alias("med"))
+    dev = rate.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    z = F.when(
+        F.col("mad") > 0,
+        F.round((F.col("cnt") - F.col("med")) / F.col("mad"), 6),
+    )
+    flag = F.when(
+        F.col("mad") > 0, F.abs(F.col("cnt") - F.col("med")) > ANOM_Z * F.col("mad")
+    ).otherwise(F.col("cnt") != F.col("med"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            "med",
+            "mad",
+            z.alias("robust_z"),
+            flag.alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_RATE_ANOMALY_SQL = f"""
+WITH rate AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+med AS (SELECT event_type, median(cnt) AS med FROM rate GROUP BY 1),
+dev AS (
+  SELECT r.*, m.med, abs(r.cnt - m.med) AS adev
+  FROM rate r JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type, d.hour, d.cnt, d.med, a.mad,
+       CASE WHEN a.mad > 0 THEN round((d.cnt - d.med) / a.mad, 6) END
+         AS robust_z,
+       CASE WHEN a.mad > 0 THEN abs(d.cnt - d.med) > {ANOM_Z} * a.mad
+            ELSE d.cnt != d.med END AS is_anomaly
+FROM dev d JOIN mad a USING (event_type)
+ORDER BY event_type, hour
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
+    "events_rate_anomaly": (q_events_rate_anomaly, _RATE_ANOMALY_SQL),
     "events_funnel": (q_events_funnel, _FUNNEL_EVENTS_SQL),
     "events_twap": (q_events_twap, _TWAP_SQL),
     "events_state_history": (q_events_state_history, _STATE_HISTORY_SQL),

@@ -36,19 +36,32 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d
 
 
-def _grams(d: DataFrame) -> DataFrame:
-    """(doc_id, g): distinct DECON_NGRAM-word grams of the lowercased
+def _grams(d: DataFrame, ngram: int = DECON_NGRAM) -> DataFrame:
+    """(doc_id, g): distinct ngram-word grams of the lowercased
     text; docs shorter than the gram length contribute none."""
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - DECON_NGRAM)
+    idx = F.sequence(F.lit(0), n - ngram)
     grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, DECON_NGRAM), " ")
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, ngram), " ")
     )
     return (
-        d.where(n >= DECON_NGRAM)
+        d.where(n >= ngram)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     )
+
+
+def _grams_sql(ngram: int = DECON_NGRAM) -> str:
+    return f"""
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(0, len(toks) - {ngram} + 1),
+                          i -> array_to_string(list_slice(toks, i + 1, i + {ngram}), ' '))
+         )) AS g
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+  ) WHERE len(toks) >= {ngram}
+"""
 
 
 def q_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,16 +93,7 @@ def q_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GRAMS_SQL = f"""
-  SELECT doc_id, unnest(list_distinct(
-           list_transform(range(0, len(toks) - {DECON_NGRAM} + 1),
-                          i -> array_to_string(list_slice(toks, i + 1, i + {DECON_NGRAM}), ' '))
-         )) AS g
-  FROM (
-    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-    FROM documents
-  ) WHERE len(toks) >= {DECON_NGRAM}
-"""
+_GRAMS_SQL = _grams_sql()
 
 _DECON_SQL = f"""
 WITH grams AS ({_GRAMS_SQL}),
@@ -1254,8 +1258,123 @@ FROM n1, ne, nw, tri
 """
 
 
+# --- k-core decomposition ----------------------------------------------------
+
+KCORE_K = 2        # core order: survivors have ≥ K neighbors among
+                   # survivors — the "dense nucleus" cut used to
+                   # separate duplicate galaxies from leaf-and-bridge
+                   # contamination structure
+KCORE_NGRAM = 4    # words per sharing gram — shorter than DECON_NGRAM
+                   # on purpose: the 8-word contamination graph is
+                   # near-tree-sparse (its 2-core is empty at sf0.01),
+                   # while 4-word grams give a graph whose core is a
+                   # real nucleus, not a vacuous answer
+KCORE_ROUNDS = 10  # unrolled peel rounds — reaches the true fixpoint
+                   # at both test scales (8 and 10 rounds incl. the
+                   # confirming no-change round); production iterates
+                   # with the connected-components convergence guard
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core of the gram-sharing graph (Seidman 1983 / Batagelj-
+    Zaversnik peeling): repeatedly delete nodes with fewer than K
+    surviving neighbors; what remains is the maximal subgraph of
+    minimum degree K. On a provenance graph the 2-core isolates
+    mutually-entangled duplicate clusters from the long tail of
+    leaf docs that merely touch one canonical source — a sharper
+    "contamination nucleus" cut than components (which flood across
+    bridges) and cheaper than triangles.
+
+    Scale shape: each peel round is ONE degree aggregate (map-side
+    combinable count over the edge list's two endpoint projections)
+    + two semi-joins of the edge list against the ≥K-degree node
+    set — all hash joins on single integer keys, never all-pairs;
+    each round references the previous edge frame three times, so
+    rounds are materialized per round (reliable checkpoint when a
+    dir is configured, localCheckpoint otherwise — the
+    connected-components contract) instead of lazily unrolled; on
+    real graphs peeling converges in few rounds because each round
+    removes whole degree-layers at once. Integer-only state.
+
+    Output: surviving doc_id + its degree inside the final core."""
+    d = _docs(spark, sf_dir)
+    g = _grams(d, KCORE_NGRAM)
+    first = g.groupBy("g").agg(F.min("doc_id").alias("src"))
+    de = (
+        g.join(first, "g")
+        .where(F.col("doc_id") != F.col("src"))
+        .select(F.col("doc_id").alias("x"), F.col("src").alias("y"))
+        .distinct()
+    )
+    edges = de.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct().cache()  # reused every round; checkpoint table at scale
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    # each round references the previous edge frame THREE times (two
+    # degree projections + the semi-join left side), so the lazily
+    # unrolled plan grows 3^rounds — materialize per round instead
+    # (reliable checkpoint when a dir is configured, else local; the
+    # same contract as connected_components)
+    from ocr_intern_spark.operators.dedup import _round_checkpoint
+
+    cur = edges
+    for _ in range(KCORE_ROUNDS):
+        keep = degrees(cur).where(F.col("deg") >= KCORE_K).select("n")
+        cur = _round_checkpoint(
+            cur.join(
+                keep.select(F.col("n").alias("a")), "a", "left_semi"
+            ).join(keep.select(F.col("n").alias("b")), "b", "left_semi")
+        )
+    return (
+        degrees(cur)
+        .select(F.col("n").alias("doc_id"), F.col("deg").alias("core_deg"))
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "e0"
+    for k in range(KCORE_ROUNDS):
+        # MATERIALIZED is load-bearing: each round references the
+        # previous round three times, and DuckDB would otherwise
+        # inline the chain into 3^rounds copies of the base scan
+        rounds.append(f"""
+keep{k} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS deg FROM (
+      SELECT a AS n FROM {prev} UNION ALL SELECT b AS n FROM {prev}
+    ) GROUP BY n
+  ) WHERE deg >= {KCORE_K}
+),
+e{k + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  WHERE e.a IN (SELECT n FROM keep{k}) AND e.b IN (SELECT n FROM keep{k})
+)""")
+        prev = f"e{k + 1}"
+    return f"""
+WITH grams AS MATERIALIZED ({_grams_sql(KCORE_NGRAM)}),
+first AS (SELECT g, min(doc_id) AS src FROM grams GROUP BY g),
+de AS (SELECT DISTINCT gr.doc_id AS x, f.src AS y
+       FROM grams gr JOIN first f USING (g) WHERE gr.doc_id != f.src),
+e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM de),{",".join(x[1:] for x in rounds)}
+SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+  SELECT a AS n FROM e{KCORE_ROUNDS} UNION ALL SELECT b AS n FROM e{KCORE_ROUNDS}
+) GROUP BY n ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
+    "graph_kcore": (q_kcore, _kcore_sql()),
     "graph_provenance_rank": (q_provenance_rank, _provenance_sql()),
     "graph_label_propagation": (q_label_propagation, _lpa_sql()),
     "graph_triangle_stats": (q_triangle_stats, _TRIANGLE_SQL),
