@@ -163,6 +163,8 @@ def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotated out to make room. Everything else keeps module order between
 # them. Union of r02+r03 rows then covers every registered name.
 _FRONT = [
+    "text_source_kl_drift",
+    "text_source_vocab_overlap",
     "text_rrf_fusion",
     "text_bpe_apply_fertility",
     "graph_kcore",
@@ -211,9 +213,9 @@ _FRONT = [
     "dedup_lsh_quality",
     "text_bigram_logprob",
     "text_langid_ngram",
+    # deliberately past slot 50 — see _DEFERRED below:
     "text_quality_curriculum_bins",
     "sim_int8_quant_recall",
-    # deliberately past slot 50 — see _DEFERRED below:
     "extract_template_fields",
     "extract_template_fields_auto",
     "export_fanout",
@@ -248,6 +250,11 @@ _DEFERRED = [
     "text_pack_sequences",
     "text_stratified_sample",
     "text_unigram_logprob",
+    # hash-exact via tools/check_oracle.py this session (int8 recall
+    # additionally carries measured-overlap pins in its pytest);
+    # rotated out for the source-drift diagnostics pair.
+    "text_quality_curriculum_bins",
+    "sim_int8_quant_recall",
 ]
 _BACK = [
     "sim_ann_lsh_buckets",

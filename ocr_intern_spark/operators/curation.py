@@ -1372,8 +1372,185 @@ SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
 """
 
 
+# --- source-mix drift diagnostics ---------------------------------------------
+
+
+def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus-wide token
+    distribution, in bits — the descriptive counterpart of DSIR
+    importance weighting: a source whose KL spikes relative to the
+    rest of the mix is drifting (crawler scope change, template rot,
+    language bleed) and the mix weights built on last month's corpus
+    no longer describe it. KL(s‖corpus) = Σ_t p_s(t)·log2(p_s/p_c).
+
+    Scale shape: the corpus collapses ONCE to the (source, token)
+    count table (one explode, one map-side-combinable HashAggregate)
+    and is CACHED; corpus token counts, per-source totals and the
+    grand total all derive from that vocabulary×sources-sized frame —
+    raw text is scanned exactly once. Both baseline joins broadcast
+    vocab-/sources-sized sides; the final per-source sum aggregates
+    ≤vocab terms per source.
+
+    Portability: counts are exact integers; each KL term is a double
+    product/ln over integer-cast doubles (IEEE-identical in both
+    engines), and the ≤vocab-term float sum's reassociation error
+    (~1e-13) is absorbed by the 1e-6 round — the q_unigram_logprob
+    contract. Terms with c_st=0 contribute 0 by definition and never
+    materialize (inner join)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
+    ).where(F.length("t") > 0)
+    st = toks.groupBy("source", "t").agg(F.count("*").alias("c")).cache()
+    corpus = st.groupBy("t").agg(F.sum("c").alias("ct"))
+    tot = st.agg(F.sum("c").alias("n"))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    term = (dbl("c") / dbl("ns")) * F.log(
+        (dbl("c") * dbl("n")) / (dbl("ns") * dbl("ct"))
+    )
+    per_src = st.withColumn(
+        "ns", F.sum("c").over(Window.partitionBy("source"))
+    )
+    return (
+        per_src.join(F.broadcast(corpus), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("vocab_size"),
+            F.round(F.sum(term) / F.log(F.lit(2.0)), 6).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+_KL_DRIFT_SQL = """
+WITH toks AS (
+  SELECT source, t FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents
+  ) WHERE length(t) > 0
+),
+st AS (SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2),
+corpus AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+per AS (SELECT *, sum(c) OVER (PARTITION BY source) AS ns FROM st)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       round(sum((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+                 * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                      / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE))))
+             / ln(2), 6) AS kl_bits
+FROM per JOIN corpus USING (t) CROSS JOIN tot
+GROUP BY source ORDER BY source
+"""
+
+OVERLAP_NGRAM = 2  # bigrams: the unigram vocabulary is fully shared
+                   # across sources at every sf (Jaccard ≡ 1.0 —
+                   # vacuous), while bigram sets differ per source
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard matrix over distinct word
+    bigrams — the corpus-composition overlap report: near-1 cells
+    mean two "sources" are the same crawl twice (merge or down-weight
+    them); near-0 cells are genuinely complementary domains. The
+    descriptive input to mix design, next to q_source_mix_weights.
+
+    Scale shape: the corpus collapses to the distinct (source, gram)
+    set (one explode + distinct — map-side partials); intersections
+    come from an inverted-index self-join on the gram key whose
+    per-gram fan-out is bounded by n_sources² (sources are hundreds,
+    not billions — never all-pairs over docs); set sizes come from
+    one more agg over the same frame, broadcast both ways onto the
+    sources²-row pair table. Pairs with EMPTY intersection do not
+    appear (inner join) — absent row = disjoint vocabularies.
+
+    Portability: pure integer set algebra; the single float division
+    is rounded to 1e-6."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - OVERLAP_NGRAM)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, OVERLAP_NGRAM), " ")
+    )
+    sg = (
+        d.where(n >= OVERLAP_NGRAM)
+        .select("source", F.explode(F.array_distinct(grams)).alias("g"))
+        .distinct()
+        .cache()
+    )
+    sizes = sg.groupBy("source").agg(F.count("*").alias("sz"))
+    inter = (
+        sg.alias("a")
+        .join(sg.alias("b"), "g")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).alias("n_union"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_VOCAB_OVERLAP_SQL = f"""
+WITH sg AS MATERIALIZED (
+  SELECT DISTINCT source, g FROM (
+    SELECT source, unnest(list_distinct(
+             list_transform(range(0, len(toks) - {OVERLAP_NGRAM} + 1),
+                            i -> array_to_string(list_slice(toks, i + 1, i + {OVERLAP_NGRAM}), ' '))
+           )) AS g
+    FROM (
+      SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ) WHERE len(toks) >= {OVERLAP_NGRAM}
+  )
+),
+sizes AS (SELECT source, count(*) AS sz FROM sg GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sg a JOIN sg b USING (g) WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_inter,
+       CAST(sa.sz + sb.sz - n_inter AS BIGINT) AS n_union,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
+    "text_source_kl_drift": (q_source_kl_drift, _KL_DRIFT_SQL),
+    "text_source_vocab_overlap": (q_source_vocab_overlap, _VOCAB_OVERLAP_SQL),
     "graph_kcore": (q_kcore, _kcore_sql()),
     "graph_provenance_rank": (q_provenance_rank, _provenance_sql()),
     "graph_label_propagation": (q_label_propagation, _lpa_sql()),
