@@ -165,6 +165,9 @@ def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRONT = [
     "text_source_kl_drift",
     "text_source_vocab_overlap",
+    "text_zipf_fit",
+    "text_heaps_fit",
+    "events_transition_matrix",
     "text_rrf_fusion",
     "text_bpe_apply_fertility",
     "graph_kcore",
@@ -210,10 +213,10 @@ _FRONT = [
     "sim_knn_join_topk",
     "extract_html_block_classify",
     "multimodal_interleaved_pack",
+    # deliberately past slot 50 — see _DEFERRED below:
     "dedup_lsh_quality",
     "text_bigram_logprob",
     "text_langid_ngram",
-    # deliberately past slot 50 — see _DEFERRED below:
     "text_quality_curriculum_bins",
     "sim_int8_quant_recall",
     "extract_template_fields",
@@ -255,6 +258,12 @@ _DEFERRED = [
     # rotated out for the source-drift diagnostics pair.
     "text_quality_curriculum_bins",
     "sim_int8_quant_recall",
+    # hash-exact via tools/check_oracle.py this session (the same
+    # compare the driver runs); rotated out for the corpus-law and
+    # transition-matrix ops.
+    "dedup_lsh_quality",
+    "text_bigram_logprob",
+    "text_langid_ngram",
 ]
 _BACK = [
     "sim_ann_lsh_buckets",

@@ -508,6 +508,243 @@ ORDER BY tf.tf DESC, tf.tok ASC LIMIT {VOCAB_TOPK}
 """
 
 
+# --- corpus-law fits (Zipf rank-frequency, Heaps vocabulary growth) -----------
+
+
+def _ols_cols(n, sx, sy, sxy, sxx, syy):
+    """Closed-form simple OLS of y on x from the five power sums:
+    (slope, intercept, r²) — the one-aggregate distributed regression
+    shape (power sums are map-side-combinable; the final division is
+    driver-free arithmetic on a 1-row frame)."""
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return slope, intercept, r2
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank)
+    over the full token vocabulary (natural text ≈ −1; a slope far
+    off flags templated/boilerplate or synthetic corpora — the
+    sanity gauge run next to q_vocab_topk before committing a crawl
+    to the mix).
+
+    Scale shape: ONE token explode → per-token HashAggregate
+    (map-side partials); ranking and the five OLS power sums run on
+    the VOCABULARY-sized frame (bounded: top-V cut at real scale —
+    the single-partition rank window is the documented vocab-bounded
+    class, same as q_vocab_topk's). One row out.
+
+    Portability: counts/ranks exact; power sums are ≤vocab-term
+    double sums under the 1e-6-round reassociation contract."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .where(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = vocab.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+        .alias("rank"),
+        "cnt",
+    )
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope, intercept, r2 = _ols_cols(
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+_ZIPF_SQL = """
+WITH vocab AS (
+  SELECT tok, count(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0 GROUP BY tok
+),
+pts AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM vocab
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM agg
+"""
+
+HEAPS_BUCKETS = 10  # corpus-growth checkpoints (ingest-time epochs /
+                    # partition watermarks at real scale)
+HEAPS_NGRAM = 2     # distinct BIGRAMS as the vocabulary: the synthetic
+                    # unigram vocab saturates in the first bucket
+                    # (growth flat — fit vacuous), bigram vocab grows
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: cumulative distinct bigram
+    vocabulary V(n) against cumulative bigram instances n across
+    HEAPS_BUCKETS corpus-growth checkpoints, with the OLS fit of
+    ln V on ln n (V ≈ K·n^β, natural text β ≈ 0.4-0.6). A β collapse
+    means the crawl stopped finding new content — the diminishing-
+    returns gauge for continued ingestion.
+
+    Scale shape: one explode → (bucket, gram) instance frame; token
+    totals are one map-side-combinable count, vocabulary growth is
+    the gram→min(bucket) first-occurrence aggregate (the
+    q_novelty_score shape) re-aggregated per bucket; everything after
+    lives on the BUCKETS-row frame (bounded 10-row cumulative window
+    + 1-row OLS). Buckets derive from doc_id range here; at real
+    scale they are ingest epochs.
+
+    Portability: cumulative counts exact integers; the ≤10-term OLS
+    power sums fall under the 1e-6-round contract."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    nt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), nt - HEAPS_NGRAM),
+        lambda i: F.array_join(F.slice(toks, i + 1, HEAPS_NGRAM), " "),
+    )
+    inst = (
+        d.crossJoin(F.broadcast(mx))
+        .where(nt >= HEAPS_NGRAM)
+        .select(
+            # floor() explicitly: Spark's long-cast truncates while
+            # DuckDB's CAST rounds — floor is identical in both
+            F.floor(F.col("doc_id") * HEAPS_BUCKETS / (F.col("mx") + 1))
+            .cast("long")
+            .alias("bucket"),
+            F.explode(grams).alias("g"),
+        )
+    ).cache()
+    per_bucket = inst.groupBy("bucket").agg(F.count("*").alias("n_inst"))
+    new_vocab = (
+        inst.groupBy("g")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    growth = (
+        per_bucket.join(new_vocab, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_inst").over(w).alias("cum_grams"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    pts = growth.select(
+        "bucket", "cum_grams", "cum_vocab",
+        F.log(F.col("cum_grams").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope, intercept, _r2 = _ols_cols(
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    )
+    fit = agg.select(
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(F.exp(intercept), 6).alias("heaps_k"),
+    )
+    return (
+        pts.select("bucket", "cum_grams", "cum_vocab")
+        .crossJoin(F.broadcast(fit))
+        .orderBy("bucket")
+    )
+
+
+_HEAPS_SQL = f"""
+WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+inst AS MATERIALIZED (
+  SELECT CAST(floor(doc_id * {HEAPS_BUCKETS} / (mx + 1)) AS BIGINT) AS bucket, g
+  FROM (
+    SELECT doc_id, unnest(
+             list_transform(range(0, len(toks) - {HEAPS_NGRAM} + 1),
+                            i -> array_to_string(list_slice(toks, i + 1, i + {HEAPS_NGRAM}), ' '))
+           ) AS g
+    FROM (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ) WHERE len(toks) >= {HEAPS_NGRAM}
+  ), mx
+),
+per_bucket AS (SELECT bucket, count(*) AS n_inst FROM inst GROUP BY bucket),
+new_vocab AS (
+  SELECT bucket, count(*) AS n_new FROM (
+    SELECT g, min(bucket) AS bucket FROM inst GROUP BY g
+  ) GROUP BY bucket
+),
+growth AS (
+  SELECT p.bucket,
+         CAST(sum(p.n_inst) OVER (ORDER BY p.bucket) AS BIGINT) AS cum_grams,
+         CAST(sum(coalesce(v.n_new, 0)) OVER (ORDER BY p.bucket) AS BIGINT)
+           AS cum_vocab
+  FROM per_bucket p LEFT JOIN new_vocab v USING (bucket)
+),
+pts AS (SELECT *, ln(CAST(cum_grams AS DOUBLE)) AS x,
+               ln(CAST(cum_vocab AS DOUBLE)) AS y FROM growth),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts
+),
+fit AS (
+  SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+         round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n), 6)
+           AS heaps_k
+  FROM agg
+)
+SELECT bucket, cum_grams, cum_vocab, heaps_beta, heaps_k
+FROM pts CROSS JOIN fit ORDER BY bucket
+"""
+
+
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap between adjacent chunks
 
@@ -1777,6 +2014,8 @@ QUERIES = {
     "text_repetition_ratio": (q_repetition_ratio, _REPETITION_SQL),
     "text_gopher_repetition": (q_gopher_repetition, _GOPHER_SQL),
     "text_vocab_topk": (q_vocab_topk, _VOCAB_SQL),
+    "text_zipf_fit": (q_zipf_fit, _ZIPF_SQL),
+    "text_heaps_fit": (q_heaps_fit, _HEAPS_SQL),
     "text_pack_sequences": (q_pack_sequences, _PACK_SQL),
     "text_stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "text_unigram_logprob": (q_unigram_logprob, _UNIGRAM_SQL),

@@ -1140,8 +1140,70 @@ ORDER BY event_type, hour
 """
 
 
+# --- event-type Markov transition matrix ---------------------------------------
+
+
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), with counts —
+    the user-journey fingerprint behind funnel design and bot
+    detection (a scripted client's transition rows are near-
+    deterministic; organic traffic is diffuse).
+
+    Scale shape: ONE user_id exchange feeds the lead() window
+    (consecutive-pair formation, no self-join over raw events); pairs
+    collapse to the types²-row count table via a map-side-combinable
+    aggregate; the per-source normalizer is a window over that tiny
+    frame — nothing types-sized ever shuffles the corpus again.
+
+    Portability: counts exact; the single probability division is
+    rounded to 1e-6. Each user's last event has no successor and
+    contributes no pair (lead is NULL — dropped identically in both
+    engines)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    cnt = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("src")
+    return (
+        cnt.select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+),
+cnt AS (
+  SELECT src, dst, count(*) AS n FROM pairs WHERE dst IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src, dst, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+FROM cnt ORDER BY src, dst
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
+    "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
     "events_rate_anomaly": (q_events_rate_anomaly, _RATE_ANOMALY_SQL),
     "events_funnel": (q_events_funnel, _FUNNEL_EVENTS_SQL),
     "events_twap": (q_events_twap, _TWAP_SQL),
