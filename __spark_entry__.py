@@ -168,6 +168,7 @@ _FRONT = [
     "text_zipf_fit",
     "text_heaps_fit",
     "events_transition_matrix",
+    "sim_embedding_outliers",
     "text_rrf_fusion",
     "text_bpe_apply_fertility",
     "graph_kcore",
@@ -210,10 +211,10 @@ _FRONT = [
     "extract_xycut_order",
     "text_decontaminate_flags",
     "text_source_mix_weights",
-    "sim_knn_join_topk",
     "extract_html_block_classify",
     "multimodal_interleaved_pack",
     # deliberately past slot 50 — see _DEFERRED below:
+    "sim_knn_join_topk",
     "dedup_lsh_quality",
     "text_bigram_logprob",
     "text_langid_ngram",
@@ -259,11 +260,12 @@ _DEFERRED = [
     "text_quality_curriculum_bins",
     "sim_int8_quant_recall",
     # hash-exact via tools/check_oracle.py this session (the same
-    # compare the driver runs); rotated out for the corpus-law and
-    # transition-matrix ops.
+    # compare the driver runs); rotated out for the corpus-law,
+    # transition-matrix and embedding-outlier ops.
     "dedup_lsh_quality",
     "text_bigram_logprob",
     "text_langid_ngram",
+    "sim_knn_join_topk",
 ]
 _BACK = [
     "sim_ann_lsh_buckets",

@@ -1195,8 +1195,100 @@ SELECT rank, vec_id, label, mmr FROM ({union}) ORDER BY rank
 """
 
 
+# --- embedding-outlier pruning -------------------------------------------------
+
+OUTLIER_Z = 2.5  # |med − cos| > Z·MAD on the LOW side flags the vector
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-outlier pruning (the CLIP/LAION-style curation pass
+    next to SemDeDup): assign every vector to its IVF cell and flag
+    vectors whose centroid cosine sits far BELOW the cell's robust
+    baseline (median − cos > Z·MAD) — mis-embedded, off-distribution
+    or garbage items that cluster nowhere. One-sided on purpose:
+    unusually HIGH cohesion is a duplicate signal (SemDeDup's job),
+    not an outlier.
+
+    Scale shape: assignment is the shared _ivf_assign narrow argmax
+    over broadcast centroids, CACHED because med/dev/mad all branch
+    off it (without the cache Spark re-runs the argmax crossJoin per
+    branch); both baselines are cells-sized broadcasts, medians exact
+    per cell (cell population bounded by design — approx_percentile
+    is the stated swap).
+
+    Portability: centroid cosines are the engine-shared rounded
+    _cos_expr; medians/MADs of rounded doubles and the Z·MAD compare
+    are IEEE-identical; robust_z is rounded to 1e-6. MAD==0 (a
+    perfectly tight cell) falls back to flagging any below-median
+    vector."""
+    e = _emb(spark, sf_dir)
+    assigned = _ivf_assign(e, _ivf_centroids(e)).cache()
+    med = assigned.groupBy("cell").agg(F.median("ccos").alias("med"))
+    dev = assigned.join(F.broadcast(med), "cell").withColumn(
+        "adev", F.abs(F.col("ccos") - F.col("med"))
+    )
+    mad = dev.groupBy("cell").agg(F.median("adev").alias("mad"))
+    z = F.when(
+        F.col("mad") > 0,
+        F.round((F.col("med") - F.col("ccos")) / F.col("mad"), 6),
+    )
+    flag = F.when(
+        F.col("mad") > 0,
+        (F.col("med") - F.col("ccos")) > OUTLIER_Z * F.col("mad"),
+    ).otherwise(F.col("ccos") < F.col("med"))
+    return (
+        dev.join(F.broadcast(mad), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("ccos").alias("centroid_cos"),
+            "med",
+            "mad",
+            z.alias("robust_z"),
+            flag.alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_OUTLIER_SQL = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         {_COS_SQL.format(a="e.embedding", b="c.cvec")} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, cid AS cell, ccos FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+med AS (SELECT cell, median(ccos) AS med FROM best GROUP BY cell),
+dev AS (
+  SELECT b.*, m.med, abs(b.ccos - m.med) AS adev
+  FROM best b JOIN med m USING (cell)
+),
+mad AS (SELECT cell, median(adev) AS mad FROM dev GROUP BY cell)
+SELECT d.vec_id, d.cell, d.ccos AS centroid_cos, d.med, a.mad,
+       CASE WHEN a.mad > 0 THEN round((d.med - d.ccos) / a.mad, 6) END
+         AS robust_z,
+       CASE WHEN a.mad > 0 THEN (d.med - d.ccos) > {OUTLIER_Z} * a.mad
+            ELSE d.ccos < d.med END AS is_outlier
+FROM dev d JOIN mad a USING (cell)
+ORDER BY d.vec_id
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    "sim_embedding_outliers": (q_embedding_outliers, _OUTLIER_SQL),
     "sim_mmr_select": (q_mmr_select, _mmr_sql()),
     "sim_hard_negatives": (q_hard_negatives, _HARD_NEG_SQL),
     "sim_pq_adc_recall": (q_pq_adc_recall, _PQ_RECALL_SQL),
