@@ -169,6 +169,7 @@ _FRONT = [
     "text_heaps_fit",
     "events_transition_matrix",
     "sim_embedding_outliers",
+    "text_quality_ensemble",
     "text_rrf_fusion",
     "text_bpe_apply_fertility",
     "graph_kcore",
@@ -202,7 +203,6 @@ _FRONT = [
     "dedup_minhash_portable64",
     "dedup_pipeline_survivors_lsh",
     "text_bpe_token_stats",
-    "text_length_histogram",
     "text_tfidf_keywords",
     "events_asof_plan",
     "error_session_attribution",
@@ -266,6 +266,7 @@ _DEFERRED = [
     "text_bigram_logprob",
     "text_langid_ngram",
     "sim_knn_join_topk",
+    "text_length_histogram",
 ]
 _BACK = [
     "sim_ann_lsh_buckets",

@@ -1719,33 +1719,19 @@ GROUP BY doc_id ORDER BY doc_id
 # --- character-entropy quality signal -----------------------------------------
 
 
-def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level Shannon entropy per document (bits/char) —
-    the classic gibberish/boilerplate screen: keyboard mash, base64
-    blobs and repeated-char padding sit far from natural-language
-    entropy (English ≈ 4.1 bits/char at the character level), so
-    both tails get cut. Complements the word-level Gopher rules with
-    a signal that needs no tokenizer at all.
-
-    Shape: FULLY NARROW — chars are sorted per row and the per-char
-    counts folded with one aggregate() pass (state: previous char,
-    run length, Σ count·ln(count), distinct count), so the entropy
-    H = (ln n − Σ c·ln c / n) / ln 2 is computed without exploding
-    the corpus or shuffling anything; the only exchange in the plan
-    is the presentation ORDER BY. Per-doc cost is O(len · log len)
-    for the sort — independent of corpus size, embarrassingly
-    parallel at 100 TB.
-
-    Portability: the fold accumulates c·ln(c) in sorted-char order,
-    the oracle sums per-group in arbitrary order — both are ≤100-term
-    double sums whose reassociation error is ~1e-12, absorbed by the
-    1e-6 round (the same contract as every logprob op here)."""
-    d = _docs(spark, sf_dir)
-    chars = F.filter(
+def _entropy_chars() -> Column:
+    """Non-whitespace lowercased character array of `text`."""
+    return F.filter(
         F.split(F.regexp_replace(F.lower("text"), r"\s", ""), ""),
         lambda x: x != "",
     )
-    n = F.size(chars).cast("long")
+
+
+def _entropy_fold(chars: Column) -> Column:
+    """One aggregate() pass over the SORTED char array: run-length
+    state (prev char, run length) accumulating Σ count·ln(count) and
+    the distinct count — returns struct(s, d). Shared by the entropy
+    query and the quality-ensemble signal so they can never drift."""
 
     def step(acc: Column, c: Column) -> Column:
         run_term = F.when(
@@ -1784,7 +1770,41 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("s"),
         F.lit(0).cast("long").alias("d"),
     )
-    agg = F.aggregate(F.sort_array(chars), zero, step, finish)
+    return F.aggregate(F.sort_array(chars), zero, step, finish)
+
+
+def entropy_bits(chars: Column) -> Column:
+    """Shannon bits/char of a char array (unrounded); NULL-safe only
+    for nonempty arrays — callers filter/guard n > 0."""
+    n = F.size(chars).cast("double")
+    return (F.log(n) - _entropy_fold(chars)["s"] / n) / F.log(F.lit(2.0))
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) —
+    the classic gibberish/boilerplate screen: keyboard mash, base64
+    blobs and repeated-char padding sit far from natural-language
+    entropy (English ≈ 4.1 bits/char at the character level), so
+    both tails get cut. Complements the word-level Gopher rules with
+    a signal that needs no tokenizer at all.
+
+    Shape: FULLY NARROW — chars are sorted per row and the per-char
+    counts folded with one aggregate() pass (state: previous char,
+    run length, Σ count·ln(count), distinct count), so the entropy
+    H = (ln n − Σ c·ln c / n) / ln 2 is computed without exploding
+    the corpus or shuffling anything; the only exchange in the plan
+    is the presentation ORDER BY. Per-doc cost is O(len · log len)
+    for the sort — independent of corpus size, embarrassingly
+    parallel at 100 TB.
+
+    Portability: the fold accumulates c·ln(c) in sorted-char order,
+    the oracle sums per-group in arbitrary order — both are ≤100-term
+    double sums whose reassociation error is ~1e-12, absorbed by the
+    1e-6 round (the same contract as every logprob op here)."""
+    d = _docs(spark, sf_dir)
+    chars = _entropy_chars()
+    n = F.size(chars).cast("long")
+    agg = _entropy_fold(chars)
     return (
         d.select("doc_id", n.alias("n_chars_nonws"), agg.alias("a"))
         .where(F.col("n_chars_nonws") > 0)
@@ -1831,6 +1851,165 @@ FROM agg WHERE n > 0 ORDER BY doc_id
 GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
+
+
+# --- multi-signal quality ensemble --------------------------------------------
+
+
+def _midrank_map(vals: DataFrame, col: str) -> DataFrame:
+    """Distributed exact mid-rank percentile of a QUANTIZED signal:
+    per-value counts (map-side partials) → cumulative window over the
+    bounded distinct-value frame (quantization bounds it: quality is
+    quarters, ratios/entropy are 3dp → ≤8001 values) → broadcast
+    value→percentile map. pct(v) = (below + ½·eq)/N — the mid-rank
+    convention, so ascending and descending orientations are exact
+    complements. No corpus-sized global sort anywhere."""
+    from pyspark.sql.window import Window
+
+    cnt = vals.groupBy(col).agg(F.count("*").alias("c"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    tot = vals.agg(F.count("*").cast("double").alias("nn"))
+    return (
+        cnt.select(
+            col,
+            (F.sum("c").over(w) - F.col("c")).alias("below"),
+            "c",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            col,
+            ((F.col("below") + 0.5 * F.col("c")) / F.col("nn")).alias(
+                f"pct_{col}"
+            ),
+        )
+    )
+
+
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality ensemble (the FineWeb-style composite:
+    no single heuristic survives contact with a web crawl, so rank
+    each signal into a percentile and average the percentiles):
+    heuristic quality score (up), unigram repetition (down) and
+    character entropy (up), each mid-rank-percentiled over the
+    corpus, ensemble = mean of the three oriented percentiles.
+    Percentiling makes the signals commensurable — raw scales and
+    outliers stop mattering, exactly why ensembles rank-average.
+
+    Scale shape: signals are ONE narrow codegen pass; each percentile
+    is a per-value count aggregate + a cumulative window over the
+    quantization-BOUNDED distinct-value frame (quarters / 3dp — the
+    documented vocab-bounded window class) broadcast back as a
+    value→pct map; the signal frame is cached because three maps and
+    the final join branch off it. No global sort of the corpus.
+
+    Portability: counts exact; pct = (below + ½·eq)/N is one double
+    expression evaluated identically; the ensemble mean of three such
+    terms is rounded to 1e-6."""
+    d = _docs(spark, sf_dir)
+    chars = _entropy_chars()
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    rep = F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ent = F.when(F.size(chars) > 0, entropy_bits(chars)).otherwise(F.lit(0.0))
+    base = d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        F.round(rep, 3).alias("rep"),
+        F.round(ent, 3).alias("ent"),
+    ).cache()
+    mq = _midrank_map(base, "q")
+    mr = _midrank_map(base, "rep")
+    me = _midrank_map(base, "ent")
+    ens = (F.col("pct_q") + (1.0 - F.col("pct_rep")) + F.col("pct_ent")) / 3.0
+    return (
+        base.join(F.broadcast(mq), "q")
+        .join(F.broadcast(mr), "rep")
+        .join(F.broadcast(me), "ent")
+        .select(
+            "doc_id",
+            "q",
+            "rep",
+            "ent",
+            F.round("pct_q", 6).alias("pct_quality"),
+            F.round(1.0 - F.col("pct_rep"), 6).alias("pct_low_rep"),
+            F.round("pct_ent", 6).alias("pct_entropy"),
+            F.round(ens, 6).alias("ensemble"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ENSEMBLE_SQL = f"""
+WITH sig AS MATERIALIZED (
+  SELECT doc_id,
+         (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN punct_ratio < 0.2 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN stop_ratio > 0.01 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END) AS q,
+         round(rep, 3) AS rep
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   w -> list_contains({list(STOPWORDS)!r}, w))) AS DOUBLE)
+             / length(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stop_ratio,
+           CASE WHEN len(toks) > 0
+                THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS rep
+    FROM (SELECT doc_id, text,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents)
+  )
+),
+chars AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(regexp_replace(lower(text), '\\s', '', 'g'), ''),
+           x -> x != '')) AS c
+  FROM documents
+),
+ecnt AS (SELECT doc_id, c, count(*) AS k FROM chars GROUP BY doc_id, c),
+eagg AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, sum(k * ln(k)) AS s
+  FROM ecnt GROUP BY doc_id
+),
+base AS MATERIALIZED (
+  SELECT sig.doc_id, sig.q, sig.rep,
+         round(coalesce((ln(e.n) - e.s / e.n) / ln(2), 0.0), 3) AS ent
+  FROM sig LEFT JOIN eagg e ON sig.doc_id = e.doc_id
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM base),
+mq AS (
+  SELECT q, (below + 0.5 * c) / nn AS pct_q FROM (
+    SELECT q, sum(c) OVER (ORDER BY q) - c AS below, c
+    FROM (SELECT q, count(*) AS c FROM base GROUP BY q)
+  ) CROSS JOIN tot
+),
+mr AS (
+  SELECT rep, (below + 0.5 * c) / nn AS pct_rep FROM (
+    SELECT rep, sum(c) OVER (ORDER BY rep) - c AS below, c
+    FROM (SELECT rep, count(*) AS c FROM base GROUP BY rep)
+  ) CROSS JOIN tot
+),
+me AS (
+  SELECT ent, (below + 0.5 * c) / nn AS pct_ent FROM (
+    SELECT ent, sum(c) OVER (ORDER BY ent) - c AS below, c
+    FROM (SELECT ent, count(*) AS c FROM base GROUP BY ent)
+  ) CROSS JOIN tot
+)
+SELECT b.doc_id, b.q, b.rep, b.ent,
+       round(pct_q, 6) AS pct_quality,
+       round(1.0 - pct_rep, 6) AS pct_low_rep,
+       round(pct_ent, 6) AS pct_entropy,
+       round((pct_q + (1.0 - pct_rep) + pct_ent) / 3.0, 6) AS ensemble
+FROM base b JOIN mq USING (q) JOIN mr USING (rep) JOIN me USING (ent)
+ORDER BY b.doc_id
+"""
 
 
 def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2005,6 +2184,7 @@ QUERIES = {
     "text_bpe_learn_merges": (q_bpe_learn_merges, _bpe_learn_sql()),
     "text_bpe_apply_fertility": (q_bpe_apply_fertility, _bpe_apply_sql()),
     "text_char_entropy": (q_char_entropy, _CHAR_ENTROPY_SQL),
+    "text_quality_ensemble": (q_quality_ensemble, _ENSEMBLE_SQL),
     "text_lang_guess": (q_lang_guess, _LANG_GUESS_SQL),
     "text_quality_score": (q_quality_score, _QUALITY_SQL),
     "text_corpus_filter_funnel": (q_corpus_filter_funnel, _FUNNEL_SQL),
