@@ -55,11 +55,14 @@ class ExtractionStore:
 
     # -- write -------------------------------------------------------------
 
-    def commit(self, extracted: DataFrame) -> int:
+    def commit(self, extracted: DataFrame, n_docs: int | None = None) -> int:
         """Append newly extracted docs. Caller must have produced
         ``extracted`` from :meth:`pending` input — key disjointness
-        makes append == MERGE WHEN NOT MATCHED INSERT."""
-        before = extracted.count()
+        makes append == MERGE WHEN NOT MATCHED INSERT. Pass ``n_docs``
+        when the caller already knows the row count (run_resumable
+        does, from the stage-write observation) to skip the count
+        action — one fewer read of the staged files."""
+        before = extracted.count() if n_docs is None else n_docs
         extracted.write.mode("append").parquet(self.extracted_path)
         return before
 
@@ -85,18 +88,59 @@ class ExtractionStore:
         # stats. persist() alone is only a hint; files are a barrier.
         # On Iceberg this staging table + append is MERGE INTO.
         stage_path = os.path.join(self.root, f"_staging_{run_id}")
-        extract_fn(todo).write.mode("overwrite").parquet(stage_path)
+        # run-level totals ride the stage write itself (observe() =
+        # zero extra action/scan); per-PARTITION lineage still needs
+        # the relational agg over the staged files — observation
+        # metrics are global only
+        from pyspark.sql import Observation
+
+        obs = Observation(f"extract_run_{run_id}")
+        extract_fn(todo).observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("spans_out"),
+            F.coalesce(
+                F.sum(
+                    F.size(
+                        F.filter(
+                            "spans", lambda s: s["kind"] == F.lit("error")
+                        )
+                    )
+                ),
+                F.lit(0),
+            ).alias("errors"),
+        ).write.mode("overwrite").parquet(stage_path)
+        totals = obs.get
         try:
             staged = spark.read.parquet(stage_path)
             stats_rows = self._partition_stats(staged)
-            n_new = self.commit(staged)
+            # free cross-check: the observed totals and the staged-file
+            # aggregation must agree — divergence means the extraction
+            # plan is nondeterministic between evaluations, which would
+            # silently corrupt resume accounting
+            summed = {
+                "docs": sum(int(r["docs"]) for r in stats_rows),
+                "spans_out": sum(int(r["spans_out"]) for r in stats_rows),
+                "errors": sum(int(r["errors"]) for r in stats_rows),
+            }
+            if summed != {k: int(totals[k]) for k in summed}:
+                raise RuntimeError(
+                    f"staged-file stats {summed} disagree with stage-write "
+                    f"observation {totals}: nondeterministic extraction plan"
+                )
+            n_new = self.commit(staged, n_docs=int(totals["docs"]))
             wall_ms = (time.perf_counter() - t0) * 1000.0
             self._append_metrics(spark, run_id, stats_rows, wall_ms)
         finally:
             import shutil
 
             shutil.rmtree(stage_path, ignore_errors=True)
-        return {"run_id": run_id, "docs_written": n_new, "wall_ms": wall_ms}
+        return {
+            "run_id": run_id,
+            "docs_written": n_new,
+            "wall_ms": wall_ms,
+            "observed": {k: int(totals[k]) for k in ("docs", "spans_out", "errors")},
+        }
 
     def upsert(self, updated: DataFrame) -> dict:
         """Full MERGE semantics: WHEN MATCHED (same doc_id) replace

@@ -51,6 +51,11 @@ def test_metrics_rows_written(spark, store):
     total_spans = sum(r["spans_out"] for r in m)
     assert total_spans > 0
     assert res["docs_written"] == 12
+    # stage-write observation (zero-extra-action totals) agrees with
+    # the per-partition lineage aggregation over the staged files
+    assert res["observed"]["docs"] == 12
+    assert res["observed"]["spans_out"] == total_spans
+    assert res["observed"]["errors"] == sum(r["errors"] for r in m)
 
 
 def test_staging_dir_cleaned_up(spark, tmp_path):
