@@ -47,6 +47,7 @@ HEADLINE = [
     "extract_html_block_classify",
     "text_gopher_repetition",
     "text_quality_classifier",
+    "text_quality_ensemble",
 ]
 
 
