@@ -945,6 +945,11 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_grams"), F.sum("term").alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(DSIR_TOPK)
+        # score is an exact decimal(38,0); emit it as its canonical digit
+        # string so the cross-engine compare is lexical on digits, never on a
+        # float rendering (above 9 significant digits Decimal-through-%.9g
+        # and int diverge: '1.80401574e+09' vs '1804015736')
+        .withColumn("score", F.col("score").cast("string"))
     )
 
 
@@ -969,9 +974,11 @@ tot AS (SELECT sum(r_cnt) + {DSIR_BUCKETS} AS R,
 bt AS (SELECT b, CAST(t_cnt + 1 AS HUGEINT) * CAST(R AS HUGEINT)
                  - CAST(r_cnt + 1 AS HUGEINT) * CAST(T AS HUGEINT) AS term
        FROM cnt, tot)
-SELECT doc_id, count(*) AS n_grams, sum(term) AS score
-FROM gb JOIN bt USING (b)
-GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {DSIR_TOPK}
+SELECT doc_id, n_grams, CAST(score AS VARCHAR) AS score
+FROM (SELECT doc_id, count(*) AS n_grams, sum(term) AS score
+      FROM gb JOIN bt USING (b)
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {DSIR_TOPK})
+ORDER BY CAST(score AS HUGEINT) DESC, doc_id
 """
 
 

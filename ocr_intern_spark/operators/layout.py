@@ -312,8 +312,12 @@ def table_grid(tokens: DataFrame, row_gap: int = ROW_GAP,
                 > col_gap
             ).cast("int"),
         )
-        .withColumn("row_id", F.sum("_ny").over(run_y))
-        .withColumn("col_id", F.sum("_nx").over(run_x))
+        # cast to INT canonically: DuckDB's window sum is HUGEINT (int128)
+        # and Spark's is BIGINT — some Arrow/normalizer paths render those
+        # differently, so both engines emit plain 32-bit ids (grids are
+        # bounded by tokens-per-doc, nowhere near 2^31)
+        .withColumn("row_id", F.sum("_ny").over(run_y).cast("int"))
+        .withColumn("col_id", F.sum("_nx").over(run_x).cast("int"))
     )
     cell = F.array_join(
         F.transform(
@@ -385,12 +389,12 @@ flagged AS (
 ),
 cols_clustered AS (
   SELECT *,
-         sum(ny) OVER (PARTITION BY doc_id ORDER BY y, x, text
+         CAST(sum(ny) OVER (PARTITION BY doc_id ORDER BY y, x, text
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS row_id,
-         sum(nx) OVER (PARTITION BY doc_id ORDER BY x, y, text
+           AS INTEGER) AS row_id,
+         CAST(sum(nx) OVER (PARTITION BY doc_id ORDER BY x, y, text
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS col_id
+           AS INTEGER) AS col_id
   FROM flagged
 )
 SELECT doc_id, row_id, col_id,
