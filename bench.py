@@ -112,20 +112,32 @@ def _shutdown_jvm(spark) -> None:
 
 QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4.0"))
 QUIET_TIMEOUT = float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "300"))
+# The SCALING gate is much stricter than the headline gate: the r3
+# driver artifact launched its local[1] attempts at loads 2.1-2.9 —
+# "quiet" under the old 4.0 gate — and the deflated draws pushed the
+# median estimator to 0.745 < 0.8 while max passed at 0.998. Its own
+# data shows 2+ loads deflate local[1] materially, so scaling attempts
+# require a genuinely idle box and wait longer for one.
+SCALING_QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_SCALING_QUIET_LOAD", "1.0"))
+SCALING_QUIET_TIMEOUT = float(
+    os.environ.get("SPARK_GRAFT_SCALING_QUIET_TIMEOUT", "600")
+)
 
 
-def _wait_quiet() -> float:
-    """Hold each scaling attempt until the 1-min load average drops
-    below QUIET_LOAD (or QUIET_TIMEOUT elapses). Host contention only
-    DEFLATES throughput, so launching into a known-busy window wastes
-    the attempt — r2's first scaling sweep ran entirely inside the
+def _wait_quiet(
+    limit: float = QUIET_LOAD, timeout: float = QUIET_TIMEOUT
+) -> float:
+    """Hold an attempt until the 1-min load average drops below
+    `limit` (or `timeout` elapses). Host contention only DEFLATES
+    throughput, so launching into a known-busy window wastes the
+    attempt — r2's first scaling sweep ran entirely inside the
     post-headline busy window and measured 0.44× of the quiet-box
     value at every level. Returns the load actually observed at
     launch, which is recorded per-attempt for audit."""
     t0 = time.monotonic()
-    while time.monotonic() - t0 < QUIET_TIMEOUT:
+    while time.monotonic() - t0 < timeout:
         load = os.getloadavg()[0]
-        if load < QUIET_LOAD:
+        if load < limit:
             return load
         time.sleep(10)
     return os.getloadavg()[0]
@@ -225,26 +237,12 @@ def main() -> None:
     result: dict = {"metric": "headline_queries_total_wall", "unit": "sec",
                     "sf": SF_DIR.rstrip("/").split("sf")[-1]}
 
-    if not scaling_only:
-        # Quiet-gate the headline phase like the scaling attempts: the
-        # co-tenant on this box cycles between idle and load ~10-18,
-        # and a headline run launched into a busy window measures the
-        # co-tenant, not the code (r3 measured the same flagship at
-        # 5.3 s quiet vs 54.5 s busy). The observed launch load is
-        # recorded so a reader can weigh the scalar.
-        result["headline_launch_load"] = round(_wait_quiet(), 2)
-        spark = _session(CPUS)
-        try:
-            times, q_attempts = run_headline(spark)
-        finally:
-            _shutdown_jvm(spark)
-        result["queries"] = times
-        result["query_attempts"] = q_attempts
-        result["value"] = round(sum(times.values()), 3)
-    else:
-        result["queries"] = {}
-        result["value"] = 0.0
-
+    # SCALING PHASE FIRST: it is the north-rule gate and the most
+    # contention-sensitive measurement in the run, so it gets the
+    # coldest, quietest part of the bench window — before the headline
+    # phase heats the box (r3 ran it after and the driver artifact's
+    # local[1] draws launched at loads 2.1-2.9, failing the median
+    # estimator that the same code cleared on a quiet box).
     if not fast:
         # North-rule protocol: same job, N vs 4N cores (local[1] vs
         # local[4] — a 4-core demand is rarely starved by co-tenants
@@ -276,7 +274,14 @@ def main() -> None:
         loads: dict[int, list[float]] = {n: [], n4: []}
         for i in range(n_attempts):
             for level in (n4, n):
-                loads[level].append(round(_wait_quiet(), 2))
+                loads[level].append(
+                    round(
+                        _wait_quiet(
+                            SCALING_QUIET_LOAD, SCALING_QUIET_TIMEOUT
+                        ),
+                        2,
+                    )
+                )
                 attempts[level].append(run_extract_throughput_subprocess(level))
                 time.sleep(30)
         tp_n, tp_4n = max(attempts[n]), max(attempts[n4])
@@ -284,12 +289,22 @@ def main() -> None:
         med_eff = (
             statistics.median(attempts[n4]) / statistics.median(attempts[n])
         ) / 4.0
+        # A trampled artifact must self-identify: any attempt launched
+        # at or above the scaling gate means the gate timed out on a
+        # busy box and the draws below are suspect — the flag makes
+        # that loud instead of leaving it implicit in the load lists.
+        violated = [
+            v for vals in loads.values() for v in vals
+            if v >= SCALING_QUIET_LOAD
+        ]
         result["scaling"] = {
             "corpus_docs": BENCH_DOCS,
             f"docs_per_sec_local{n}": round(tp_n, 1),
             f"docs_per_sec_local{n4}": round(tp_4n, 1),
             f"scaling_efficiency_{n}_to_{n4}": round(eff, 3),
             f"scaling_efficiency_median_{n}_to_{n4}": round(med_eff, 3),
+            "quiet_gate": SCALING_QUIET_LOAD,
+            "gate_violated": bool(violated),
             "attempts": {
                 f"local{lvl}": [round(v, 1) for v in vals]
                 for lvl, vals in attempts.items()
@@ -298,6 +313,26 @@ def main() -> None:
                 f"local{lvl}": vals for lvl, vals in loads.items()
             },
         }
+
+    if not scaling_only:
+        # Quiet-gate the headline phase like the scaling attempts: the
+        # co-tenant on this box cycles between idle and load ~10-18,
+        # and a headline run launched into a busy window measures the
+        # co-tenant, not the code (r3 measured the same flagship at
+        # 5.3 s quiet vs 54.5 s busy). The observed launch load is
+        # recorded so a reader can weigh the scalar.
+        result["headline_launch_load"] = round(_wait_quiet(), 2)
+        spark = _session(CPUS)
+        try:
+            times, q_attempts = run_headline(spark)
+        finally:
+            _shutdown_jvm(spark)
+        result["queries"] = times
+        result["query_attempts"] = q_attempts
+        result["value"] = round(sum(times.values()), 3)
+    else:
+        result["queries"] = {}
+        result["value"] = 0.0
 
     print(json.dumps(result))
 

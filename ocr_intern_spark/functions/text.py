@@ -483,6 +483,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(VOCAB_TOPK)
     )
     return top.select(
+        # bounded-window: frame is the VOCAB_TOPK-row limit above, not the vocab
         (F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("tok")))).alias("rank"),
         "tok",
         "tf",
@@ -532,14 +533,17 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the mix).
 
     Scale shape: ONE token explode → per-token HashAggregate
-    (map-side partials); ranking and the five OLS power sums run on
-    the VOCABULARY-sized frame (bounded: top-V cut at real scale —
-    the single-partition rank window is the documented vocab-bounded
-    class, same as q_vocab_topk's). One row out.
+    (map-side partials); ranking runs DISTRIBUTED via
+    skew.global_rank (range-partition sort + prefix offsets + local
+    row_number — every window frame bounded by vocab/partitions, no
+    single-reducer rank even at a 10^9-token vocabulary); the five
+    OLS power sums are one map-side-combinable aggregate. One row out.
 
     Portability: counts/ranks exact; power sums are ≤vocab-term
-    double sums under the 1e-6-round reassociation contract."""
-    from pyspark.sql.window import Window
+    double sums under the 1e-6-round reassociation contract (the
+    distributed sum order differs from DuckDB's either way — the
+    round(…, 6) on the outputs is what both engines pin)."""
+    from ocr_intern_spark.operators.skew import global_rank
 
     d = _docs(spark, sf_dir)
     vocab = (
@@ -552,11 +556,8 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
-    ranked = vocab.select(
-        F.row_number()
-        .over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
-        .alias("rank"),
-        "cnt",
+    ranked = global_rank(vocab, F.desc("cnt"), F.asc("tok")).select(
+        "rank", "cnt"
     )
     pts = ranked.select(
         F.log(F.col("rank").cast("double")).alias("x"),
@@ -662,6 +663,7 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_new"))
     )
+    # bounded-window: frame is HEAPS_BUCKETS rows (corpus-growth checkpoints)
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     growth = (
         per_bucket.join(new_vocab, "bucket", "left")
@@ -1867,6 +1869,8 @@ def _midrank_map(vals: DataFrame, col: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cnt = vals.groupBy(col).agg(F.count("*").alias("c"))
+    # bounded-window: frame is the distinct-value table of an integer signal
+    # (≤8001 values by construction), never the corpus
     w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
     tot = vals.agg(F.count("*").cast("double").alias("nn"))
     return (

@@ -1022,11 +1022,16 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer MICROSECONDS (unix_micros / epoch_us; the corpus
     timestamps are microsecond-grained, so second-truncated math
     would silently zero short gaps)."""
+    # the corpus column is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP.
+    # The NTZ→TIMESTAMP cast interprets the value in the SESSION zone:
+    # in a DST-observing zone the offset changes across a transition,
+    # so intervals straddling the boundary would diverge ±3600s from
+    # the oracle's epoch_us. Pin the session zone to UTC (constant
+    # offset ⇒ the lead subtraction cancels it exactly, every day of
+    # the year).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # the corpus column is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP.
-    # The cast applies a constant session-zone offset that the lead
-    # subtraction cancels exactly.
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     dt = F.lead(us).over(w) - us
     rows = e.select("user_id", "value", dt.alias("dt_us")).where(

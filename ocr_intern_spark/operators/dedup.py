@@ -150,9 +150,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle joins on raw shingle strings and must produce
     the identical pair set."""
     d = _docs(spark, sf_dir)
-    sh = _shingles(d).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
-    ).cache()
+    # The index is consumed three times (sizes, DF cut, self-join).
+    # _round_checkpoint materializes it ONCE: to the configured
+    # reliable checkpoint dir on a cluster (the 100 TB path — the
+    # index is the biggest intermediate in the pipeline and does not
+    # fit executor memory), localCheckpoint on this box. The previous
+    # .cache() was the narrated-only version of the same story.
+    sh = _round_checkpoint(
+        _shingles(d).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    )
     # per-doc shingle-set size
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # skew cut: drop shingles present in too many docs
@@ -915,9 +921,11 @@ def lsh_candidate_jaccard_pairs(
     oracle row proves (1-(1-s²)⁴ per-pair; near-dups here sit well
     above the s=0.5 knee)."""
     d = _docs(spark, sf_dir)
-    sh = _shingles(d).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
-    ).cache()
+    # same reliable-checkpoint swap as q_ngram_jaccard_pairs: the
+    # shingle index feeds both the signature pass and the verify join
+    sh = _round_checkpoint(
+        _shingles(d).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    )
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"mh{s}")

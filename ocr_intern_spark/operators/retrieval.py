@@ -285,6 +285,7 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     top = q_bm25_search(spark, sf_dir).limit(RRF_LIST_K)
+    # bounded-window: frame is the RRF_LIST_K-row limit above
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return top.select("doc_id", F.row_number().over(w).alias("lex_rank"))
 
@@ -295,6 +296,7 @@ def _cosine_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     top = q_cosine_topk(spark, sf_dir).limit(RRF_LIST_K)
+    # bounded-window: frame is the RRF_LIST_K-row limit above
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
     return top.select(
         F.col("vec_id").alias("doc_id"),
@@ -347,7 +349,13 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rrf_sql() -> str:
+    # reuse the engine-shared constants/fragments (QUERY_VEC_ID, the
+    # 6-decimal cosine) so the oracle can't silently drift from the
+    # Spark side if the query id or rounding ever changes
+    from ocr_intern_spark.operators.similarity import _COS_SQL, QUERY_VEC_ID
+
     bm25 = _bm25_sql()
+    cos = _COS_SQL.format(a="embedding", b="qvec")
     return f"""
 WITH bm25 AS ({bm25}),
 lex AS (
@@ -355,18 +363,11 @@ lex AS (
          row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
   FROM bm25 LIMIT {RRF_LIST_K}
 ),
-q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+q AS (SELECT embedding AS qvec FROM embeddings
+      WHERE vec_id = {QUERY_VEC_ID}),
 cosed AS (
-  SELECT vec_id AS doc_id,
-         round(
-           list_sum(list_transform(list_zip(embedding, qvec),
-                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-           / (sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * x)))
-              * sqrt(list_sum(list_transform(qvec,
-                    x -> CAST(x AS DOUBLE) * x)))),
-           6) AS cos
-  FROM embeddings, q WHERE vec_id != 0
+  SELECT vec_id AS doc_id, {cos} AS cos
+  FROM embeddings, q WHERE vec_id != {QUERY_VEC_ID}
   ORDER BY cos DESC, vec_id ASC LIMIT {RRF_LIST_K}
 ),
 sem AS (

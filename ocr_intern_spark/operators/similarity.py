@@ -259,6 +259,7 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
         .limit(IVF_CELLS)
     )
     return sample.select(
+        # bounded-window: frame is the IVF_CELLS-row limit above
         (F.row_number().over(Window.orderBy("mk")) - 1).alias("cid"),
         F.col("embedding").alias("cvec"),
     )
@@ -1133,12 +1134,17 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             score = F.round(0.7 * F.col("rel") - 0.3 * maxsim, 6)
         else:
             score = F.round(0.7 * F.col("rel"), 6)
-        pick = (
+        picked = (
             cand.select("vec_id", "label", "embedding", score.alias("mmr"))
             .orderBy(F.desc("mmr"), F.asc("vec_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picked:
+            # fewer than MMR_K non-query vectors: return the shorter
+            # selection rather than dying on an empty pick
+            break
+        pick = picked[0]
         selected.append(pick)
         out_rows.append((k + 1, pick["vec_id"], pick["label"], pick["mmr"]))
     return spark.createDataFrame(

@@ -43,6 +43,10 @@ FORMAT_NAME = "interleaved_corpus"
 
 def _oversized_ids(n_docs: int, seed: int, skew_pct: float = 0.01) -> set[int]:
     """Same draw as make_corpus: which doc indexes are oversized."""
+    if n_docs <= 0:
+        # user-supplied option: an empty source is a valid (if odd)
+        # request, not a randrange(0) ValueError
+        return set()
     rng = _rng_for("corpus", seed)
     return {
         rng.randrange(n_docs) for _ in range(max(1, int(n_docs * skew_pct)))
@@ -135,6 +139,13 @@ class InterleavedCorpusStreamReader(DataSourceStreamReader):
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
+        # Restart-from-checkpoint: the in-memory pacing counter starts
+        # at 0, but `start` is the COMMITTED offset from the log.
+        # Re-seat the counter so latestOffset() never regresses below
+        # the committed index (offset-log monotonicity; without this
+        # the stream plans empty backwards batches for
+        # committed/batch_docs triggers before making progress).
+        self._latest = max(self._latest, start["i"], end["i"])
         return _make_ranges(
             start["i"], end["i"], self.parts, self.seed, self._oversized
         )

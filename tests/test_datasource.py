@@ -89,3 +89,40 @@ def test_stream_delivers_range_exactly_once(registered, tmp_path):
     )
     stream = _collect_sorted(spark.table("corpus_stream"))
     assert stream == batch
+
+
+def test_oversized_ids_empty_source():
+    """n_docs=0 is a valid user option: empty set, not randrange(0)."""
+    from ocr_intern_spark.sources.datasource import _oversized_ids
+
+    assert _oversized_ids(0, seed=42) == set()
+    assert _oversized_ids(10, seed=42) != set()
+
+
+def test_stream_reader_offset_never_regresses_after_restart():
+    """Restart-from-checkpoint: a fresh reader whose first planning
+    call carries the committed offset must not emit latestOffset()
+    below it afterwards (offset-log monotonicity; the old in-memory
+    counter regressed to batch_docs and stalled progress)."""
+    from ocr_intern_spark.sources.datasource import (
+        InterleavedCorpusStreamReader,
+    )
+
+    opts = {"n_docs": "1000", "batch_docs": "100", "parts": "2"}
+    committed = 700
+
+    # fresh process: counter starts at 0, checkpoint says 700
+    r = InterleavedCorpusStreamReader(opts)
+    first_latest = r.latestOffset()["i"]  # pre-fix this was 100 < 700
+    # Spark plans (committed → latest) regardless; the reader re-seats
+    # its counter from the committed start
+    r.partitions({"i": committed}, {"i": max(first_latest, committed)})
+    after = r.latestOffset()["i"]
+    assert after >= committed, f"offset regressed: {after} < {committed}"
+    # and keeps advancing monotonically to completion
+    seen = [after]
+    for _ in range(5):
+        r.partitions({"i": seen[-1]}, {"i": seen[-1]})
+        seen.append(r.latestOffset()["i"])
+    assert seen == sorted(seen)
+    assert seen[-1] <= 1000

@@ -133,3 +133,70 @@ def test_upsert_replaces_matched_and_inserts_new(spark, store):
 
     # resume sees upserted docs as processed
     assert store.pending(corpus_to_spark(spark, 8, seed=42)).count() == 0
+
+
+def test_crash_after_stage_before_commit_is_exactly_once(spark, store):
+    """Kill the run between the stage write and the table append: the
+    extracted table gains nothing, and the re-run's anti-join
+    reprocesses every pending doc — exactly-once output."""
+    docs = corpus_to_spark(spark, 20, seed=42)
+
+    real_commit = ExtractionStore.commit
+
+    def crashing_commit(self, extracted, n_docs=None):
+        raise RuntimeError("simulated crash between stage and commit")
+
+    ExtractionStore.commit = crashing_commit
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            store.run_resumable(docs, _extract_fn, run_id="crash1")
+    finally:
+        ExtractionStore.commit = real_commit
+
+    # nothing committed, no metrics row for the dead run
+    import os
+
+    assert not os.path.isdir(store.extracted_path) or (
+        spark.read.parquet(store.extracted_path).count() == 0
+    )
+
+    # clean re-run: all 20 docs, exactly once
+    res = store.run_resumable(docs, _extract_fn, run_id="retry1")
+    assert res["docs_written"] == 20
+    back = spark.read.parquet(store.extracted_path)
+    assert back.count() == 20
+    assert back.select("doc_id").distinct().count() == 20
+
+
+def test_crash_between_commit_and_metrics_is_exactly_once(spark, store):
+    """Kill the run between the data append and the metrics append
+    (the partial-commit window the divergence-raise does NOT cover):
+    the data IS committed, so the re-run's anti-join must process
+    ZERO docs — no duplicate rows ever — and the retry still records
+    its own (empty) metrics."""
+    docs = corpus_to_spark(spark, 15, seed=42)
+
+    real_append = ExtractionStore._append_metrics
+
+    def crashing_append(self, *a, **kw):
+        raise RuntimeError("simulated crash before metrics append")
+
+    ExtractionStore._append_metrics = crashing_append
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            store.run_resumable(docs, _extract_fn, run_id="crash2")
+    finally:
+        ExtractionStore._append_metrics = real_append
+
+    # the data commit happened before the crash
+    assert spark.read.parquet(store.extracted_path).count() == 15
+
+    # re-run: anti-join sees all 15 committed → writes nothing new
+    res = store.run_resumable(docs, _extract_fn, run_id="retry2")
+    assert res["docs_written"] == 0
+    back = spark.read.parquet(store.extracted_path)
+    assert back.count() == 15
+    assert back.select("doc_id").distinct().count() == 15
+    # and the retry's lineage is consistent (0 docs this run)
+    m = store.metrics(spark).where("run_id = 'retry2'").collect()
+    assert sum(r["docs"] for r in m) == 0
