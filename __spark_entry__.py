@@ -219,10 +219,18 @@ _FRONT = [
     "sim_hard_negatives",
     "text_gopher_quality_flags",
     "text_allpairs_cosine",
-    "dedup_fuzzy_vocab_pairs",
-    "dedup_split_leakage_safe",
-    "graph_provenance_rank",
-    "text_span_dedup",
+    # (5) round-4 NEW queries (Q8-style 7-table market share, Q15-style
+    # broadcast-argmax top supplier, interval/range join, and the
+    # global_rank-backed spend deciles) — registered this round, so
+    # they take window slots immediately; the four r3-green names they
+    # displace (dedup_fuzzy_vocab_pairs, dedup_split_leakage_safe,
+    # graph_provenance_rank, text_span_dedup) keep their r03 driver
+    # rows and move to _BACK, so the r01-r04 union still covers every
+    # registered name:
+    "market_share_by_year",
+    "top_supplier_revenue",
+    "events_error_follows_click",
+    "customer_spend_deciles",
 ]
 
 # Names intentionally outside this round's 50-slot window. Every one
@@ -231,6 +239,12 @@ _FRONT = [
 # this round zero registered names lack a driver row.
 _DEFERRED: list[str] = []
 _BACK = [
+    # displaced from the r4 fill by the four new round-4 queries;
+    # all four are hash-green in CORRECTNESS_r03.json:
+    "dedup_fuzzy_vocab_pairs",
+    "dedup_split_leakage_safe",
+    "graph_provenance_rank",
+    "text_span_dedup",
     "sim_ann_lsh_buckets",
     "sim_cosine_topk",
     "dedup_dup_clusters",

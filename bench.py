@@ -201,8 +201,14 @@ def run_extract_throughput(cpus: int) -> float:
         # warm-up (JVM JIT + codegen + Arrow channel + python workers)
         _materialize(extract(docs.limit(2000), costed_stub_ocr_tokens))
         t0 = time.perf_counter()
+        mono0 = time.monotonic()
         _materialize(extract(docs, costed_stub_ocr_tokens))
         wall = time.perf_counter() - t0
+        # CLOCK_MONOTONIC is process-shared on Linux: the parent's
+        # trample sampler uses these bounds to score only the TIMED
+        # window (JVM startup/warm-up burn >cpus cores briefly and
+        # would otherwise read as co-tenant excess)
+        print(f"TIMED {mono0} {time.monotonic()}")
         return BENCH_DOCS / wall
     finally:
         spark.stop()
@@ -220,7 +226,87 @@ def run_extract_throughput_subprocess(cpus: int) -> float:
         env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(BENCH_DOCS)},
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("THROUGHPUT ")][-1]
-    return float(line.split()[1])
+    timed = [l for l in out.stdout.splitlines() if l.startswith("TIMED ")]
+    window = None
+    if timed:
+        _, a, b = timed[-1].split()
+        window = (float(a), float(b))
+    return float(line.split()[1]), window
+
+
+# --- mid-attempt trample detection ----------------------------------------
+# The launch-load gate cannot see co-tenant bursts that arrive DURING
+# a 1-7-minute attempt: the r4 validation run launched every attempt
+# below load 1.0 and still drew local[4] ∈ {172, 177, 307, 362} — two
+# mid-attempt tramples that pushed the median estimator to 0.735 while
+# max passed at 1.074 (same failure shape as the r3 driver artifact).
+# So each scaling attempt is WATCHED: a sampler thread reads
+# /proc/stat every 2 s and converts busy-jiffy deltas to "busy cores".
+# An attempt at local[N] should keep ~N cores busy plus ~1.5 of
+# JVM/python overhead; sustained busy beyond N + TRAMPLE_HEADROOM is,
+# by construction, someone else's CPU. Under the deflation-only noise
+# model (contention can only LOWER a draw, never raise it) a trampled
+# draw is a strict underestimate, so discarding it and retrying cannot
+# bias the estimate upward — every discarded draw is still recorded in
+# the JSON for audit, and a draw that exhausts the retry budget is
+# kept (best trampled value) with the trample flag raised.
+
+TRAMPLE_HEADROOM = float(os.environ.get("SPARK_GRAFT_TRAMPLE_HEADROOM", "1.5"))
+TRAMPLE_MEAN_EXCESS = float(
+    os.environ.get("SPARK_GRAFT_TRAMPLE_MEAN_EXCESS", "0.75")
+)
+TRAMPLE_RETRY_BUDGET = int(os.environ.get("SPARK_GRAFT_TRAMPLE_RETRIES", "3"))
+
+
+def _busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    # user nice system idle iowait irq softirq steal — busy = all but
+    # idle+iowait
+    vals = [int(v) for v in parts[1:9]]
+    return sum(vals) - vals[3] - vals[4]
+
+
+def run_attempt_watched(cpus: int) -> tuple[float, float, float]:
+    """One throughput attempt with the busy-core sampler running.
+    Returns (docs_per_sec, mean_busy_cores, mean_excess_cores) where
+    excess is busy beyond this attempt's own expected demand."""
+    import threading
+
+    hz = os.sysconf("SC_CLK_TCK")
+    samples: list[tuple[float, float]] = []  # (monotonic ts, busy cores)
+    stop = threading.Event()
+
+    def watch() -> None:
+        prev = _busy_jiffies()
+        prev_t = time.monotonic()
+        while not stop.wait(2.0):
+            cur, cur_t = _busy_jiffies(), time.monotonic()
+            dt = cur_t - prev_t
+            if dt > 0:
+                samples.append((cur_t, (cur - prev) / dt / hz))
+            prev, prev_t = cur, cur_t
+
+    th = threading.Thread(target=watch, daemon=True)
+    th.start()
+    try:
+        tp, window = run_extract_throughput_subprocess(cpus)
+    finally:
+        stop.set()
+        th.join(timeout=5)
+    # score only the subprocess's TIMED window (monotonic clock is
+    # process-shared): JVM startup + warm-up burn >cpus cores briefly
+    # and would otherwise read as co-tenant excess
+    if window:
+        vals = [b for (ts, b) in samples if window[0] <= ts <= window[1]]
+    else:
+        vals = [b for (_ts, b) in samples]
+    if not vals:  # attempt shorter than one sample period
+        return tp, 0.0, 0.0
+    own = cpus + TRAMPLE_HEADROOM
+    mean_busy = sum(vals) / len(vals)
+    mean_excess = sum(max(0.0, s - own) for s in vals) / len(vals)
+    return tp, round(mean_busy, 2), round(mean_excess, 2)
 
 
 def main() -> None:
@@ -272,31 +358,75 @@ def main() -> None:
         n_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "4"))
         attempts: dict[int, list[float]] = {n: [], n4: []}
         loads: dict[int, list[float]] = {n: [], n4: []}
+        busy: dict[int, list[float]] = {n: [], n4: []}
+        discarded: dict[int, list[dict]] = {n: [], n4: []}
+        kept_trampled: dict[int, int] = {n: 0, n4: 0}
+        retries_left = TRAMPLE_RETRY_BUDGET
         for i in range(n_attempts):
             for level in (n4, n):
-                loads[level].append(
-                    round(
-                        _wait_quiet(
-                            SCALING_QUIET_LOAD, SCALING_QUIET_TIMEOUT
-                        ),
-                        2,
+                # retry loop: a draw whose sampler saw sustained
+                # co-tenant CPU beyond this attempt's own demand is a
+                # strict underestimate (deflation-only noise) — retry
+                # it from the shared budget, keep the best trampled
+                # draw if the budget runs out, and record every
+                # discarded draw for audit.
+                while True:
+                    loads[level].append(
+                        round(
+                            _wait_quiet(
+                                SCALING_QUIET_LOAD, SCALING_QUIET_TIMEOUT
+                            ),
+                            2,
+                        )
                     )
-                )
-                attempts[level].append(run_extract_throughput_subprocess(level))
+                    tp, mean_busy, mean_excess = run_attempt_watched(level)
+                    trampled = mean_excess > TRAMPLE_MEAN_EXCESS
+                    if trampled and retries_left > 0:
+                        retries_left -= 1
+                        discarded[level].append(
+                            {
+                                "docs_per_sec": round(tp, 1),
+                                "mean_busy_cores": mean_busy,
+                                "mean_excess_cores": mean_excess,
+                            }
+                        )
+                        time.sleep(30)
+                        continue
+                    if trampled:
+                        # budget exhausted: keep the better of this
+                        # draw and any discarded sibling (both are
+                        # underestimates; the max is closest to truth)
+                        best_prior = max(
+                            (
+                                d["docs_per_sec"]
+                                for d in discarded[level]
+                            ),
+                            default=0.0,
+                        )
+                        tp = max(tp, best_prior)
+                        kept_trampled[level] += 1
+                    attempts[level].append(tp)
+                    busy[level].append(mean_busy)
+                    break
                 time.sleep(30)
         tp_n, tp_4n = max(attempts[n]), max(attempts[n4])
         eff = (tp_4n / tp_n) / 4.0
         med_eff = (
             statistics.median(attempts[n4]) / statistics.median(attempts[n])
         ) / 4.0
-        # A trampled artifact must self-identify: any attempt launched
-        # at or above the scaling gate means the gate timed out on a
-        # busy box and the draws below are suspect — the flag makes
-        # that loud instead of leaving it implicit in the load lists.
-        violated = [
-            v for vals in loads.values() for v in vals
-            if v >= SCALING_QUIET_LOAD
-        ]
+        # A trampled artifact must self-identify: a reported draw that
+        # was trampled past the retry budget, or a launch the quiet
+        # gate timed out on, means the numbers below are deflated —
+        # the flag makes that loud instead of leaving it implicit.
+        violated = bool(
+            sum(kept_trampled.values())
+            or [
+                v
+                for vals in loads.values()
+                for v in vals
+                if v >= SCALING_QUIET_LOAD
+            ]
+        )
         result["scaling"] = {
             "corpus_docs": BENCH_DOCS,
             f"docs_per_sec_local{n}": round(tp_n, 1),
@@ -304,13 +434,23 @@ def main() -> None:
             f"scaling_efficiency_{n}_to_{n4}": round(eff, 3),
             f"scaling_efficiency_median_{n}_to_{n4}": round(med_eff, 3),
             "quiet_gate": SCALING_QUIET_LOAD,
-            "gate_violated": bool(violated),
+            "gate_violated": violated,
+            "trample_headroom_cores": TRAMPLE_HEADROOM,
+            "trampled_draws_kept": sum(kept_trampled.values()),
             "attempts": {
                 f"local{lvl}": [round(v, 1) for v in vals]
                 for lvl, vals in attempts.items()
             },
+            "attempt_mean_busy_cores": {
+                f"local{lvl}": vals for lvl, vals in busy.items()
+            },
             "attempt_launch_loads": {
                 f"local{lvl}": vals for lvl, vals in loads.items()
+            },
+            "discarded_trampled": {
+                f"local{lvl}": vals
+                for lvl, vals in discarded.items()
+                if vals
             },
         }
 

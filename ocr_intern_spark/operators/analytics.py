@@ -1206,6 +1206,307 @@ FROM cnt ORDER BY src, dst
 """
 
 
+# --- TPC-H Q8-style: national market share (join-reordering stress) -------
+
+
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRANCE's share of PROMO-part revenue supplied to EUROPEAN
+    customers, per order year — the classic 7-table join-reordering
+    stress (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈
+    supplier ⋈ nation again).
+
+    Scale shape: every dimension side is broadcast — the PROMO part
+    filter shrinks part ~6× BEFORE its join (predicate pushdown makes
+    this a semi-filter on the lineitem scan under AQE), supplier and
+    both nation role-aliases are tiny, and region collapses to a
+    1-row filter applied through the customer-nation chain. The big
+    fact (lineitem) is therefore never shuffled by any join; the only
+    exchange is the final per-year partial aggregate over a handful
+    of rows. The share division happens on the years-sized frame.
+
+    Portability: the share is one double division rounded 1e-6;
+    volumes are double sums under the repo's reassociation contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    eur = region.where(F.col("r_name") == "EUROPE").select("r_regionkey")
+    cust_nat = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_rkey"),
+    )
+    supp_nat = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(eur), F.col("cn_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nat), supp.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "FRANCE", F.col("vol")
+                    ).otherwise(0.0)
+                )
+                / F.sum("vol"),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_MARKET_SHARE_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'FRANCE'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+# --- TPC-H Q15-style: top supplier via broadcast 1-row max ----------------
+
+_Q15_START = "1996-01-01 00:00:00"
+_Q15_END = "1996-04-01 00:00:00"
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue in 1996Q1 — the Q15
+    argmax-over-an-aggregate, WITHOUT the textbook correlated
+    subquery and without any window: the per-supplier revenue frame
+    (suppliers-sized, small) takes a 1-row max aggregate that is
+    broadcast back as a cross join, so the plan is scan → partial
+    agg → tiny frame → broadcast filter. No global sort, no
+    single-reducer window, and ties (several suppliers at the max)
+    all survive, exactly as Q15 specifies.
+
+    Portability: the max-equality filter compares the 2-decimal
+    ROUNDED revenues, which both engines pin identically — never the
+    raw double sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(vol), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"), "s_name", "total_revenue"
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_START}'
+    AND l_shipdate <  TIMESTAMP '{_Q15_END}'
+  GROUP BY l_suppkey
+)
+SELECT r.s_suppkey, s_name, total_revenue
+FROM rev r
+JOIN supplier ON r.s_suppkey = supplier.s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY r.s_suppkey
+"""
+
+
+# --- Interval/range join: error follows click within a window -------------
+
+_FOLLOW_WINDOW = "INTERVAL 2 HOURS"
+
+
+def q_error_follows_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: how many clicks were followed by an error event from
+    the SAME user within 2 hours — a true interval/range join (equi
+    key + range predicate), the pattern behind ad-attribution and
+    alert-correlation joins.
+
+    Scale shape: the range condition rides an EQUI join on user_id,
+    so Spark plans a hash join partitioned by user and evaluates the
+    time-range predicate inside each key group — never a
+    BroadcastNestedLoopJoin over the cross product. LEFT SEMI keeps
+    each click at most once regardless of how many errors follow it
+    (no post-join distinct), and the two per-user aggregates reuse
+    the same user_id partitioning. Skewed users bound the per-key
+    work quadratically only in their own error count, and AQE's skew
+    split handles the hot key.
+
+    Portability: pure timestamp comparison and integer counts; one
+    1e-6-rounded rate on the users-sized frame."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    followed = clicks.join(
+        errors,
+        (clicks.user_id == F.col("e_user"))
+        & (F.col("e_ts") > clicks.ts)
+        & (F.col("e_ts") <= clicks.ts + F.expr(_FOLLOW_WINDOW)),
+        "left_semi",
+    )
+    n_followed = followed.groupBy("user_id").agg(
+        F.count("*").alias("n_followed")
+    )
+    n_clicks = clicks.groupBy("user_id").agg(F.count("*").alias("n_clicks"))
+    return (
+        n_clicks.join(n_followed, "user_id", "left")
+        .select(
+            "user_id",
+            "n_clicks",
+            F.coalesce(F.col("n_followed"), F.lit(0)).alias("n_followed"),
+            F.round(
+                F.coalesce(F.col("n_followed"), F.lit(0))
+                / F.col("n_clicks"),
+                6,
+            ).alias("follow_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ERROR_FOLLOWS_CLICK_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+followed AS (
+  SELECT c.user_id, count(*) AS n_followed
+  FROM clicks c
+  WHERE EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.user_id = c.user_id AND e.event_type = 'error'
+      AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 2 HOUR)
+  GROUP BY c.user_id
+)
+SELECT n.user_id, n.n_clicks,
+       CAST(coalesce(f.n_followed, 0) AS BIGINT) AS n_followed,
+       round(CAST(coalesce(f.n_followed, 0) AS DOUBLE) / n.n_clicks, 6)
+         AS follow_rate
+FROM (SELECT user_id, count(*) AS n_clicks FROM clicks GROUP BY user_id) n
+LEFT JOIN followed f ON n.user_id = f.user_id
+ORDER BY n.user_id
+"""
+
+
+# --- Customer spend deciles via the distributed global rank ---------------
+
+
+def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile table of per-customer lifetime spend (customer LTV
+    segmentation): rank every ordering customer by spend and bucket
+    ranks into 10 equal-width deciles.
+
+    Scale shape: the rank comes from skew.global_rank — the same
+    two-pass range-partitioned rank that fixed text_zipf_fit — so NO
+    single-reducer window touches the customers-sized frame (at
+    100 TB that frame is every customer on record). The total count
+    arrives as a broadcast 1-row aggregate, and the decile arithmetic
+    plus final aggregate run on already-partitioned data. This is the
+    second consumer of global_rank, pinning its generality (hash-
+    equality here proves the distributed rank against DuckDB's
+    row_number under a different order and data shape than zipf's).
+
+    Portability: ranks and counts exact; decile = floor((rank-1)*10/N)
+    in double math (exact below 2^53); min/max/sum over 2-decimal
+    rounded spends under the reassociation contract."""
+    from ocr_intern_spark.operators.skew import global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    tot = spend.agg(F.count("*").alias("_n"))
+    ranked = global_rank(spend, F.desc("spend"), F.asc("o_custkey"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.floor(
+                    (F.col("rank") - 1) * 10 / F.col("_n")
+                ).cast("int")
+                + 1
+            ).alias("decile"),
+            "spend",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+            F.round(F.sum("spend"), 2).alias("sum_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+_SPEND_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT spend,
+         row_number() OVER (ORDER BY spend DESC, o_custkey) AS rank,
+         (SELECT count(*) FROM spend) AS _n
+  FROM spend
+)
+SELECT CAST(floor((rank - 1) * 10 / CAST(_n AS DOUBLE)) AS INT) + 1
+         AS decile,
+       count(*) AS n_customers,
+       min(spend) AS min_spend,
+       max(spend) AS max_spend,
+       round(sum(spend), 2) AS sum_spend
+FROM ranked GROUP BY decile ORDER BY decile
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -1234,4 +1535,14 @@ QUERIES = {
     "events_value_quantiles": (q_events_value_quantiles, _QUANTILES_SQL),
     "order_cube": (q_order_cube, _ORDER_CUBE_SQL),
     "events_json_props": (q_events_json_props, _JSON_PROPS_SQL),
+    "market_share_by_year": (q_market_share_by_year, _MARKET_SHARE_SQL),
+    "top_supplier_revenue": (q_top_supplier_revenue, _TOP_SUPPLIER_SQL),
+    "events_error_follows_click": (
+        q_error_follows_click,
+        _ERROR_FOLLOWS_CLICK_SQL,
+    ),
+    "customer_spend_deciles": (
+        q_customer_spend_deciles,
+        _SPEND_DECILES_SQL,
+    ),
 }
