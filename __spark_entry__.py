@@ -323,13 +323,30 @@ _GOLDEN_COLS = {
         "conf, lang, template_id"
     ),
     "export_fanout": "doc_id, fmt, n_bytes",
+    # xxhash64 fast paths: goldens computed by the pure-Python XXH64
+    # spec implementation (oracle/xxh64.py) over DuckDB-extracted
+    # shingles — fully Spark-free. Their key columns are k_docs/
+    # k_chars because the bucket query emits its own n_docs column.
+    "dedup_minhash_fast": (
+        "doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7"
+    ),
+    "dedup_minhash_fast_lsh_buckets": (
+        "band, bucket, n_docs, first_doc, last_doc"
+    ),
 }
+
+_GOLDEN_KEY_ALT = (
+    "k_docs = (SELECT count(*) FROM documents) "
+    "AND k_chars = (SELECT sum(length(text)) FROM documents)"
+)
+_ALT_KEY_NAMES = {"dedup_minhash_fast", "dedup_minhash_fast_lsh_buckets"}
 
 
 def _golden_sql(name: str) -> str:
+    key = _GOLDEN_KEY_ALT if name in _ALT_KEY_NAMES else _GOLDEN_KEY
     return (
         f"SELECT {_GOLDEN_COLS[name]} "
-        f"FROM '{_GOLDEN_DIR}/{name}.parquet' WHERE {_GOLDEN_KEY}"
+        f"FROM '{_GOLDEN_DIR}/{name}.parquet' WHERE {key}"
     )
 
 

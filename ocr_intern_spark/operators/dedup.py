@@ -251,9 +251,11 @@ def q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     Long-typed buffers keep the aggregation in HashAggregateExec with
     map-side partials; the md5-string variant (portable to the DuckDB
     oracle) degrades to SortAggregate because var-length min/max
-    buffers aren't hash-aggregable. Same banding downstream. No SQL
-    oracle (xxhash64 is Spark-specific) — signatures are checked
-    rows-only; the md5 variant pins the algorithm exactly."""
+    buffers aren't hash-aggregable. Same banding downstream.
+    Oracle: a materialized golden computed by the INDEPENDENT
+    pure-Python XXH64 spec implementation (oracle/xxh64.py, pinned
+    bit-exact vs F.xxhash64 in tests/test_xxh64_oracle.py) over
+    DuckDB-extracted shingles — hash-checked, not rows-only."""
     d = _docs(spark, sf_dir)
     sig = (
         _shingles(d, blur=False)
@@ -274,9 +276,10 @@ def q_minhash_fast_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     HashAggregateExec (long min buffers), and the band bucket is
     xxhash64 over the band's longs — no md5 strings anywhere. This is
     what a 100 TB dedup run would execute; the md5 variant exists to
-    pin the algorithm against the DuckDB oracle. No SQL oracle
-    (xxhash64 is Spark-specific) — candidate-group recall vs the md5
-    family is pinned by tests/test_minhash_fast.py."""
+    pin the algorithm against the DuckDB oracle. Oracle: materialized
+    golden from the pure-Python XXH64 spec implementation
+    (oracle/xxh64.py) — hash-checked; candidate-group recall vs the
+    md5 family additionally pinned by tests/test_minhash_fast.py."""
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     d = _docs(spark, sf_dir)
     sig = (

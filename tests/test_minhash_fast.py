@@ -1,8 +1,10 @@
 """Verification for the production MinHash path (xxhash64 → BIGINT
 signatures, VERDICT r1 item 4).
 
-The fast path has no DuckDB oracle (xxhash64 is Spark-specific), so it
-is pinned three ways here:
+The fast path now ALSO has a hash-checked oracle (a materialized
+golden from the pure-Python XXH64 spec implementation in
+oracle/xxh64.py — see tests/test_xxh64_oracle.py); independently of
+that, it is pinned three ways here:
 
 1. Determinism/stability: signatures are identical regardless of input
    partitioning (min is commutative over partitions — any dependence on

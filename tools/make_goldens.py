@@ -200,6 +200,88 @@ GOLDENS = {
 }
 
 
+def golden_minhash_fast_frames(sf_dir: str, key: tuple):
+    """Signatures + LSH buckets for the xxhash64 fast paths, computed
+    WITHOUT Spark: DuckDB produces the no-blur shingle set (the same
+    SQL fragment the driver-green md5 signature oracle uses, so the
+    tokenization is already proven identical to Spark's) and the
+    pure-Python XXH64 spec implementation
+    (`ocr_intern_spark.oracle.xxh64`) reproduces Spark's per-type
+    encoding and multi-argument chaining bit-for-bit. The key columns
+    are k_docs/k_chars because the bucket query's own output has an
+    `n_docs` column."""
+    import duckdb
+
+    from ocr_intern_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_SEEDS,
+        _MINHASH_SHINGLES_NOBLUR_SQL,
+    )
+    from ocr_intern_spark.oracle.xxh64 import spark_xxhash64
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    pairs = con.execute(_MINHASH_SHINGLES_NOBLUR_SQL).fetchall()
+    con.close()
+
+    cache: dict[str, tuple] = {}
+
+    def hashes(sh: str) -> tuple:
+        got = cache.get(sh)
+        if got is None:
+            got = tuple(
+                spark_xxhash64(("i32", s), ("str", sh))
+                for s in range(MINHASH_SEEDS)
+            )
+            cache[sh] = got
+        return got
+
+    sigs: dict[int, list] = {}
+    for doc_id, sh in pairs:
+        hs = hashes(sh)
+        cur = sigs.get(doc_id)
+        if cur is None:
+            sigs[doc_id] = list(hs)
+        else:
+            for s in range(MINHASH_SEEDS):
+                if hs[s] < cur[s]:
+                    cur[s] = hs[s]
+
+    sig_rows = [
+        (key[0], key[1], d, *sig) for d, sig in sorted(sigs.items())
+    ]
+    sig_df = pd.DataFrame(
+        sig_rows,
+        columns=["k_docs", "k_chars", "doc_id"]
+        + [f"mh{s}" for s in range(MINHASH_SEEDS)],
+    )
+
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    buckets: dict[tuple, list] = {}
+    for d, sig in sigs.items():
+        for band in range(LSH_BANDS):
+            vals = sig[band * rows_per_band : (band + 1) * rows_per_band]
+            bucket = spark_xxhash64(*[("i64", v) for v in vals])
+            buckets.setdefault((band, bucket), []).append(d)
+    b_rows = [
+        (key[0], key[1], band, bucket, len(ds), min(ds), max(ds))
+        for (band, bucket), ds in sorted(buckets.items())
+        if len(ds) > 1
+    ]
+    b_df = pd.DataFrame(
+        b_rows,
+        columns=[
+            "k_docs", "k_chars", "band", "bucket",
+            "n_docs", "first_doc", "last_doc",
+        ],
+    )
+    b_df["band"] = b_df["band"].astype("int32")
+    return sig_df, b_df
+
+
 def main() -> None:
     import os
 
@@ -217,7 +299,11 @@ def main() -> None:
 
     import duckdb
 
-    frames: dict[str, list[pd.DataFrame]] = {k: [] for k in GOLDENS}
+    all_names = list(GOLDENS) + [
+        "dedup_minhash_fast",
+        "dedup_minhash_fast_lsh_buckets",
+    ]
+    frames: dict[str, list[pd.DataFrame]] = {k: [] for k in all_names}
     for sf in sfs:
         sf_dir = f"/root/testdata/sf{sf}"
         docs = collect_spans(spark, sf_dir)
@@ -234,6 +320,11 @@ def main() -> None:
             pdf = fn(docs, key)
             print(f"  {name}: {len(pdf)} rows")
             frames[name].append(pdf)
+        sig_df, b_df = golden_minhash_fast_frames(sf_dir, key)
+        print(f"  dedup_minhash_fast: {len(sig_df)} rows")
+        print(f"  dedup_minhash_fast_lsh_buckets: {len(b_df)} rows")
+        frames["dedup_minhash_fast"].append(sig_df)
+        frames["dedup_minhash_fast_lsh_buckets"].append(b_df)
 
     for name, parts in frames.items():
         out = pd.concat(parts, ignore_index=True)
