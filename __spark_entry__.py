@@ -217,9 +217,14 @@ _FRONT = [
     "events_state_history",
     "text_bpe_learn_merges",
     "sim_hard_negatives",
-    "text_gopher_quality_flags",
-    "text_allpairs_cosine",
-    # (5) round-4 NEW queries (Q8-style 7-table market share, Q15-style
+    # (5) the xxhash64 fast paths: r01-r03 rows were rows-only
+    # (err: no_oracle); they now carry XXH64-spec goldens and take
+    # window slots so the driver finally records HASH rows for them
+    # (displacing r3-hash-green text_gopher_quality_flags and
+    # text_allpairs_cosine to _BACK):
+    "dedup_minhash_fast",
+    "dedup_minhash_fast_lsh_buckets",
+    # (6) round-4 NEW queries (Q8-style 7-table market share, Q15-style
     # broadcast-argmax top supplier, interval/range join, and the
     # global_rank-backed spend deciles) — registered this round, so
     # they take window slots immediately; the four r3-green names they
@@ -239,12 +244,15 @@ _FRONT = [
 # this round zero registered names lack a driver row.
 _DEFERRED: list[str] = []
 _BACK = [
-    # displaced from the r4 fill by the four new round-4 queries;
-    # all four are hash-green in CORRECTNESS_r03.json:
+    # displaced from the r4 fill by the four new round-4 queries and
+    # the two newly-golden-oracled fast paths; all six are hash-green
+    # in CORRECTNESS_r03.json:
     "dedup_fuzzy_vocab_pairs",
     "dedup_split_leakage_safe",
     "graph_provenance_rank",
     "text_span_dedup",
+    "text_gopher_quality_flags",
+    "text_allpairs_cosine",
     "sim_ann_lsh_buckets",
     "sim_cosine_topk",
     "dedup_dup_clusters",

@@ -48,6 +48,11 @@ HEADLINE = [
     "text_gopher_repetition",
     "text_quality_classifier",
     "text_quality_ensemble",
+    # round-4 additions: the 7-table broadcast-chain join stress and
+    # the global_rank-backed decile segmentation (keeps the
+    # distributed-rank operator's cost visible round over round)
+    "market_share_by_year",
+    "customer_spend_deciles",
 ]
 
 
