@@ -29,10 +29,11 @@ from ocr_intern_spark.operators import (
 )
 from ocr_intern_spark.operators.extract import extract
 from ocr_intern_spark.sources.corpus import stub_ocr_tokens
+from ocr_intern_spark.streaming import stream_queries
 
 _MODULES = (
     extract_queries, analytics, dedup, similarity, text_q, temporal, layout,
-    curation, retrieval,
+    curation, retrieval, stream_queries,
 )
 
 
@@ -214,9 +215,15 @@ _FRONT = [
     "graph_label_propagation",
     "text_quality_classifier",
     "sim_pq_adc_recall",
-    "events_state_history",
-    "text_bpe_learn_merges",
-    "sim_hard_negatives",
+    # (4b) the three Structured Streaming queries (complete-mode
+    # incremental aggregation ×2 + the checkpoint-resume exactly-once
+    # proof) — first-ever driver rows for the streaming path; the
+    # three r3-hash-green fills they displace (events_state_history,
+    # text_bpe_learn_merges, sim_hard_negatives) keep their r03 rows
+    # and move to _BACK:
+    "stream_events_summary",
+    "stream_dedup_fingerprint",
+    "stream_resume_checkpoint",
     # (5) the xxhash64 fast paths: r01-r03 rows were rows-only
     # (err: no_oracle); they now carry XXH64-spec goldens and take
     # window slots so the driver finally records HASH rows for them
@@ -244,6 +251,11 @@ _FRONT = [
 # this round zero registered names lack a driver row.
 _DEFERRED: list[str] = []
 _BACK = [
+    # displaced from the r4 fill by the three streaming queries; all
+    # three are hash-green in CORRECTNESS_r03.json:
+    "events_state_history",
+    "text_bpe_learn_merges",
+    "sim_hard_negatives",
     # displaced from the r4 fill by the four new round-4 queries and
     # the two newly-golden-oracled fast paths; all six are hash-green
     # in CORRECTNESS_r03.json:

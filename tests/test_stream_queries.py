@@ -1,0 +1,87 @@
+"""Driver-checkable streaming queries (streaming/stream_queries.py):
+each runs a real AvailableNow job over multi-file micro-batches and
+must equal the batch answer exactly — plus the degenerate-run guard
+(single micro-batch ⇒ raise, the incremental path would be untested).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_intern_spark.streaming.stream_queries import (
+    q_stream_dedup_fingerprint,
+    q_stream_events_summary,
+    q_stream_resume_checkpoint,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _as_sets(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_events_summary_equals_batch(spark):
+    got = q_stream_events_summary(spark, SF)
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    want = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("string")
+        .alias("value_cents"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+    assert _as_sets(got) == _as_sets(want)
+    assert got.columns == [
+        "event_type", "n_events", "value_cents", "first_event", "last_event",
+    ]
+
+
+def test_stream_dedup_fingerprint_equals_batch(spark):
+    got = q_stream_dedup_fingerprint(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    want = docs.groupBy(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc")
+    )
+    assert _as_sets(got) == _as_sets(want)
+    # every source doc is accounted for exactly once
+    assert got.agg(F.sum("n_docs")).first()[0] == docs.count()
+
+
+def test_stream_resume_exactly_once(spark):
+    """The two-run shared-checkpoint flow must produce each doc exactly
+    once — a duplicated or dropped micro-batch would break either the
+    count or the per-doc values."""
+    got = q_stream_resume_checkpoint(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert got.count() == docs.count()
+    assert got.select("doc_id").distinct().count() == docs.count()
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    want = docs.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("int")
+        .alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+    assert _as_sets(got) == _as_sets(want)
+
+
+def test_degenerate_single_batch_raises(spark, tmp_path):
+    """A run that collapses to one micro-batch must raise, not silently
+    pass: stage ONE file so maxFilesPerTrigger=1 yields one batch."""
+    from ocr_intern_spark.streaming import stream_queries as sq
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    one = str(tmp_path / "one")
+    docs.coalesce(1).write.parquet(one)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(one)
+    )
+    agg = stream.groupBy("lang").count()
+    with pytest.raises(RuntimeError, match="micro-batch"):
+        sq._run_to_memory_complete(agg, str(tmp_path / "ckpt"))
