@@ -211,10 +211,15 @@ _FRONT = [
     "events_rate_anomaly",
     "text_bm25_search",
     "text_pmi_collocations",
-    "events_funnel",
-    "graph_label_propagation",
-    "text_quality_classifier",
-    "sim_pq_adc_recall",
+    # (4c) the session's four new queries (Q13/Q11/Q18 shapes + the
+    # multimodal frame-sample through the real mapInPandas stage) —
+    # displacing four more r3-hash-green fills (text_quality_classifier,
+    # sim_pq_adc_recall, graph_label_propagation, events_funnel) to
+    # _BACK:
+    "customer_order_distribution",
+    "major_revenue_parts",
+    "large_order_customers",
+    "multimodal_frame_sample",
     # (4b) the three Structured Streaming queries (complete-mode
     # incremental aggregation ×2 + the checkpoint-resume exactly-once
     # proof) — first-ever driver rows for the streaming path; the
@@ -256,6 +261,12 @@ _BACK = [
     "events_state_history",
     "text_bpe_learn_merges",
     "sim_hard_negatives",
+    # displaced from the r4 fill by the Q13/Q11/Q18 + frame-sample
+    # queries; all four are hash-green in CORRECTNESS_r03.json:
+    "text_quality_classifier",
+    "sim_pq_adc_recall",
+    "graph_label_propagation",
+    "events_funnel",
     # displaced from the r4 fill by the four new round-4 queries and
     # the two newly-golden-oracled fast paths; all six are hash-green
     # in CORRECTNESS_r03.json:

@@ -1507,6 +1507,154 @@ FROM ranked GROUP BY decile ORDER BY decile
 """
 
 
+# --- Q13 shape: customer order-count distribution --------------------------
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — how many customers placed k orders, INCLUDING
+    the zero-order customers (the part a plain inner join drops).
+    Spark-first plan: pre-aggregate orders by o_custkey FIRST (map-side
+    combinable count, shuffles one row per customer instead of one per
+    order), then a left join from customer fills the zeros with
+    coalesce. The second aggregation groups a customers-sized frame by
+    c_count — tiny. At 100 TB the orders pre-agg is the only wide
+    shuffle and it's the minimal one; joining raw orders to customer
+    before counting would shuffle the full fact table."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    counts = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_CUSTOMER_ORDER_DIST_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q11 shape: parts holding an outsized revenue share ---------------------
+
+
+def q_major_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose revenue exceeds 1.2× the mean
+    per-part revenue, i.e. a HAVING against a GLOBAL scalar. The
+    global total + part count is a 1-row aggregate broadcast back via
+    cross join, so the plan is one keyed shuffle (per-part partial
+    sums) + a broadcast filter — no second pass over lineitem and no
+    correlated subquery re-evaluation.
+
+    Exactness: revenue is integerized per row (floor(x*100) — same
+    IEEE double math in both engines) and summed as BIGINT, and the
+    threshold test is the cross-multiplied INTEGER comparison
+    cents·n_parts·10 > total·12 — no float division anywhere, so the
+    boundary rows are bit-identical across engines. The sum is emitted
+    as a digit string (BIGINT vs HUGEINT rendering)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    totals = per_part.agg(
+        F.sum("rev_cents").alias("_total"), F.count(F.lit(1)).alias("_np")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .where(
+            F.col("rev_cents") * F.col("_np") * 10 > F.col("_total") * 12
+        )
+        .select(
+            "l_partkey", F.col("rev_cents").cast("string").alias("rev_cents")
+        )
+        .orderBy("l_partkey")
+    )
+
+
+_MAJOR_PARTS_SQL = """
+WITH p AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+), t AS (SELECT sum(rev_cents) AS total, count(*) AS np FROM p)
+SELECT l_partkey, CAST(rev_cents AS VARCHAR) AS rev_cents
+FROM p, t
+WHERE rev_cents * np * 10 > total * 12
+ORDER BY l_partkey
+"""
+
+
+# --- Q18 shape: large-volume orders and their customers ---------------------
+
+_LARGE_ORDER_MIN_QTY = 250  # ~99th percentile of per-order quantity
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total line quantity exceeds a
+    threshold, joined back to orders + customer. Spark-first: the
+    HAVING aggregate runs on lineitem alone first (map-side partials,
+    one row per orderkey survives), the >threshold filter shrinks it
+    to ~1% of orders, and only THEN do the joins run — the orders join
+    keys on the filtered frame, and AQE converts it to broadcast at
+    test scale while staying a shuffle join at 100 TB. Quantities are
+    integral doubles (exact under summation well below 2^53), so the
+    sum is cast to BIGINT for a canonical cross-engine rendering."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > _LARGE_ORDER_MIN_QTY)
+        .select("l_orderkey", F.col("_qty").cast("long").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(100)
+    )
+
+
+_LARGE_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {_LARGE_ORDER_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey AS orderkey,
+       round(o_totalprice, 2) AS totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, orderkey
+LIMIT 100
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -1537,6 +1685,12 @@ QUERIES = {
     "events_json_props": (q_events_json_props, _JSON_PROPS_SQL),
     "market_share_by_year": (q_market_share_by_year, _MARKET_SHARE_SQL),
     "top_supplier_revenue": (q_top_supplier_revenue, _TOP_SUPPLIER_SQL),
+    "customer_order_distribution": (
+        q_customer_order_distribution,
+        _CUSTOMER_ORDER_DIST_SQL,
+    ),
+    "major_revenue_parts": (q_major_revenue_parts, _MAJOR_PARTS_SQL),
+    "large_order_customers": (q_large_order_customers, _LARGE_ORDERS_SQL),
     "events_error_follows_click": (
         q_error_follows_click,
         _ERROR_FOLLOWS_CLICK_SQL,

@@ -391,6 +391,50 @@ ORDER BY doc_id, seq
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the REAL multimodal stage
+    (operators/multimodal.py sample_video_frames: hash-repartitioned
+    mapInPandas over wide payload rows, Arrow-batched) with the
+    deterministic fake codec, hash-checked end to end: frame_sha =
+    md5(payload ‖ byte(i)) is reproducible in DuckDB as
+    md5(text || chr(i)) because the synthesized payload is the doc's
+    utf-8 text and frame indices stay < 128 (single-byte chr). The
+    media table is derived natively (payload = encode(text), n_frames
+    = 2 + doc_id % 7), so the sampled count per doc exercises the
+    min(frames_per_video, n_frames) clamp on both engines.
+
+    At scale the payload column is the real video bytes: the stage
+    repartitions by hash(media_id) before the Arrow pass so wide rows
+    spread evenly, and Catalyst prunes the payload column out of any
+    downstream metadata-only plan."""
+    from ocr_intern_spark.operators.multimodal import sample_video_frames
+
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(48).alias("height"),
+            F.lit(4000).alias("duration_ms"),
+            (F.lit(2) + F.col("doc_id") % 7).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return sample_video_frames(media, frames_per_video=4).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(u.i AS INT) AS frame_idx,
+       md5(text || chr(CAST(u.i AS INT))) AS frame_sha
+FROM documents, unnest(range(least(4, 2 + doc_id % 7))) AS u(i)
+ORDER BY media_id, frame_idx
+"""
+
+
 MIX_HASH_HEX = 6  # md5-prefix width for the resample draw (24 bits)
 
 
@@ -1570,5 +1614,6 @@ QUERIES = {
     "text_novelty_score": (q_novelty_score, _NOVELTY_SQL),
     "text_source_mix_weights": (q_source_mix_weights, _MIX_SQL),
     "multimodal_interleaved_pack": (q_interleaved_pack, _INTERLEAVED_SQL),
+    "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
     "text_langid_ngram": (q_langid_ngram, _LANGID_SQL),
 }
