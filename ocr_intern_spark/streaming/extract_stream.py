@@ -275,9 +275,13 @@ def stream_heavy_hitters_tws(
       the provider a real deployment runs anyway.
 
     Runtime dependency: the Python↔JVM state server speaks protobuf
-    (`google.protobuf`), which the sandbox image omits — the processor
-    logic itself is therefore pinned directly by a fake-handle unit
-    test, and the end-to-end streaming pin auto-skips off-image.
+    (`google.protobuf`) in the driver, the streaming driver worker,
+    and every task worker. Where the package isn't installed,
+    `tools/pbshim/sitecustomize.py` (opt-in via PYTHONPATH) activates
+    a vendored pure-Python runtime — the end-to-end pin in
+    test_transform_with_state.py runs the full wire protocol through
+    it, plus a fake-handle unit test pinning the processor logic with
+    no protocol at all.
     """
     cls = _make_heavy_hitters_processor_cls()
     return toks.groupBy("tok").transformWithStateInPandas(

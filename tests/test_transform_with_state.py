@@ -10,6 +10,7 @@ skipped there and the processor's promotion logic is unit-pinned
 directly instead (same state transitions, no wire protocol)."""
 
 import importlib.util
+import os
 import time
 
 import pyarrow as pa
@@ -44,14 +45,96 @@ def tok_stream_dir(tmp_path):
     return str(d)
 
 
+_PBSHIM_VENDORED = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+_HAS_PBSHIM = os.path.isdir(
+    os.path.join(_PBSHIM_VENDORED, "google", "protobuf")
+)
+
+_SHIM_JOB = """
+import sys, time, json
+import pyarrow as pa, pyarrow.parquet as pq
+from pyspark.sql import SparkSession
+from ocr_intern_spark.streaming.extract_stream import (
+    HH_TOKENS_DDL, stream_heavy_hitters_tws)
+
+d = sys.argv[1]
+schema = pa.schema([("tok", pa.string())])
+pq.write_table(pa.table({"tok": ["hot"]*3+["warm"]}, schema=schema),
+               f"{d}/batch1.parquet")
+pq.write_table(pa.table({"tok": ["hot"]*2+["warm","cold"]}, schema=schema),
+               f"{d}/batch2.parquet")
+pq.write_table(pa.table({"tok": ["hot"]*2}, schema=schema),
+               f"{d}/batch3.parquet")
+spark = (SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+stream = (spark.readStream.schema(HH_TOKENS_DDL)
+          .option("maxFilesPerTrigger", 1).parquet(d))
+q = (stream_heavy_hitters_tws(stream, min_count=5)
+     .writeStream.format("memory").queryName("hh_tws")
+     .option("checkpointLocation", d + "_ckpt").start())
+deadline = time.time() + 240
+rows = []
+while time.time() < deadline:
+    rows = spark.sql("select * from hh_tws").collect()
+    if rows and q.lastProgress and q.lastProgress["numInputRows"] == 0:
+        break
+    time.sleep(2)
+q.stop()
+print("RESULT:" + json.dumps(sorted((r.tok, int(r["count"])) for r in rows)))
+"""
+
+
+def _run_tws_via_pbshim(tmp_path) -> list:
+    """Full end-to-end transformWithStateInPandas run in a subprocess
+    whose PYTHONPATH carries tools/pbshim: sitecustomize activates the
+    GCloud-SDK-vendored pure-Python protobuf 6.32 (with the same-major
+    minor-version gate relaxed) in the driver, the streaming driver
+    worker, and every task worker — the three interpreters that speak
+    the state-server wire protocol."""
+    import json
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    job = tmp_path / "job.py"
+    job.write_text(_SHIM_JOB)
+    data = tmp_path / "shim_toks"
+    data.mkdir()
+    env = dict(_os.environ)
+    env["PYTHONPATH"] = "/root/repo:/root/repo/tools/pbshim"
+    proc = subprocess.run(
+        [_sys.executable, str(job), str(data)],
+        capture_output=True, text=True, timeout=360, env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = next(
+        l for l in proc.stdout.splitlines() if l.startswith("RESULT:")
+    )
+    return [tuple(r) for r in json.loads(line[len("RESULT:"):])]
+
+
 @pytest.mark.skipif(
-    not _HAS_PROTOBUF,
-    reason="transformWithStateInPandas needs google.protobuf "
-    "(absent in this image); logic pinned by the unit test below",
+    not (_HAS_PROTOBUF or _HAS_PBSHIM),
+    reason="transformWithStateInPandas needs google.protobuf (absent in "
+    "this image, and no GCloud-SDK vendored runtime to shim via "
+    "tools/pbshim); logic pinned by the unit test below",
 )
 def test_tws_promotion_matches_apply_in_pandas_variant(
     spark, tok_stream_dir, tmp_path
 ):
+    if not _HAS_PROTOBUF:
+        # no in-process protobuf: run the identical scenario end to end
+        # in a pbshim subprocess (real RocksDB state store, real wire
+        # protocol) and pin the same contract
+        assert _run_tws_via_pbshim(tmp_path) == [("hot", 5)]
+        return
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(
