@@ -1569,7 +1569,13 @@ def q_major_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
-    per_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    # persist the per-part frame: Spark shares no subplans, so without
+    # it the global-totals branch re-scans and re-shuffles the full
+    # fact table (verified in the executedPlan) — the cached frame is
+    # |parts| rows, millions at 100 TB, trivially memory-resident
+    per_part = (
+        li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents")).persist()
+    )
     totals = per_part.agg(
         F.sum("rev_cents").alias("_total"), F.count(F.lit(1)).alias("_np")
     )

@@ -409,7 +409,10 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream metadata-only plan."""
     from ocr_intern_spark.operators.multimodal import sample_video_frames
 
-    d = _docs(spark, sf_dir)
+    # read directly (not via _docs): the stage repartitions by
+    # hash(media_id) itself, so a round-robin pre-repartition would
+    # just add a second full exchange of the wide payload rows
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
