@@ -209,8 +209,11 @@ _FRONT = [
     "graph_kcore",
     "text_char_entropy",
     "events_rate_anomaly",
-    "text_bm25_search",
     "text_pmi_collocations",
+    # (4d) asymmetric n-gram containment (quote / test-set
+    # contamination detector) — displaces r3-hash-green
+    # text_bm25_search to _BACK:
+    "dedup_ngram_containment",
     # (4c) the session's four new queries (Q13/Q11/Q18 shapes + the
     # multimodal frame-sample through the real mapInPandas stage) —
     # displacing four more r3-hash-green fills (text_quality_classifier,
@@ -267,6 +270,7 @@ _BACK = [
     "sim_pq_adc_recall",
     "graph_label_propagation",
     "events_funnel",
+    "text_bm25_search",
     # displaced from the r4 fill by the four new round-4 queries and
     # the two newly-golden-oracled fast paths; all six are hash-green
     # in CORRECTNESS_r03.json:

@@ -215,6 +215,77 @@ ORDER BY a, b
 """
 
 
+CONTAIN_NUM, CONTAIN_DEN = 8, 10  # containment >= 0.8, as integers
+
+
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment pairs: |S(a) ∩ S(b)| / |S(a)| >= 0.8 for
+    a != b — the quote/near-superset detector Jaccard cannot express
+    (a short doc quoted inside a long one has high containment but low
+    Jaccard; this is the standard test-set-contamination and
+    cross-snapshot subset check). Same inverted-index + document-
+    frequency skew cut as q_ngram_jaccard_pairs — never all-pairs —
+    but the pair join keeps BOTH orders (a!=b, not a<b) because
+    containment is directional.
+
+    Exactness: the threshold test is the integer cross-multiplication
+    common·10 >= n_a·8 on both engines (no float division at the
+    boundary); the reported score is rounded for display only."""
+    d = _docs(spark, sf_dir)
+    sh = _round_checkpoint(
+        _shingles(d).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    a = shr.alias("a")
+    b = shr.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("contained"),
+            F.col("b.doc_id").alias("container"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("contained"), F.col("n").alias("na"))
+    return (
+        common.join(sa, "contained")
+        .where(F.col("common") * CONTAIN_DEN >= F.col("na") * CONTAIN_NUM)
+        .select(
+            "contained",
+            "container",
+            F.round(F.col("common") / F.col("na"), 6).alias("containment"),
+        )
+        .orderBy("contained", "container")
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+common AS (
+  SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS common
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT contained, container,
+       round(common / CAST(sa.n AS DOUBLE), 6) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = contained
+WHERE common * {CONTAIN_DEN} >= sa.n * {CONTAIN_NUM}
+ORDER BY contained, container
+"""
+
+
 def minhash_signature_cols() -> list:
     """MinHash: for each seed s, min over shingles of md5(s ‖ '|' ‖
     shingle). md5 is identical in Spark and DuckDB → oracle-exact."""
@@ -1333,6 +1404,7 @@ QUERIES = {
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "dedup_fingerprint_count": (q_dedup_fingerprint_count, _DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _JACCARD_SQL),
+    "dedup_ngram_containment": (q_ngram_containment_pairs, _CONTAINMENT_SQL),
     "dedup_minhash_signatures": (q_minhash_signatures, _MINHASH_SQL),
     "dedup_minhash_fast": (q_minhash_fast, None),
     "dedup_minhash_portable64": (q_minhash_portable64, _MINHASH_P64_SQL),

@@ -173,3 +173,41 @@ def test_frame_sample_query_clamps_and_hashes(spark):
     # 4 frames sample them all, docs with more sample exactly 4
     per_doc = Counter(m for m, _ in got)
     assert min(per_doc.values()) == 2 and max(per_doc.values()) == 4
+
+
+# --- asymmetric n-gram containment -------------------------------------------
+
+
+def test_containment_detects_quote_that_jaccard_misses(spark, tmp_path):
+    """A short doc quoted inside a much longer one: containment of the
+    short doc is ~1.0 while Jaccard stays far below the 0.5 near-dup
+    bar — the directional semantics Jaccard cannot express. Built on a
+    synthetic corpus because the driver corpus's dups are symmetric."""
+    from ocr_intern_spark.operators.dedup import (
+        q_ngram_containment_pairs,
+        q_ngram_jaccard_pairs,
+    )
+
+    # the shingler's blur drops every 7th word BY POSITION, so the
+    # quote must start at the same position mod 7 in both docs —
+    # 399 filler words (multiple of 7) keep the phases aligned
+    quote = " ".join(f"q{i}" for i in range(40))
+    filler = " ".join(f"f{i}" for i in range(399))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, quote, "en", "s", len(quote)),
+         (2, filler + " " + quote, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    cont = {
+        (r.contained, r.container): r.containment
+        for r in q_ngram_containment_pairs(spark, d).collect()
+    }
+    # doc 1 is contained in doc 2 (directional); doc 2 is NOT
+    # contained in doc 1 (its filler shingles have no home)
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.8
+    assert (2, 1) not in cont
+    # and Jaccard misses the pair entirely at its 0.5 bar
+    jac = {(r.a, r.b) for r in q_ngram_jaccard_pairs(spark, d).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac
