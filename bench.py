@@ -219,7 +219,9 @@ def run_extract_throughput(cpus: int) -> float:
         spark.stop()
 
 
-def run_extract_throughput_subprocess(cpus: int) -> float:
+def run_extract_throughput_subprocess(
+    cpus: int,
+) -> tuple[float, tuple[float, float] | None]:
     """Fresh python+JVM per parallelism level: JVM-level options
     (heap) are fixed by the first session in a process, so in-process
     re-measurement would be unfair."""
@@ -376,13 +378,9 @@ def main() -> None:
                 # draw if the budget runs out, and record every
                 # discarded draw for audit.
                 while True:
-                    loads[level].append(
-                        round(
-                            _wait_quiet(
-                                SCALING_QUIET_LOAD, SCALING_QUIET_TIMEOUT
-                            ),
-                            2,
-                        )
+                    launch_load = round(
+                        _wait_quiet(SCALING_QUIET_LOAD, SCALING_QUIET_TIMEOUT),
+                        2,
                     )
                     tp, mean_busy, mean_excess = run_attempt_watched(level)
                     trampled = mean_excess > TRAMPLE_MEAN_EXCESS
@@ -393,23 +391,38 @@ def main() -> None:
                                 "docs_per_sec": round(tp, 1),
                                 "mean_busy_cores": mean_busy,
                                 "mean_excess_cores": mean_excess,
+                                "launch_load": launch_load,
                             }
                         )
                         time.sleep(30)
                         continue
                     if trampled:
                         # budget exhausted: keep the better of this
-                        # draw and any discarded sibling (both are
-                        # underestimates; the max is closest to truth)
-                        best_prior = max(
+                        # draw and an UNCONSUMED discarded sibling
+                        # (both are underestimates; the max is closest
+                        # to truth). Each discarded draw substitutes at
+                        # most ONCE — re-using one across several
+                        # reported attempts would fabricate the
+                        # independent draws the median estimator
+                        # assumes.
+                        spare = max(
                             (
-                                d["docs_per_sec"]
+                                d
                                 for d in discarded[level]
+                                if not d.get("consumed")
                             ),
-                            default=0.0,
+                            key=lambda d: d["docs_per_sec"],
+                            default=None,
                         )
-                        tp = max(tp, best_prior)
+                        if spare and spare["docs_per_sec"] > tp:
+                            spare["consumed"] = True
+                            tp = spare["docs_per_sec"]
+                            mean_busy = spare["mean_busy_cores"]
                         kept_trampled[level] += 1
+                    # loads/busy recorded ONLY for the reported draw,
+                    # so attempt_launch_loads aligns 1:1 with attempts
+                    # (discarded draws carry their own launch_load)
+                    loads[level].append(launch_load)
                     attempts[level].append(tp)
                     busy[level].append(mean_busy)
                     break

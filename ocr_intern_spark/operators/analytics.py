@@ -1022,18 +1022,20 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer MICROSECONDS (unix_micros / epoch_us; the corpus
     timestamps are microsecond-grained, so second-truncated math
     would silently zero short gaps)."""
-    # the corpus column is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP.
-    # The NTZ→TIMESTAMP cast interprets the value in the SESSION zone:
-    # in a DST-observing zone the offset changes across a transition,
-    # so intervals straddling the boundary would diverge ±3600s from
-    # the oracle's epoch_us. Pin the session zone to UTC (constant
-    # offset ⇒ the lead subtraction cancels it exactly, every day of
-    # the year).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the corpus column is TIMESTAMP_NTZ. An earlier version cast it
+    # to TIMESTAMP for unix_micros under a session-zone UTC pin — but
+    # the pin permanently mutated session state (later queries in the
+    # same session would see a different zone than they were verified
+    # under). Zone-FREE instead: subtract the NTZ values directly (a
+    # day-time INTERVAL, no zone anywhere) and cast the interval to
+    # decimal(20,6) — exact seconds with the full microsecond
+    # fraction — then scale to integer microseconds.
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    dt = F.lead(us).over(w) - us
+    dt = (
+        (F.lead("ts").over(w) - F.col("ts"))
+        .cast("decimal(20,6)") * 1_000_000
+    ).cast("long")
     rows = e.select("user_id", "value", dt.alias("dt_us")).where(
         F.col("dt_us").isNotNull()
     )
@@ -1563,8 +1565,12 @@ def q_major_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE double math in both engines) and summed as BIGINT, and the
     threshold test is the cross-multiplied INTEGER comparison
     cents·n_parts·10 > total·12 — no float division anywhere, so the
-    boundary rows are bit-identical across engines. The sum is emitted
-    as a digit string (BIGINT vs HUGEINT rendering)."""
+    boundary rows are bit-identical across engines. The
+    cross-multiplication runs in decimal(38,0) on the Spark side
+    (DuckDB's is HUGEINT already): at 100 TB the product
+    (~1e9 cents · ~1e9 parts · 10) overflows int64, where ANSI mode
+    would error out. The sum is emitted as a digit string (BIGINT vs
+    HUGEINT rendering)."""
     li = _t(spark, sf_dir, "lineitem")
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
@@ -1582,7 +1588,8 @@ def q_major_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(totals))
         .where(
-            F.col("rev_cents") * F.col("_np") * 10 > F.col("_total") * 12
+            F.col("rev_cents").cast("decimal(38,0)") * F.col("_np") * 10
+            > F.col("_total").cast("decimal(38,0)") * 12
         )
         .select(
             "l_partkey", F.col("rev_cents").cast("string").alias("rev_cents")

@@ -10,6 +10,7 @@ three already-present files into three batches; one trampled CI run
 showed two files coalescing into one batch, which legally changes the
 cumulative count at the crossing.)"""
 
+import os
 import time
 
 import pyarrow as pa
@@ -24,7 +25,13 @@ _SCHEMA = pa.schema([("tok", pa.string())])
 
 
 def _write(path, toks):
-    pq.write_table(pa.table({"tok": list(toks)}, schema=_SCHEMA), path)
+    """Atomic drop into a dir a FileStreamSource is actively watching:
+    write OUTSIDE the watched dir (its parent — same filesystem), then
+    rename in — the source must never list a half-written footer."""
+    parent = os.path.dirname(os.path.dirname(path))
+    tmp = os.path.join(parent, os.path.basename(path) + ".tmp")
+    pq.write_table(pa.table({"tok": list(toks)}, schema=_SCHEMA), tmp)
+    os.rename(tmp, path)
 
 
 def _poll(fn, deadline_s: float = 300, every: float = 1.0):

@@ -51,7 +51,7 @@ _HAS_PBSHIM = os.path.isdir(
 )
 
 _SHIM_JOB = """
-import sys, time, json
+import os, sys, time, json
 import pyarrow as pa, pyarrow.parquet as pq
 from pyspark.sql import SparkSession
 from ocr_intern_spark.streaming.extract_stream import (
@@ -59,12 +59,26 @@ from ocr_intern_spark.streaming.extract_stream import (
 
 d = sys.argv[1]
 schema = pa.schema([("tok", pa.string())])
-pq.write_table(pa.table({"tok": ["hot"]*3+["warm"]}, schema=schema),
-               f"{d}/batch1.parquet")
-pq.write_table(pa.table({"tok": ["hot"]*2+["warm","cold"]}, schema=schema),
-               f"{d}/batch2.parquet")
-pq.write_table(pa.table({"tok": ["hot"]*2}, schema=schema),
-               f"{d}/batch3.parquet")
+
+def write(name, toks):
+    # atomic: never expose a half-written footer to the file source
+    tmp = os.path.join(d, "..", name + ".tmp")
+    pq.write_table(pa.table({"tok": list(toks)}, schema=schema), tmp)
+    os.rename(tmp, os.path.join(d, name))
+
+def poll(fn, deadline_s=240):
+    deadline = time.time() + deadline_s
+    while time.time() < deadline:
+        v = fn()
+        if v is not None:
+            return v
+        time.sleep(1)
+    raise TimeoutError("stream poll deadline")
+
+# sequential drops with ingestion barriers: deterministic batch
+# boundaries regardless of host load (a pre-staged multi-file dir can
+# legally coalesce into one batch and change the crossing count)
+write("batch1.parquet", ["hot"]*3 + ["warm"])
 spark = (SparkSession.builder.master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
@@ -73,18 +87,21 @@ spark = (SparkSession.builder.master("local[4]")
             "RocksDBStateStoreProvider")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-stream = (spark.readStream.schema(HH_TOKENS_DDL)
-          .option("maxFilesPerTrigger", 1).parquet(d))
+stream = spark.readStream.schema(HH_TOKENS_DDL).parquet(d)
 q = (stream_heavy_hitters_tws(stream, min_count=5)
      .writeStream.format("memory").queryName("hh_tws")
      .option("checkpointLocation", d + "_ckpt").start())
-deadline = time.time() + 240
-rows = []
-while time.time() < deadline:
-    rows = spark.sql("select * from hh_tws").collect()
-    if rows and q.lastProgress and q.lastProgress["numInputRows"] == 0:
-        break
-    time.sleep(2)
+
+def rows_seen():
+    total = sum(p["numInputRows"] for p in q.recentProgress)
+    return total or None
+
+poll(lambda: rows_seen() if (rows_seen() or 0) >= 4 else None)
+write("batch2.parquet", ["hot"]*2 + ["warm", "cold"])
+rows = poll(lambda: spark.sql("select * from hh_tws").collect() or None)
+write("batch3.parquet", ["hot"]*2)
+poll(lambda: True if (rows_seen() or 0) >= 10 else None)
+rows = spark.sql("select * from hh_tws").collect()
 q.stop()
 print("RESULT:" + json.dumps(sorted((r.tok, int(r["count"])) for r in rows)))
 """
