@@ -196,20 +196,27 @@ _FRONT = [
     "extract_full_pipeline",
     "extract_doc_confidence",
     "extract_template_fields",
-    # (4) fill to 50 with r3-green names (keeps the window dense):
+    # (4) fill with r3-green names (keeps the window dense;
+    # text_zipf_fit stays because its rank was rewritten to the
+    # distributed two-pass form this round and deserves a fresh row):
     "text_zipf_fit",
-    "text_source_kl_drift",
-    "text_source_vocab_overlap",
-    "text_heaps_fit",
-    "events_transition_matrix",
-    "sim_embedding_outliers",
     "text_quality_ensemble",
-    "text_rrf_fusion",
     "text_bpe_apply_fertility",
     "graph_kcore",
     "text_char_entropy",
     "events_rate_anomaly",
     "text_pmi_collocations",
+    # (7) session-6 NEW queries — registered this round, so they take
+    # window slots immediately; the six r3-hash-green fills they
+    # displace (text_source_kl_drift, text_source_vocab_overlap,
+    # text_heaps_fit, events_transition_matrix, sim_embedding_outliers,
+    # text_rrf_fusion) keep their r03 driver rows and move to _BACK:
+    "unshipped_order_revenue",
+    "nation_trade_volume",
+    "returned_item_customers",
+    "late_sole_supplier",
+    "text_line_dedup",
+    "text_source_cap",
     # (4d) asymmetric n-gram containment (quote / test-set
     # contamination detector) — displaces r3-hash-green
     # text_bm25_search to _BACK:
@@ -259,6 +266,14 @@ _FRONT = [
 # this round zero registered names lack a driver row.
 _DEFERRED: list[str] = []
 _BACK = [
+    # displaced from the r4 fill by the six session-6 queries; all six
+    # are hash-green in CORRECTNESS_r03.json:
+    "text_source_kl_drift",
+    "text_source_vocab_overlap",
+    "text_heaps_fit",
+    "events_transition_matrix",
+    "sim_embedding_outliers",
+    "text_rrf_fusion",
     # displaced from the r4 fill by the three streaming queries; all
     # three are hash-green in CORRECTNESS_r03.json:
     "events_state_history",

@@ -1211,8 +1211,13 @@ FROM cnt ORDER BY src, dst
 # --- TPC-H Q8-style: national market share (join-reordering stress) -------
 
 
+_MKT_NATION = "NATION_3"  # a supplier nation verified to ship PROMO
+                          # parts to EUROPEAN customers at every sf,
+                          # so the share branch is never vacuous
+
+
 def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FRANCE's share of PROMO-part revenue supplied to EUROPEAN
+    """One nation's share of PROMO-part revenue supplied to EUROPEAN
     customers, per order year — the classic 7-table join-reordering
     stress (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈
     supplier ⋈ nation again).
@@ -1267,7 +1272,7 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.when(
-                        F.col("supp_nation") == "FRANCE", F.col("vol")
+                        F.col("supp_nation") == _MKT_NATION, F.col("vol")
                     ).otherwise(0.0)
                 )
                 / F.sum("vol"),
@@ -1279,9 +1284,9 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MARKET_SHARE_SQL = """
+_MARKET_SHARE_SQL = f"""
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN sn.n_name = 'FRANCE'
+       round(sum(CASE WHEN sn.n_name = '{_MKT_NATION}'
                       THEN l_extendedprice * (1 - l_discount)
                       ELSE 0.0 END)
              / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
@@ -1668,6 +1673,277 @@ LIMIT 100
 """
 
 
+# --- TPC-H Q3-style: top unshipped orders ---------------------------------
+
+_Q3_CUT = "1998-06-01 00:00:00"
+
+
+def q_unshipped_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 highest-revenue orders placed before the cutoff whose
+    items had not yet shipped by it, for one market segment — the Q3
+    shipping-backlog scan.
+
+    Scale shape: both date filters and the segment filter push to the
+    scans (segment prunes customer BEFORE its join, so the filtered
+    customer key set broadcasts); lineitem⋈orders is the one keyed
+    exchange, already partitioned by the groupBy key (l_orderkey), so
+    the aggregation reuses the join's partitioning — one shuffle
+    total. Top-10 is TakeOrderedAndProject (per-partition heaps →
+    1-row-per-partition merge), never a global sort.
+
+    Portability: revenue rounded to 2dp under the repo's double
+    reassociation contract; (revenue DESC, l_orderkey) is a total
+    order, so the LIMIT boundary is deterministic on both engines."""
+    cut = F.lit(_Q3_CUT).cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cut)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cut)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_UNSHIPPED_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUT}'
+  AND l_shipdate > TIMESTAMP '{_Q3_CUT}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- TPC-H Q7-style: bilateral nation trade volume -------------------------
+
+_Q7_NATION_A = "NATION_3"
+_Q7_NATION_B = "NATION_7"
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two nations by year, both directions
+    (supplier in A shipping to customers in B, and vice versa) — the
+    Q7 bilateral-trade shape that forces a role-playing nation
+    dimension on both ends of the fact.
+
+    Scale shape: the two-nation filter is applied INSIDE each
+    broadcast dimension (supplier keys of A∪B, customer keys of A∪B),
+    so the fact scan is semi-filtered by two tiny broadcasts before
+    the orders join; the direction predicate (sn != cn) is a residual
+    on the joined row. One keyed exchange (lineitem⋈orders), final
+    agg over a years×2 frame."""
+    pair = [_Q7_NATION_A, _Q7_NATION_B]
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(pair))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(F.sum(vol), 2).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_NATION_TRADE_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = '{_Q7_NATION_A}' AND cn.n_name = '{_Q7_NATION_B}')
+    OR (sn.n_name = '{_Q7_NATION_B}' AND cn.n_name = '{_Q7_NATION_A}'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# --- TPC-H Q10-style: returned-item customers -------------------------------
+
+_Q10_START = "1997-01-01 00:00:00"
+_Q10_END = "1997-04-01 00:00:00"
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returned items in one
+    quarter — the Q10 returns-triage report.
+
+    Scale shape: the returnflag filter pushes to the lineitem scan and
+    the quarter filter to orders (both in PushedFilters); the
+    lineitem⋈orders exchange carries only returned lines; the final
+    per-customer frame joins the customer dimension BROADCAST, after
+    aggregation, so customer attributes never ride through the fact
+    shuffle. Top-20 is TakeOrderedAndProject on the total order
+    (revenue DESC, c_custkey)."""
+    start = F.lit(_Q10_START).cast("timestamp")
+    end = F.lit(_Q10_END).cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end)
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+        )
+        .join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_RETURNED_CUST_SQL = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       round(c_acctbal, 2) AS acctbal,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{_Q10_START}'
+  AND o_orderdate < TIMESTAMP '{_Q10_END}'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- TPC-H Q21-style: sole late supplier -----------------------------------
+
+_Q21_LATE_DAYS = 60
+
+
+def q_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on multi-supplier
+    orders (late = shipped more than _Q21_LATE_DAYS days after the
+    order date), with how many such lines each has — the Q21
+    EXISTS / NOT-EXISTS double-correlation, decorrelated.
+
+    Scale shape: instead of the textbook two correlated self-joins of
+    lineitem (three fact passes), the fact is scanned ONCE and folded
+    through two chained aggregates — per (order, supplier) the late
+    line count, then per order (n_supp, n_late_supp) — and a supplier
+    qualifies iff its order has n_supp > 1 and n_late_supp = 1 and it
+    is the late one (the late set is exactly {{this supplier}}, so
+    EXISTS-other-supplier ∧ NOT-EXISTS-other-late-supplier both fold
+    into the aggregate; no distinct-expand, plain counts). The join
+    back carries the (order, supplier)-grained frame — already
+    aggregate-collapsed, orders-sized, never the raw fact. The oracle
+    deliberately keeps the textbook EXISTS/NOT EXISTS formulation:
+    hash equality proves the decorrelation, not just the
+    arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+    )
+    # no broadcast hint: orders is a fact — at scale this is an SMJ
+    # on l_orderkey, whose partitioning then satisfies BOTH chained
+    # aggregates (clustering on a subset of the grouping keys)
+    # persisted: both consumers (the late filter and the per-order
+    # rollup) read the aggregate-collapsed (order, supplier) frame —
+    # without it each branch re-scans the fact (measured 6 scans)
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late.cast("bigint")).alias("n_late"))
+        .persist()
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_late") > 0).cast("bigint")).alias("n_late_supp"),
+    )
+    return (
+        per_os.where(F.col("n_late") > 0)
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.sum("n_late").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+    )
+
+
+_LATE_SOLE_SQL = f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l1.l_suppkey AS s_suppkey, count(*) AS numwait
+FROM l l1
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY l1.l_suppkey
+ORDER BY numwait DESC, s_suppkey
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -1712,4 +1988,11 @@ QUERIES = {
         q_customer_spend_deciles,
         _SPEND_DECILES_SQL,
     ),
+    "unshipped_order_revenue": (q_unshipped_order_revenue, _UNSHIPPED_SQL),
+    "nation_trade_volume": (q_nation_trade_volume, _NATION_TRADE_SQL),
+    "returned_item_customers": (
+        q_returned_item_customers,
+        _RETURNED_CUST_SQL,
+    ),
+    "late_sole_supplier": (q_late_sole_supplier, _LATE_SOLE_SQL),
 }

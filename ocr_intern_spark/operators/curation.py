@@ -15,10 +15,14 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocr_intern_spark.functions.text import token_count
+from ocr_intern_spark.functions.text import (
+    _QUALITY_SQL,
+    quality_score,
+    token_count,
+)
 
 DECON_NGRAM = 8       # words per contamination gram (GPT-3 used 13;
                       # 8 fits the synthetic corpus's doc lengths)
@@ -1601,6 +1605,163 @@ ORDER BY source_a, source_b
 """
 
 
+# --- CCNet/RefinedWeb-style boilerplate line removal -------------------------
+
+LINE_W = 6            # words per "line" unit (the synthetic corpus has
+                      # no newlines, so fixed 6-word segments stand in
+                      # for the paragraph/line unit CCNet hashes)
+BOILER_MIN_DOCS = 3   # a line occurring in >= this many distinct docs
+                      # is boilerplate and removed EVERYWHERE (vs
+                      # span_dedup, which keeps the first occurrence —
+                      # nav bars / cookie banners have no meaningful
+                      # "first" document)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-threshold boilerplate line removal (CCNet, Wenzek et
+    al. 2020 §3.1 paragraph-hash dedup; RefinedWeb, Penedo et al. 2023
+    line-level filtering): the corpus is segmented into non-overlapping
+    LINE_W-word lines; any line whose text occurs in >= BOILER_MIN_DOCS
+    distinct documents is dropped from EVERY document (headers, nav
+    bars, cookie banners — content where keeping a "first occurrence"
+    is wrong, which is exactly how this differs from q_span_dedup's
+    C4 keep-first rule). Surviving lines are reassembled in order.
+
+    Output per doc: (n_lines, n_kept, clean_text).
+
+    Scale shape: the document-frequency count is a two-level
+    aggregation — distinct (line, doc_id) first (map-side combinable;
+    a line repeated inside one huge doc collapses locally), then a
+    count per line. The verdict frame is one row per distinct line;
+    the join back is on the line STRING (no 64-bit collision risk,
+    same rule as decontamination), and a billion-doc boilerplate line
+    is still ONE verdict row — the hot key rides the broadcast-able
+    side, never a window. Reassembly is one doc_id exchange."""
+    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    nseg = ((F.size(toks) - 1) / LINE_W).cast("int") + 1
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.array_join(
+                F.slice(toks, i * LINE_W + 1, LINE_W), " "
+            ).alias("line"),
+        ),
+    )
+    s = d.select("doc_id", F.explode(segs).alias("u")).select(
+        "doc_id", F.col("u.pos").alias("pos"), F.col("u.line").alias("line")
+    )
+    df_per_line = (
+        s.select("line", "doc_id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+    )
+    keep = F.col("ndocs") < BOILER_MIN_DOCS
+    return (
+        s.join(df_per_line, "line")
+        .select("doc_id", "pos", "line", keep.alias("keep"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line", "keep"))
+                        ),
+                        lambda u: u["keep"],
+                    ),
+                    lambda u: u["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(
+           list_slice(toks, i * {LINE_W} + 1, i * {LINE_W} + {LINE_W}), ' '
+         ) AS line
+  FROM base,
+       LATERAL (SELECT unnest(range(0, (len(toks) - 1) // {LINE_W} + 1)) AS i)
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY line
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN f.ndocs < {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       coalesce(string_agg(
+         CASE WHEN f.ndocs < {BOILER_MIN_DOCS} THEN s.line END,
+         ' ' ORDER BY s.pos), '') AS clean_text
+FROM segs s JOIN freq f USING (line)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
+# --- RefinedWeb-style per-source document quota ------------------------------
+
+CAP_K = 12  # documents kept per source
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (the RefinedWeb / Dolma source-
+    balancing pass: cap any one domain's contribution so a single
+    crawler-friendly site cannot dominate the mix): keep the CAP_K
+    best documents of each source, ranked (quality DESC, n_chars
+    DESC, doc_id ASC) — a total order, so the cut is deterministic.
+    On the synthetic corpus the quality heuristic collapses to one
+    band for most docs and length is the effective secondary signal;
+    the shape under test is the per-group top-K itself.
+
+    Scale shape: the rank<=K filter on a row_number window is
+    rewritten by Spark into WindowGroupLimit (per-partition top-K
+    heaps BEFORE the source exchange — plan-pinned in
+    test_session6_ops.py), so a source with a billion docs moves at
+    most K rows per map partition into the shuffle, not the whole
+    group."""
+    d = _docs(spark, sf_dir)
+    q = F.round(quality_score(F.col("text")), 6)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", "n_chars", q.alias("quality"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= CAP_K)
+        .select("source", "doc_id", "quality", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+_SOURCE_CAP_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+ranked AS (
+  SELECT d.source, q.doc_id, q.quality,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY q.quality DESC, d.n_chars DESC, q.doc_id
+         ) AS rk
+  FROM q JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, quality, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {CAP_K}
+ORDER BY source, rk
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
     "text_source_kl_drift": (q_source_kl_drift, _KL_DRIFT_SQL),
@@ -1619,4 +1780,6 @@ QUERIES = {
     "multimodal_interleaved_pack": (q_interleaved_pack, _INTERLEAVED_SQL),
     "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
     "text_langid_ngram": (q_langid_ngram, _LANGID_SQL),
+    "text_line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
+    "text_source_cap": (q_source_cap, _SOURCE_CAP_SQL),
 }

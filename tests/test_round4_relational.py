@@ -141,7 +141,10 @@ def test_top_supplier_matches_python_reference(spark):
 
 
 def test_market_share_matches_python_reference(spark):
-    from ocr_intern_spark.operators.analytics import q_market_share_by_year
+    from ocr_intern_spark.operators.analytics import (
+        _MKT_NATION,
+        q_market_share_by_year,
+    )
 
     rd = lambda t: spark.read.parquet(f"{SF_DIR}/{t}.parquet").collect()
     promo = {r.p_partkey for r in rd("part") if r.p_type == "PROMO"}
@@ -168,10 +171,14 @@ def test_market_share_matches_python_reference(spark):
         y = o.o_orderdate.year
         vol_by_year[y] += v
         n_by_year[y] += 1
-        if supp_nation[r.l_suppkey] == "FRANCE":
+        if supp_nation[r.l_suppkey] == _MKT_NATION:
             fr_by_year[y] += v
 
     assert n_by_year, "join chain must be non-vacuous at sf0.001"
+    assert any(v > 0 for v in fr_by_year.values()), (
+        "the share nation must actually supply PROMO parts to EUROPE "
+        "at sf0.001 — a zero share everywhere makes the CASE vacuous"
+    )
     got = {r.o_year: r for r in q_market_share_by_year(spark, SF_DIR).collect()}
     assert set(got) == set(n_by_year)
     for y in n_by_year:
