@@ -1,0 +1,90 @@
+"""Registry-wide physical-plan regression gate.
+
+Every registered query's pre-AQE physical plan is built at sf0.001
+(construction only — `sparkPlan()` never executes the job) and
+checked against the two plan classes that kill a 100 TB run:
+
+* `CartesianProduct` — never allowed, anywhere;
+* `BroadcastNestedLoopJoin` — allowed ONLY for the documented
+  1-row/tiny-build scalar-broadcast class (corpus totals, centroid
+  frames, query vectors, idf stats…), frozen in _BNLJ_ALLOWED. A new
+  query that picks up a BNLJ must either justify itself onto the
+  list or restructure the join.
+
+Streaming queries are excluded: their callables run real streams to
+produce the comparison frame, so "building the plan" would execute
+micro-batches; their plan shapes are pinned in their own tests.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# The scalar-broadcast class: every build side here is a 1-row
+# aggregate (totals/max/thresholds), a ≤centroids/≤query-vector
+# literal frame, or a ≤vocab stats frame — audited in BENCH/PLANS.md.
+_BNLJ_ALLOWED = frozenset(
+    {
+        "customer_spend_deciles",
+        "graph_provenance_rank",
+        "graph_triangle_stats",
+        "idle_rich_customers",
+        "major_revenue_parts",
+        "sim_cosine_topk",
+        "sim_embedding_outliers",
+        "sim_hard_negatives",
+        "sim_int8_quant_recall",
+        "sim_ivf_topk",
+        "sim_kmeans_refine",
+        "sim_knn_join_topk",
+        "sim_pq_adc_recall",
+        "sim_semdedup_prune",
+        "text_allpairs_cosine",
+        "text_bigram_logprob",
+        "text_bm25_search",
+        "text_bpe_apply_fertility",
+        "text_bpe_learn_merges",
+        "text_dsir_select",
+        "text_heaps_fit",
+        "text_langid_ngram",
+        "text_mix_resample",
+        "text_pmi_collocations",
+        "text_quality_ensemble",
+        "text_rrf_fusion",
+        "text_source_kl_drift",
+        "text_source_mix_weights",
+        "text_tfidf_keywords",
+        "text_unigram_logprob",
+    }
+)
+
+
+def test_no_cartesian_anywhere_and_bnlj_only_scalar_class(spark):
+    import __spark_entry__ as e
+
+    offenders_cart = []
+    offenders_bnlj = []
+    for name, fn in e.queries().items():
+        if name.startswith("stream_"):
+            continue
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders_bnlj.append(name)
+    assert not offenders_cart, f"CartesianProduct in: {offenders_cart}"
+    assert not offenders_bnlj, (
+        f"undocumented BroadcastNestedLoopJoin in: {offenders_bnlj} — "
+        "either restructure the join or audit the build side and add "
+        "the name to _BNLJ_ALLOWED with a PLANS.md row"
+    )
+
+
+def test_bnlj_allowlist_has_no_stale_names(spark):
+    """Names on the allowlist must still exist in the registry —
+    otherwise the list silently stops guarding anything."""
+    import __spark_entry__ as e
+
+    stale = _BNLJ_ALLOWED - set(e.queries())
+    assert not stale, f"stale allowlist entries: {sorted(stale)}"
