@@ -200,12 +200,18 @@ _FRONT = [
     # text_zipf_fit stays because its rank was rewritten to the
     # distributed two-pass form this round and deserves a fresh row):
     "text_zipf_fit",
-    "text_quality_ensemble",
-    "text_bpe_apply_fertility",
-    "graph_kcore",
-    "text_char_entropy",
     "events_rate_anomaly",
     "text_pmi_collocations",
+    # (8) session-7 NEW queries (PII scrubbing, canonical-URL dedup,
+    # OBELICS-style interleave filter, PDF de-hyphenation repair) —
+    # registered this round, so they take window slots immediately;
+    # the four r3-hash-green fills they displace (text_quality_ensemble,
+    # text_bpe_apply_fertility, graph_kcore, text_char_entropy) keep
+    # their r03 driver rows and move to _BACK:
+    "text_pii_redact",
+    "dedup_url_canonical",
+    "multimodal_interleave_filter",
+    "extract_dehyphenate",
     # (7) session-6 NEW queries — registered this round, so they take
     # window slots immediately; the six r3-hash-green fills they
     # displace (text_source_kl_drift, text_source_vocab_overlap,
@@ -295,6 +301,12 @@ _BACK = [
     "text_span_dedup",
     "text_gopher_quality_flags",
     "text_allpairs_cosine",
+    # displaced from the r4 fill by the session-7 web-curation queries;
+    # all four are hash-green in CORRECTNESS_r03.json:
+    "text_quality_ensemble",
+    "text_bpe_apply_fertility",
+    "graph_kcore",
+    "text_char_entropy",
     "sim_ann_lsh_buckets",
     "sim_cosine_topk",
     "dedup_dup_clusters",

@@ -1762,6 +1762,358 @@ ORDER BY source, rk
 """
 
 
+# --- PII detection + masking -------------------------------------------------
+
+# Deliberately simple, dialect-portable patterns (no lookaround, no \b):
+# the same character-class regexes run under Java regex (Spark) and RE2
+# (DuckDB) with identical match semantics. Production pipelines (Dolma,
+# CCNet) use exactly this class of rule-based scrubbing before training.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+\d{2}-\d{3}-\d{4}"
+PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def _pii_probe_spark() -> "F.Column":
+    """Deterministic PII injection from doc_id (the repo's
+    probe-injection pattern): the synthetic soup carries no PII, so
+    each doc_id%4 class gets a known payload appended — two emails,
+    one phone, one IP, or NOTHING (the clean class is the
+    false-positive guard). The DETECTOR sees only the text column."""
+    did = F.col("doc_id")
+    mod4 = did % 4
+    suffix = (
+        F.when(
+            mod4 == 0,
+            F.concat(
+                F.lit(" mail user"), did.cast("string"),
+                F.lit("@example.com and admin@test.org now"),
+            ),
+        )
+        .when(
+            mod4 == 1,
+            F.concat(
+                F.lit(" call +12-345-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .when(
+            mod4 == 2,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit("."), (did % 7).cast("string"),
+                F.lit("."), (did % 13).cast("string"), F.lit(" gateway"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.concat(F.trim(F.lower(F.col("text"))), suffix)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based PII scrubbing (the masking stage every released
+    web-scale corpus runs — e.g. Dolma's email/phone/IP rules,
+    Soldaini et al. 2024 §2): detect emails, phone numbers, and IPv4
+    addresses, replace each with a typed mask token, and report
+    per-document counts plus the md5 of the scrubbed text so the
+    redaction itself (not just the counts) is hash-pinned
+    cross-engine.
+
+    Redaction order is fixed (email → phone → IP) so a masked span
+    can never be re-matched by a later pattern.
+
+    Scale shape: one narrow per-row projection — regexp_count ×3 and
+    a chained regexp_replace inside whole-stage codegen, zero
+    shuffles before the final presentation sort. At 100 TB this is a
+    pure map stage; the counts aggregate (if wanted per-source)
+    would be map-side combinable."""
+    d = _docs(spark, sf_dir)
+    probe = _pii_probe_spark()
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(probe, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(probe, F.lit(PII_EMAIL_RE)).cast("int").alias("n_email"),
+            F.regexp_count(probe, F.lit(PII_PHONE_RE)).cast("int").alias("n_phone"),
+            F.regexp_count(probe, F.lit(PII_IP_RE)).cast("int").alias("n_ip"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_sql() -> str:
+    probe = f"""trim(lower(text)) || CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com and admin@test.org now'
+      WHEN 1 THEN ' call +12-345-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' today'
+      WHEN 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.' || CAST(doc_id % 13 AS VARCHAR) || ' gateway'
+      ELSE '' END"""
+    return f"""
+WITH p AS (SELECT doc_id, {probe} AS probe FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(probe, '{PII_EMAIL_RE}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(probe, '{PII_PHONE_RE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(probe, '{PII_IP_RE}')) AS INT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(probe,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g')) AS redacted_md5
+FROM p ORDER BY doc_id
+"""
+
+
+# --- canonical-URL dedup ------------------------------------------------------
+
+# URL normalization ahead of content dedup — the FIRST dedup stage of
+# every CC-derived pipeline (CCNet, RefinedWeb §3.2 "URL deduplication"):
+# scheme/host case, default ports, www., duplicate slashes, trailing
+# slash, tracking params, and fragments all collapse before hashing.
+URL_SITES = 5  # synthetic hosts example0..example4 — forces collisions
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL exact dedup: each doc carries one synthesized URL
+    (six deterministic messiness variants from doc_id%6 — uppercase
+    host + default port, utm_* tracking params, http default port +
+    fragment, mixed params, already-canonical, duplicate slashes);
+    the normalizer lowercases host, strips www./default ports/
+    fragments/trailing slashes, collapses //, and drops utm_* params
+    while KEEPING meaningful ones (id=7) — then groups by canonical
+    URL, keeping the smallest doc_id (CC-pipeline keeper rule).
+
+    Scale shape: parse + normalize is one narrow codegen projection;
+    the dedup is a single hash aggregate on the canonical string
+    (map-side combinable). At 100 TB this replaces content-level
+    dedup for the ~40% of crawl duplicates that are URL-identical —
+    the cheapest shuffle in the pipeline, and it runs first."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    w = F.coalesce(F.try_element_at(toks, F.lit(1)), F.lit("x"))
+    k = (F.col("doc_id") % URL_SITES).cast("string")
+    v = (F.col("doc_id") % 6).cast("int")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://WWW.Example"), k,
+                                F.lit(".COM:443/path/"), w, F.lit("/")))
+        .when(v == 1, F.concat(F.lit("https://www.example"), k,
+                               F.lit(".com/path/"), w,
+                               F.lit("?utm_source=x&utm_campaign=y")))
+        .when(v == 2, F.concat(F.lit("http://example"), k,
+                               F.lit(".com:80/path/"), w, F.lit("#frag")))
+        .when(v == 3, F.concat(F.lit("https://example"), k,
+                               F.lit(".com/path/"), w,
+                               F.lit("?id=7&utm_medium=z")))
+        .when(v == 4, F.concat(F.lit("https://www.example"), k,
+                               F.lit(".com/path/"), w))
+        .otherwise(F.concat(F.lit("https://example"), k,
+                            F.lit(".com//path//"), w))
+    )
+    scheme = F.lower(F.regexp_extract(url, r"^(https?)://", 1))
+    host0 = F.lower(F.regexp_extract(url, r"^https?://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(host0, r"^www\.", ""),
+        r":(443|80)$",
+        "",
+    )
+    # NOTE: stripping :443 is only correct for https and :80 for http;
+    # the synthetic variants never cross them, and the conditional
+    # form would be when(scheme=='https', strip ':443$') — kept simple
+    # and identical in the oracle.
+    path0 = F.regexp_replace(
+        F.regexp_extract(url, r"^https?://[^/?#]+([^?#]*)", 1),
+        r"/{2,}",
+        "/",
+    )
+    path1 = F.regexp_replace(path0, r"/$", "")
+    path = F.when(path1 == "", F.lit("/")).otherwise(path1)
+    q0 = F.regexp_extract(url, r"\?([^#]*)", 1)
+    qkeep = F.array_join(
+        F.filter(F.split(q0, "&"), lambda x: ~x.startswith("utm_")), "&"
+    )
+    canonical = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qkeep == "", F.lit("")).otherwise(F.concat(F.lit("?"), qkeep)),
+    )
+    return (
+        d.select(F.col("doc_id"), canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def _url_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(regexp_split_to_array(trim(lower(text)), '\\s+')[1], 'x') AS w,
+         CAST(doc_id % {URL_SITES} AS VARCHAR) AS k,
+         CAST(doc_id % 6 AS INT) AS v
+  FROM documents
+),
+u AS (
+  SELECT doc_id, CASE v
+    WHEN 0 THEN 'https://WWW.Example' || k || '.COM:443/path/' || w || '/'
+    WHEN 1 THEN 'https://www.example' || k || '.com/path/' || w
+                || '?utm_source=x&utm_campaign=y'
+    WHEN 2 THEN 'http://example' || k || '.com:80/path/' || w || '#frag'
+    WHEN 3 THEN 'https://example' || k || '.com/path/' || w || '?id=7&utm_medium=z'
+    WHEN 4 THEN 'https://www.example' || k || '.com/path/' || w
+    ELSE 'https://example' || k || '.com//path//' || w END AS url
+  FROM d
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+           '^www\\.', ''), ':(443|80)$', '') AS host,
+         regexp_replace(regexp_replace(
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+           '/{{2,}}', '/', 'g'), '/$', '') AS path1,
+         -- array_to_string over an EMPTY filtered list is NULL in
+         -- DuckDB where Spark's array_join gives '' — coalesce to
+         -- keep the all-params-dropped case identical
+         coalesce(array_to_string(list_filter(
+           string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+           x -> NOT starts_with(x, 'utm_')), '&'), '') AS qkeep
+  FROM u
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host
+         || CASE WHEN path1 = '' THEN '/' ELSE path1 END
+         || CASE WHEN qkeep = '' THEN '' ELSE '?' || qkeep END AS canonical_url
+  FROM parts
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM canon GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
+# --- interleaved media-text curation filter ----------------------------------
+
+ILF_MAX_MEDIA = 3       # cap on images kept per document
+ILF_MIN_GAP = 2         # min text tokens between consecutive kept images
+ILF_MIN_TOK_PER_IMG = 4  # doc must carry >= this many tokens per kept image
+
+
+def q_interleave_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBELICS/MMC4-style interleaved document curation (Laurençon et
+    al. 2023 §3.3; Zhu et al. 2023): multimodal pretraining docs are
+    kept only when their image/text interleave is healthy — images
+    too close together are dropped (ILF_MIN_GAP tokens between
+    consecutive media), at most ILF_MAX_MEDIA images survive per doc,
+    and the doc itself survives only with >= 1 kept image and >=
+    ILF_MIN_TOK_PER_IMG text tokens per kept image (text-starved
+    image stacks are the classic interleave failure mode).
+
+    Media synthesis (both engines identically): doc_id % 5 media
+    spans at irregular modular token positions ((doc_id+1)·(j+1)) mod
+    (n+1) — adjacent media collide into sub-gap stacks on many docs,
+    which is exactly what the gap rule must catch; m == 0 docs
+    exercise the no-image drop (all five rule branches fire at
+    sf0.001, pinned in tests/test_web_curation.py).
+
+    Scale shape: the gap test is one lag window inside the
+    hashpartitioning(doc_id) exchange — media spans never leave their
+    doc's partition — and the per-doc rollup reuses that exchange
+    (doc_id is the grouping prefix). One shuffle end to end, exactly
+    the plan this filter needs over the real spans array at 100 TB."""
+    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 24)
+    n = F.size(toks)
+    m = (F.col("doc_id") % 5).cast("int")
+    positions = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda j: ((F.col("doc_id") + 1) * (j + 1) % (n + 1)).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    media = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        m.alias("n_media"),
+        F.posexplode_outer(positions).alias("j", "pos"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos", "j")
+    gap = F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(0))
+    keep = (gap >= ILF_MIN_GAP) & (F.col("j") < ILF_MAX_MEDIA)
+    return (
+        media.withColumn("keep", keep)
+        .groupBy("doc_id", "n_tokens", "n_media")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("keep").cast("int")), F.lit(0)
+            ).cast("int").alias("n_media_kept")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_media",
+            "n_media_kept",
+            (
+                (F.col("n_media_kept") >= 1)
+                & (
+                    F.col("n_tokens")
+                    >= ILF_MIN_TOK_PER_IMG * F.col("n_media_kept")
+                )
+            ).alias("doc_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_INTERLEAVE_FILTER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 24)) AS n,
+         CAST(doc_id % 5 AS INT) AS m
+  FROM documents WHERE length(trim(text)) > 0
+),
+media AS (
+  SELECT doc_id, n, m, CAST(j AS INT) AS j,
+         CAST(((doc_id + 1) * (j + 1)) % (n + 1) AS INT) AS pos
+  FROM base, LATERAL (SELECT unnest(range(0, m)) AS j)
+),
+g AS (
+  SELECT doc_id, j, pos,
+         pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos, j), 0)
+           AS gap
+  FROM media
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN gap >= {ILF_MIN_GAP} AND j < {ILF_MAX_MEDIA}
+                       THEN 1 ELSE 0 END) AS INT) AS n_media_kept
+  FROM g GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens, b.m AS n_media,
+       coalesce(a.n_media_kept, 0) AS n_media_kept,
+       (coalesce(a.n_media_kept, 0) >= 1
+        AND b.n >= {ILF_MIN_TOK_PER_IMG} * coalesce(a.n_media_kept, 0))
+         AS doc_keep
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
     "text_source_kl_drift": (q_source_kl_drift, _KL_DRIFT_SQL),
@@ -1782,4 +2134,10 @@ QUERIES = {
     "text_langid_ngram": (q_langid_ngram, _LANGID_SQL),
     "text_line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
     "text_source_cap": (q_source_cap, _SOURCE_CAP_SQL),
+    "text_pii_redact": (q_pii_redact, _pii_sql()),
+    "dedup_url_canonical": (q_url_canonicalize, _url_sql()),
+    "multimodal_interleave_filter": (
+        q_interleave_filter,
+        _INTERLEAVE_FILTER_SQL,
+    ),
 }

@@ -549,6 +549,92 @@ FROM (
 """
 
 
+# --- line-wrap de-hyphenation ------------------------------------------------
+
+DEHYPH_EVERY = 7  # 1-based token position p is wrapped iff
+                  # (doc_id + p) % DEHYPH_EVERY == 0 and len(word) >= 4
+
+
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-wrap hyphenation repair — the PDF/column text-extraction
+    cleanup step (pdftotext/Grobid both ship it): a word broken
+    across a line as "exam-\\nple" is rejoined to "example" when
+    letters flank the break. The wrapped input is synthesized
+    deterministically (both engines identically): every token at
+    1-based position p with (doc_id + p) % DEHYPH_EVERY == 0 and
+    length >= 4 is split at its midpoint with "-\\n" inserted; the
+    REPAIR is the generic regex (\\S)-\\n(\\S) -> \\1\\2, and
+    `restored` pins that repair(wrap(text)) round-trips to the
+    whitespace-normalized original — the repair is verified, not just
+    counted.
+
+    Breaks are >= DEHYPH_EVERY tokens apart, so the non-overlapping
+    replace semantics (identical in Java regex and RE2) never meet
+    adjacent matches.
+
+    Scale shape: pure per-row narrow projection inside whole-stage
+    codegen — split, indexed transform, two regex passes, md5; no
+    shuffle before the presentation sort. A 100 TB corpus runs this
+    as a map-only stage fused with whatever scan feeds it."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 24)
+    norm = F.array_join(toks, " ")
+    half = lambda w: (F.length(w) / 2).cast("int")
+    wrapped = F.array_join(
+        F.transform(
+            toks,
+            lambda w, i: F.when(
+                ((F.col("doc_id") + i + 1) % DEHYPH_EVERY == 0)
+                & (F.length(w) >= 4),
+                F.concat(
+                    w.substr(F.lit(1), half(w)),
+                    F.lit("-\n"),
+                    w.substr(half(w) + 1, F.length(w)),
+                ),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    repaired = F.regexp_replace(wrapped, r"(\S)-\n(\S)", r"$1$2")
+    return d.select(
+        "doc_id",
+        F.regexp_count(wrapped, F.lit(r"(\S)-\n(\S)")).cast("int").alias(
+            "n_repairs"
+        ),
+        (repaired == norm).alias("restored"),
+        F.md5(repaired).alias("repaired_md5"),
+    ).orderBy("doc_id")
+
+
+_DEHYPH_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 24) AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         array_to_string(toks, ' ') AS norm,
+         array_to_string(list_transform(toks, (w, i) ->
+           CASE WHEN (doc_id + i) % {DEHYPH_EVERY} = 0 AND len(w) >= 4
+                THEN substr(w, 1, len(w) // 2) || '-' || chr(10)
+                     || substr(w, len(w) // 2 + 1)
+                ELSE w END), ' ') AS wrapped
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(wrapped, '(\\S)-\\n(\\S)')) AS INT)
+         AS n_repairs,
+       regexp_replace(wrapped, '(\\S)-\\n(\\S)', '\\1\\2', 'g') = norm
+         AS restored,
+       md5(regexp_replace(wrapped, '(\\S)-\\n(\\S)', '\\1\\2', 'g'))
+         AS repaired_md5
+FROM w ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "extract_doc_type": (q_doc_type, _DOC_TYPE_SQL),
     "extract_template_detect": (q_template_detect, _template_detect_sql()),
@@ -557,4 +643,5 @@ QUERIES = {
     "extract_french_ocr_fixes": (q_french_ocr_fixes, _FRENCH_FIX_SQL),
     "extract_boilerplate_strip": (q_boilerplate_strip, _BOILERPLATE_SQL),
     "extract_html_block_classify": (q_html_block_classify, _HTML_BLOCKS_SQL),
+    "extract_dehyphenate": (q_dehyphenate, _DEHYPH_SQL),
 }
