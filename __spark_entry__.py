@@ -200,8 +200,15 @@ _FRONT = [
     # text_zipf_fit stays because its rank was rewritten to the
     # distributed two-pass form this round and deserves a fresh row):
     "text_zipf_fit",
-    "events_rate_anomaly",
-    "text_pmi_collocations",
+    # (9) session-8 NEW queries — the two subtlest of the five new
+    # TPC-H decorrelation shapes (Q2 argmin-with-ties join-back in
+    # integer cents; Q20 nested two-grain aggregate threshold) take
+    # the last two fill slots, displacing r3-hash-green
+    # events_rate_anomaly and text_pmi_collocations to _BACK; the
+    # other three (Q4/Q16/Q19 shapes) are _DEFERRED to the r5 window
+    # with local ×3-sf hash-exact verification recorded in COVERAGE.md:
+    "min_cost_supplier",
+    "dominant_part_suppliers",
     # (8) session-7 NEW queries (PII scrubbing, canonical-URL dedup,
     # OBELICS-style interleave filter, PDF de-hyphenation repair) —
     # registered this round, so they take window slots immediately;
@@ -266,12 +273,27 @@ _FRONT = [
     "customer_spend_deciles",
 ]
 
-# Names intentionally outside this round's 50-slot window. Every one
-# of them has a green driver row in the r01+r02+r03 union (the 18
-# previously-deferred names moved INTO the window above), so after
-# this round zero registered names lack a driver row.
-_DEFERRED: list[str] = []
+# Names intentionally outside this round's 50-slot window. The three
+# session-8 TPC-H shapes below were registered after the window filled
+# (50 slots, 146 names); each carries a DuckDB oracle verified
+# hash-exact locally at sf0.001/sf0.01/sf0.1 this session and is first
+# in line for the round-5 window.
+_DEFERRED: list[str] = [
+    "late_order_priority",
+    "part_supplier_variety",
+    "bracket_revenue",
+]
 _BACK = [
+    # session-8 deferred TPC-H shapes (see _DEFERRED note above) —
+    # pinned here so their position is deterministic, directly after
+    # the window:
+    "late_order_priority",
+    "part_supplier_variety",
+    "bracket_revenue",
+    # displaced from the r4 fill by the session-8 Q2/Q20 shapes; both
+    # are hash-green in CORRECTNESS_r03.json:
+    "events_rate_anomaly",
+    "text_pmi_collocations",
     # displaced from the r4 fill by the six session-6 queries; all six
     # are hash-green in CORRECTNESS_r03.json:
     "text_source_kl_drift",

@@ -1944,6 +1944,400 @@ ORDER BY numwait DESC, s_suppkey
 """
 
 
+# --- TPC-H Q4 shape: EXISTS folded into a per-key MAX ----------------------
+
+_Q4_START = "1996-01-01"
+_Q4_END = "1996-04-01"
+_Q4_LATE_DAYS = 1800  # splits every sf: 21/62 late at sf0.001, 216/570 at sf0.01
+
+
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in one quarter that had AT LEAST one very late lineitem
+    (shipped more than _Q4_LATE_DAYS days after the order date),
+    counted per order priority — the TPC-H Q4 EXISTS shape.
+
+    Scale shape: the correlated EXISTS never runs as a subquery —
+    `EXISTS(l late) ⟺ max(l_shipdate) > o_orderdate + K` folds the
+    whole predicate into ONE map-side-combinable MAX per order over
+    the raw fact (no orders columns needed on the aggregate side, so
+    the fact is scanned once with a 2-column ReadSchema). The quarter
+    filter is pushed to the orders scan; the join carries one row per
+    order on each side; the final aggregate is a 5-row priority
+    frame. The oracle deliberately keeps the textbook correlated
+    EXISTS — hash equality proves the MAX-fold decorrelation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(_Q4_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q4_END).cast("timestamp"))
+        )
+        .join(per_order, orders.o_orderkey == per_order.l_orderkey)
+        .where(
+            F.col("max_ship")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_LATE_PRIORITY_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{_Q4_START}'
+  AND o_orderdate < TIMESTAMP '{_Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {_Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- TPC-H Q2 shape: per-group argmin join-back, ties kept ------------------
+
+_Q2_TYPE = "STANDARD"
+_Q2_MAX_SIZE = 15
+_Q2_REGION = "EUROPE"
+_Q2_TOPK = 100  # binds at sf0.1 (980 qualifying rows), not below
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest European supplier per in-scope part (the TPC-H Q2
+    correlated-MIN shape): for small STANDARD parts, the supplier(s)
+    whose cheapest discounted shipped line for that part matches the
+    part's minimum across all European suppliers — ties kept, top
+    _Q2_TOPK by account balance.
+
+    Scale shape: the correlated `= (SELECT min ...)` decorrelates
+    into two chained aggregates on the SAME key — per (part,
+    supplier) min cents, then per part min — so the second aggregate
+    and the equality join-back all reuse the first exchange's
+    hashpartitioning(l_partkey...) clustering. The fact is cut
+    EARLY by two broadcast semi-filters (in-scope parts, European
+    suppliers) before any aggregation; cost is integer cents
+    (floor(x·100), identical IEEE math both engines) so the
+    min-equality join-back never compares floats. TakeOrderedAndProject
+    top-K, no global sort. The oracle keeps the textbook correlated
+    scalar subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+
+    eur = region.where(F.col("r_name") == _Q2_REGION).select("r_regionkey")
+    euro_supp = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(eur),
+                    nation.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    scoped = part.where(
+        (F.col("p_type") == _Q2_TYPE) & (F.col("p_size") <= _Q2_MAX_SIZE)
+    ).select("p_partkey")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_ps = (
+        li.join(F.broadcast(scoped), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(euro_supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents).alias("min_cents"))
+    )
+    best = per_ps.groupBy("l_partkey").agg(
+        F.min("min_cents").alias("best_cents")
+    )
+    return (
+        per_ps.join(best, "l_partkey")
+        .where(F.col("min_cents") == F.col("best_cents"))
+        .join(
+            F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("best_cents").alias("cost_cents"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(_Q2_TOPK)
+    )
+
+
+_MIN_COST_SQL = f"""
+WITH euro AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_Q2_REGION}'
+),
+sc AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS min_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN euro ON l_suppkey = s_suppkey
+  WHERE p_type = '{_Q2_TYPE}' AND p_size <= {_Q2_MAX_SIZE}
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, sc.l_partkey AS p_partkey,
+       sc.min_cents AS cost_cents
+FROM sc JOIN euro ON sc.l_suppkey = euro.s_suppkey
+WHERE sc.min_cents = (SELECT min(s2.min_cents) FROM sc s2
+                      WHERE s2.l_partkey = sc.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT {_Q2_TOPK}
+"""
+
+
+# --- TPC-H Q16 shape: count-distinct + NOT-IN anti-join ---------------------
+
+_Q16_EXCL_BRAND = "Brand#3"
+_Q16_EXCL_TYPE = "PROMO"
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many DISTINCT suppliers can ship each (brand, type, size)
+    part family — excluding one brand, one type, and every supplier
+    on the complaints blocklist (negative account balance): the
+    TPC-H Q16 NOT-IN + count-distinct shape.
+
+    Scale shape: the NOT IN becomes a broadcast LEFT ANTI join
+    against the tiny blocklist (never a per-row subquery, and the
+    blocklist has no NULL keys so anti-join ≡ NOT IN); the
+    (part, supplier) pairs are distinct-collapsed on the fact BEFORE
+    the part-attribute join, so the dimension join carries one row
+    per pair, not one per lineitem; count_distinct then re-keys the
+    collapsed frame by the 3 grouping attributes. Two keyed shuffles
+    total — pairs-distinct and the group-by — both over
+    aggregate-collapsed frames."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+
+    blocklist = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    ok = pairs.join(
+        F.broadcast(blocklist),
+        pairs.l_suppkey == F.col("s_suppkey"),
+        "left_anti",
+    )
+    scoped = part.where(
+        (F.col("p_brand") != _Q16_EXCL_BRAND)
+        & (F.col("p_type") != _Q16_EXCL_TYPE)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ok.join(F.broadcast(scoped), ok.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_SUPPLIER_VARIETY_SQL = f"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{_Q16_EXCL_BRAND}'
+  AND p_type <> '{_Q16_EXCL_TYPE}'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- TPC-H Q20 shape: nested IN over two-grain aggregates -------------------
+
+_Q20_TYPE = "PROMO"
+_Q20_START = "1997-01-01"
+_Q20_END = "1998-01-01"
+# dominance: supplier shipped > 30% of the part's total quantity that
+# year — q·10 > total·3 as integer cross-multiplication
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who DOMINATED at least one PROMO part's supply in
+    one year (shipped >30% of that part's total quantity) — the
+    TPC-H Q20 nested-IN shape (supplier IN (... pairs HAVING sum >
+    fraction · (correlated per-part total))).
+
+    Scale shape: both IN levels decorrelate into aggregates at two
+    grains of the SAME keyed frame — per (part, supplier) quantity,
+    then per part total — so the rollup and the dominance join-back
+    reuse the first exchange's clustering (the Q21/Q2 chained-
+    aggregate pattern). The per-pair frame is persisted because both
+    consumers read it; without the persist each branch re-scans the
+    fact. Quantities are integerized (floor(q·10), exact for the
+    corpus's integral quantities) and the 30% test is the
+    cross-multiplied integer comparison q·10 > total·3 in
+    decimal(38,0) — no float division, no int64 overflow at 100 TB.
+    The type + year filters are pushed to the scans, cutting the
+    fact BEFORE any aggregation. The oracle keeps the textbook
+    correlated-scalar form."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+
+    promo = part.where(F.col("p_type") == _Q20_TYPE).select("p_partkey")
+    q10 = F.floor(F.col("l_quantity") * 10).cast("long")
+    per_ps = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(_Q20_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q20_END).cast("timestamp"))
+        )
+        .join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(q10).alias("q"))
+        .persist()
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    dom = (
+        per_ps.join(per_part, "l_partkey")
+        .where(
+            F.col("q").cast("decimal(38,0)") * 10
+            > F.col("tq").cast("decimal(38,0)") * 3
+        )
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominant_parts"),
+            F.sum("q").cast("string").alias("dom_q10"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_dominant_parts", "dom_q10")
+        .orderBy("s_name")
+    )
+
+
+_DOMINANT_SUPPLIER_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(floor(l_quantity * 10) AS BIGINT)) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{_Q20_TYPE}'
+    AND l_shipdate >= TIMESTAMP '{_Q20_START}'
+    AND l_shipdate < TIMESTAMP '{_Q20_END}'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name,
+       count(*) AS n_dominant_parts,
+       CAST(sum(q) AS VARCHAR) AS dom_q10
+FROM ps JOIN supplier ON l_suppkey = s_suppkey
+WHERE ps.q * 10 > 3 * (SELECT sum(t.q) FROM ps t
+                       WHERE t.l_partkey = ps.l_partkey)
+GROUP BY s_suppkey, s_name
+ORDER BY s_name
+"""
+
+
+# --- TPC-H Q19 shape: disjunctive OR-of-ANDs pushdown -----------------------
+
+_Q19_BRANCHES = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#4", 1, 15, 20, 30),
+)
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three disjoint (brand, size-range, quantity-range)
+    brackets — the TPC-H Q19 disjunctive-predicate shape, reported
+    per matched bracket.
+
+    Scale shape: the OR-of-ANDs is split per side and the IMPLIED
+    coarse predicates are applied where they prune: the brand/size
+    disjunction filters the part scan before its broadcast, and the
+    quantity envelope (the union of the three ranges) is pushed to
+    the lineitem scan — so the fact is pre-filtered even though no
+    single branch predicate spans it. The residual OR evaluates as a
+    when-cascade on the joined rows inside codegen. One broadcast
+    join, one 3-row aggregate; revenue in integer cents emitted as a
+    digit string."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    qty_lo = min(b[3] for b in _Q19_BRANCHES)
+    qty_hi = max(b[4] for b in _Q19_BRANCHES)
+    part_disj = None
+    for brand, slo, shi, _, _ in _Q19_BRANCHES:
+        c = (F.col("p_brand") == brand) & F.col("p_size").between(slo, shi)
+        part_disj = c if part_disj is None else (part_disj | c)
+    scoped = part.where(part_disj).select("p_partkey", "p_brand", "p_size")
+
+    branch = None
+    for i, (brand, slo, shi, qlo, qhi) in enumerate(_Q19_BRANCHES, start=1):
+        cond = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        branch = (
+            F.when(cond, i) if branch is None else branch.when(cond, i)
+        )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.where(F.col("l_quantity").between(qty_lo, qty_hi))
+        .join(F.broadcast(scoped), li.l_partkey == F.col("p_partkey"))
+        .select(branch.alias("bracket"), cents.alias("cents"))
+        .where(F.col("bracket").isNotNull())
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").cast("string").alias("revenue_cents"),
+        )
+        .orderBy("bracket")
+    )
+
+
+def _bracket_sql() -> str:
+    conds = [
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _Q19_BRANCHES
+    ]
+    case = " ".join(
+        f"WHEN {c} THEN {i}" for i, c in enumerate(conds, start=1)
+    )
+    return f"""
+SELECT CASE {case} END AS bracket,
+       count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS VARCHAR) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(conds)}
+GROUP BY 1 ORDER BY bracket
+"""
+
+
+_BRACKET_SQL = _bracket_sql()
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -1995,4 +2389,12 @@ QUERIES = {
         _RETURNED_CUST_SQL,
     ),
     "late_sole_supplier": (q_late_sole_supplier, _LATE_SOLE_SQL),
+    "late_order_priority": (q_late_order_priority, _LATE_PRIORITY_SQL),
+    "min_cost_supplier": (q_min_cost_supplier, _MIN_COST_SQL),
+    "part_supplier_variety": (q_part_supplier_variety, _SUPPLIER_VARIETY_SQL),
+    "dominant_part_suppliers": (
+        q_dominant_part_suppliers,
+        _DOMINANT_SUPPLIER_SQL,
+    ),
+    "bracket_revenue": (q_bracket_revenue, _BRACKET_SQL),
 }
