@@ -282,6 +282,10 @@ _DEFERRED: list[str] = [
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",
+    "extract_mojibake_repair",
+    "text_readability_fk",
+    "text_sample_alpha",
+    "events_sketch_accuracy",
 ]
 _BACK = [
     # session-8 deferred TPC-H shapes (see _DEFERRED note above) —
@@ -290,6 +294,10 @@ _BACK = [
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",
+    "extract_mojibake_repair",
+    "text_readability_fk",
+    "text_sample_alpha",
+    "events_sketch_accuracy",
     # displaced from the r4 fill by the session-8 Q2/Q20 shapes; both
     # are hash-green in CORRECTNESS_r03.json:
     "events_rate_anomaly",

@@ -2181,8 +2181,111 @@ ORDER BY a, b
 """
 
 
+# --- Flesch-Kincaid readability ----------------------------------------------
+
+# sentence synthesis: a period after every (doc_id % 4 + 6) tokens —
+# the corpus soup is unpunctuated, so the boundary is injected
+# identically on both engines; the SEGMENTER is the real path (regex
+# count of '. ' boundaries + trailing sentence).
+
+
+def q_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document (Kincaid et al. 1975:
+    0.39·words/sentence + 11.8·syllables/word − 15.59) — the classic
+    readability gate corpus-quality pipelines use alongside model
+    scores. Syllables are the standard regex heuristic: vowel-group
+    count per word, minimum 1.
+
+    Exactness: words/syllables/sentences are exact integers; the
+    grade is three IEEE double ops in a fixed order from the same
+    integers, so it is bit-identical cross-engine before the final
+    HALF_UP round.
+
+    Scale shape: per-row projection — tokenize, one fold over the
+    token array, two regex counts — fused in codegen; no shuffle
+    before the presentation sort. Map-only at 100 TB."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    k = (F.col("doc_id") % 4 + 6).cast("int")
+    punct = F.array_join(
+        F.transform(
+            toks,
+            lambda w, i: F.when((i + 1) % k == 0, F.concat(w, F.lit("."))).otherwise(w),
+        ),
+        " ",
+    )
+    n_words = F.size(toks)
+    # the real segmenter: count '. ' boundaries, plus the trailing
+    # sentence if the text doesn't end on a period
+    n_sent = F.greatest(
+        F.regexp_count(punct, F.lit(r"\. "))
+        + F.when(punct.rlike(r"\.$"), 0).otherwise(1),
+        F.lit(1),
+    )
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)),
+    )
+    # floor-scaled integer grade: the three IEEE ops are bit-identical
+    # cross-engine, and floor(x·10⁴) avoids the round()-on-double
+    # boundary divergence (Spark BigDecimal HALF_UP vs DuckDB's
+    # multiply-and-round differ for doubles near .00005 boundaries)
+    grade_e4 = F.floor(
+        (
+            F.lit(0.39) * n_words / n_sent
+            + F.lit(11.8) * n_syll / n_words
+            - F.lit(15.59)
+        )
+        * 10000
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        n_sent.cast("int").alias("n_sentences"),
+        n_syll.cast("int").alias("n_syllables"),
+        grade_e4.alias("fk_grade_e4"),
+    ).orderBy("doc_id")
+
+
+_FK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         CAST(doc_id % 4 + 6 AS INT) AS k
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         array_to_string(list_transform(toks, (w, i) ->
+           CASE WHEN i % k = 0 THEN w || '.' ELSE w END), ' ') AS punct,
+         list_sum(list_transform(toks, w ->
+           greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS n_syll
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(greatest(len(regexp_extract_all(punct, '\\. '))
+            + CASE WHEN regexp_matches(punct, '\\.$') THEN 0 ELSE 1 END,
+            1) AS INT) AS n_sentences,
+       CAST(n_syll AS INT) AS n_syllables,
+       -- literals cast to DOUBLE (DuckDB parses 0.39 as DECIMAL) and
+       -- floor-scaled so both engines run the identical IEEE ops
+       CAST(floor((CAST(0.39 AS DOUBLE) * n_words
+               / greatest(len(regexp_extract_all(punct, '\\. '))
+                 + CASE WHEN regexp_matches(punct, '\\.$') THEN 0 ELSE 1 END,
+                 1)
+             + CAST(11.8 AS DOUBLE) * n_syll / n_words
+             - CAST(15.59 AS DOUBLE)) * 10000) AS BIGINT) AS fk_grade_e4
+FROM p ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
+    "text_readability_fk": (q_readability_fk, _FK_SQL),
     "text_allpairs_cosine": (q_allpairs_cosine, _ALLPAIRS_SQL),
     "text_gopher_quality_flags": (q_gopher_quality_flags, _GOPHER_QUALITY_SQL),
     "text_bpe_learn_merges": (q_bpe_learn_merges, _bpe_learn_sql()),

@@ -1944,6 +1944,63 @@ ORDER BY numwait DESC, s_suppkey
 """
 
 
+# --- sketch-accuracy contract ------------------------------------------------
+
+_SKETCH_RSD = 0.02       # HLL++ target relative standard deviation
+_SKETCH_TOL = 0.05       # contract: |approx − exact| ≤ 5% · exact
+_P50_ACC = 10000         # percentile_approx accuracy parameter
+_P50_TOL = 0.05          # contract: |approx − exact| ≤ 5% · |exact| + 1e-9
+
+
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy CONTRACT for the sketches that replace exact
+    aggregation at 100 TB: per event type, HLL++ distinct-user
+    estimates (approx_count_distinct, the one-pass mergeable path)
+    and KLL-style approximate medians (percentile_approx) must land
+    within 5% of their exact counterparts. The query emits the EXACT
+    values plus contract booleans; the oracle computes the exact
+    values and literal TRUEs — so the driver's hash check FAILS if
+    either sketch ever drifts out of tolerance. Sketches are
+    deterministic functions of the data (no RNG), so the contract is
+    stable, not flaky.
+
+    Scale framing: at 10¹² rows you run ONLY the sketch side (one
+    pass, mergeable, no count_distinct expand shuffle, no global
+    sort); the exact side here is the audit harness — at production
+    scale the same audit runs over a sampled partition."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", _SKETCH_RSD).alias("_hll"),
+        F.expr("percentile(value, 0.5)").alias("_p50_exact"),
+        F.expr(f"percentile_approx(value, 0.5, {_P50_ACC})").alias("_p50_a"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per.select(
+        "event_type",
+        "n_users_exact",
+        "n_events",
+        (
+            F.abs(F.col("_hll") - F.col("n_users_exact"))
+            <= _SKETCH_TOL * F.col("n_users_exact")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("_p50_a") - F.col("_p50_exact"))
+            <= _P50_TOL * F.abs(F.col("_p50_exact")) + 1e-9
+        ).alias("p50_within_5pct"),
+    ).orderBy("event_type")
+
+
+_SKETCH_ACCURACY_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       count(*) AS n_events,
+       TRUE AS hll_within_5pct,
+       TRUE AS p50_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --- TPC-H Q4 shape: EXISTS folded into a per-key MAX ----------------------
 
 _Q4_START = "1996-01-01"
@@ -2397,4 +2454,5 @@ QUERIES = {
         _DOMINANT_SUPPLIER_SQL,
     ),
     "bracket_revenue": (q_bracket_revenue, _BRACKET_SQL),
+    "events_sketch_accuracy": (q_sketch_accuracy, _SKETCH_ACCURACY_SQL),
 }

@@ -2114,8 +2114,86 @@ ORDER BY doc_id
 """
 
 
+# --- temperature-scaled multilingual sampling allocation ---------------------
+
+SAMPLE_ALPHA_BUDGET = 1000  # docs to allocate across languages
+# α = 0.5 exactly — p^α is then sqrt(), which is IEEE-correctly-rounded
+# in BOTH engines (pow(x, 0.3) is not guaranteed bit-identical across
+# libm implementations; sqrt is). The α=0.5 temperature is in the
+# published range (XLM-R uses 0.3, mBERT 0.7).
+
+
+def q_sample_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling allocation (Conneau et
+    al. 2020 §3.1 / Devlin 2019): languages are sampled ∝ p^α instead
+    of ∝ p so low-resource languages are up-weighted; the budget is
+    apportioned by the largest-remainder (Hamilton) method so the
+    integer allocations sum EXACTLY to the budget.
+
+    Exactness: sqrt(n)·10⁶ is floored to BIGINT once per language;
+    every subsequent step (total, base = budget·sqi DIV total,
+    remainder, leftover, rank) is integer arithmetic — the whole
+    apportionment is bit-exact cross-engine with no float sums
+    anywhere.
+
+    Scale shape: one map-side-combinable count per language, then
+    windows over the ≤#langs-row language frame. At a 10¹²-doc corpus
+    the per-language frame is still dozens of rows — the allocation
+    is free; the count is the only fact pass."""
+    per = _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # bounded-window: frame is the per-LANGUAGE table (≤ dozens of rows)
+    w_all = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = (
+        per.withColumn(
+            "sqi", F.floor(F.sqrt(F.col("n_docs")) * 1e6).cast("long")
+        )
+        .withColumn("tot", F.sum("sqi").over(w_all))
+        .withColumn("num", F.lit(SAMPLE_ALPHA_BUDGET) * F.col("sqi"))
+        .withColumn("base", F.expr("num DIV tot"))
+        .withColumn("rem", F.expr("num % tot"))
+        .withColumn("sb", F.sum("base").over(w_all))
+    )
+    # bounded-window: rank over the same ≤#langs-row frame
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    return (
+        b.withColumn("rk", F.row_number().over(w_rank))
+        .select(
+            "lang",
+            "n_docs",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rk") <= F.lit(SAMPLE_ALPHA_BUDGET) - F.col("sb"), 1
+                ).otherwise(0)
+            ).alias("sample_alloc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SAMPLE_ALPHA_SQL = f"""
+WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+s AS (SELECT lang, n_docs,
+             CAST(floor(sqrt(n_docs) * 1e6) AS BIGINT) AS sqi FROM per),
+t AS (SELECT *, sum(sqi) OVER () AS tot FROM s),
+b AS (SELECT *, ({SAMPLE_ALPHA_BUDGET} * sqi) // tot AS base,
+               ({SAMPLE_ALPHA_BUDGET} * sqi) % tot AS rem FROM t),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+               sum(base) OVER () AS sb FROM b)
+SELECT lang, n_docs,
+       base + CASE WHEN rk <= {SAMPLE_ALPHA_BUDGET} - sb THEN 1 ELSE 0 END
+         AS sample_alloc
+FROM r ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
+    "text_sample_alpha": (q_sample_alpha, _SAMPLE_ALPHA_SQL),
     "text_source_kl_drift": (q_source_kl_drift, _KL_DRIFT_SQL),
     "text_source_vocab_overlap": (q_source_vocab_overlap, _VOCAB_OVERLAP_SQL),
     "graph_kcore": (q_kcore, _kcore_sql()),

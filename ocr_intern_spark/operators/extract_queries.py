@@ -635,6 +635,93 @@ FROM w ORDER BY doc_id
 """
 
 
+# --- mojibake (encoding-damage) repair ---------------------------------------
+
+# Common UTF-8-bytes-read-as-Latin-1/cp1252 sequences and their true
+# characters (the ftfy class of fix, Speer 2019; every web-crawl
+# pipeline ships a variant). Fixed repair ORDER — multi-char sequences
+# first — so no output of one rule can re-match a later rule.
+MOJIBAKE_TABLE = (
+    ("â€™", "’"),  # â€™ → ’
+    ("â€œ", "“"),  # â€œ → “
+    ("Ã©", "é"),        # Ã© → é
+    ("Ã¨", "è"),        # Ã¨ → è
+    ("Ã¼", "ü"),        # Ã¼ → ü
+    ("Ã±", "ñ"),        # Ã± → ñ
+)
+
+
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection + repair: count the classic UTF-8-
+    read-as-Latin-1 sequences and replace each with its true
+    character; the md5 of the REPAIRED text pins the repair itself
+    cross-engine, and `clean` documents (no damage injected) are the
+    false-positive guard.
+
+    Damage synthesis (both engines identically): doc_id%4 picks a
+    payload — accented-word class (cafÃ© rÃ©sumÃ©), punctuation class
+    (â€™ â€œ), umlaut/eñe class (Ã¼ber maÃ±ana... via table pairs) or
+    NOTHING. The detector/repairer reads only the text column.
+
+    Scale shape: a pure per-row projection — 6 chained replaces + 6
+    counts inside whole-stage codegen; no shuffle before the
+    presentation sort. Map-only at any corpus size."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    did = F.col("doc_id")
+    mod4 = did % 4
+    probe = F.concat(
+        F.trim(F.col("text")),
+        F.when(mod4 == 0, F.lit(" cafÃ© rÃ©sumÃ©s trÃ¨s"))
+        .when(mod4 == 1, F.lit(" itâ€™s â€œquoted"))
+        .when(mod4 == 2, F.lit(" Ã¼ber maÃ±ana"))
+        .otherwise(F.lit("")),
+    )
+    # occurrence counts via length difference — no regex, and the
+    # count runs over the ORIGINAL probe exactly as the oracle does
+    # (the table's patterns are mutually non-creating, so order is
+    # irrelevant for counting)
+    n_bad = None
+    repaired = probe
+    for bad, good in MOJIBAKE_TABLE:
+        cnt = (
+            (F.length(probe) - F.length(F.replace(probe, F.lit(bad), F.lit(""))))
+            / len(bad)
+        ).cast("int")
+        n_bad = cnt if n_bad is None else n_bad + cnt
+        repaired = F.replace(repaired, F.lit(bad), F.lit(good))
+    return d.select(
+        "doc_id",
+        n_bad.cast("int").alias("n_mojibake"),
+        (n_bad == 0).alias("clean"),
+        F.md5(repaired).alias("repaired_md5"),
+    ).orderBy("doc_id")
+
+
+def _mojibake_sql() -> str:
+    probe = """trim(text) || CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN ' cafÃ© rÃ©sumÃ©s trÃ¨s'
+      WHEN 1 THEN ' itâ€™s â€œquoted'
+      WHEN 2 THEN ' Ã¼ber maÃ±ana'
+      ELSE '' END"""
+    counts = " + ".join(
+        f"(len(p) - len(replace(p, '{bad}', ''))) // {len(bad)}"
+        for bad, _ in MOJIBAKE_TABLE
+    )
+    rep = "p"
+    for bad, good in MOJIBAKE_TABLE:
+        rep = f"replace({rep}, '{bad}', '{good}')"
+    return f"""
+WITH d AS (SELECT doc_id, {probe} AS p FROM documents)
+SELECT doc_id,
+       CAST({counts} AS INT) AS n_mojibake,
+       ({counts}) = 0 AS clean,
+       md5({rep}) AS repaired_md5
+FROM d ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "extract_doc_type": (q_doc_type, _DOC_TYPE_SQL),
     "extract_template_detect": (q_template_detect, _template_detect_sql()),
@@ -644,4 +731,5 @@ QUERIES = {
     "extract_boilerplate_strip": (q_boilerplate_strip, _BOILERPLATE_SQL),
     "extract_html_block_classify": (q_html_block_classify, _HTML_BLOCKS_SQL),
     "extract_dehyphenate": (q_dehyphenate, _DEHYPH_SQL),
+    "extract_mojibake_repair": (q_mojibake_repair, _mojibake_sql()),
 }
