@@ -286,6 +286,7 @@ _DEFERRED: list[str] = [
     "text_readability_fk",
     "text_sample_alpha",
     "events_sketch_accuracy",
+    "stream_windowed_append",
 ]
 _BACK = [
     # session-8 deferred TPC-H shapes (see _DEFERRED note above) —
@@ -298,6 +299,7 @@ _BACK = [
     "text_readability_fk",
     "text_sample_alpha",
     "events_sketch_accuracy",
+    "stream_windowed_append",
     # displaced from the r4 fill by the session-8 Q2/Q20 shapes; both
     # are hash-green in CORRECTNESS_r03.json:
     "events_rate_anomaly",

@@ -259,8 +259,169 @@ FROM documents
 """
 
 
+# --- append-mode watermarked window aggregation -------------------------------
+
+_WM_DELAY = "1 hour"
+_WM_WINDOW = "1 day"
+
+
+def q_stream_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming shape, driver-hashed: a watermarked
+    tumbling-window aggregation in APPEND mode — state is bounded (the
+    watermark evicts finalized windows) and only finalized windows are
+    ever emitted, so the final output is exactly the windows whose end
+    ≤ max(event time) − delay. The corpus's last day is always beyond
+    the horizon, so the append-mode cut is visibly exercised at every
+    sf (29 of 30 days emitted).
+
+    Determinism contract: complete-mode queries are order-independent;
+    append mode is NOT (a row arriving after its window finalizes is
+    dropped, and Spark's drop boundary is a lower-bound guarantee, not
+    an exact cutoff — see tests/test_streaming.py). So the staging
+    makes lateness IMPOSSIBLE instead of relying on drop timing: files
+    are TIME-SLICED (file k holds the k-th contiguous slice of the
+    (ts, event_id) order) with strictly increasing mtimes, so every
+    row in batch k+1 is ≥ the watermark's anchor in batch k and no row
+    is ever late. The emitted set is then a pure function of the data:
+    window_end ≤ max(ts) − delay, which is what the DuckDB oracle
+    computes. The final flush rides the no-data micro-batch
+    (spark.sql.streaming.noDataMicroBatches, default on).
+
+    Scale notes (100 TB): this is the extract_stream.py
+    windowed_event_stats contract made hash-checkable. State held is
+    one row per (open window, type) — bounded by the horizon, not the
+    stream; at 10¹² events the same plan runs with the same state
+    bound. The time-sliced staging mirrors reality: event streams
+    arrive roughly time-ordered, which is exactly why the watermark
+    trade works."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="sq_wma_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        rows = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("ts", "event_type", "value", "event_id")
+            .orderBy("ts", "event_id")
+            .collect()
+        )  # harness-side staging at test scale, not the operator path
+        n = len(rows)
+        per = max(1, (n + _N_FILES - 1) // _N_FILES)
+        for k in range(_N_FILES):
+            chunk = rows[k * per : (k + 1) * per]
+            if not chunk:
+                break
+            path = os.path.join(in_dir, f"part-{k:05d}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "ts": [r.ts for r in chunk],
+                        "event_type": [r.event_type for r in chunk],
+                        "value": [r.value for r in chunk],
+                        "event_id": [r.event_id for r in chunk],
+                    }
+                ),
+                path,
+            )
+            # FileStreamSource orders by mtime: pin batch order == slice
+            # order so the no-late-data invariant above actually holds
+            os.utime(path, (1700000000 + k * 60, 1700000000 + k * 60))
+
+        # Spark 4 watermarks require TIMESTAMP (not NTZ): read the
+        # zoneless parquet as LTZ under a UTC session-zone pin so the
+        # wall values and the day buckets match the oracle's
+        # date_trunc exactly. The pin is RESTORED in finally, and the
+        # result is materialized eagerly inside the pinned window so
+        # the returned frame is zone-independent at collect time.
+        tz_key = "spark.sql.session.timeZone"
+        old_tz = spark.conf.get(tz_key, None)
+        spark.conf.set(tz_key, "UTC")
+        try:
+            stream = (
+                spark.readStream.schema(
+                    "ts timestamp, event_type string, value double, "
+                    "event_id bigint"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            agg = (
+                stream.withWatermark("ts", _WM_DELAY)
+                .groupBy(F.window("ts", _WM_WINDOW).alias("w"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.floor(F.col("value") * 100).cast("long"))
+                    .cast("string")
+                    .alias("value_cents"),
+                )
+            )
+            name = f"sq_{uuid.uuid4().hex}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            n_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if n_batches < 2:
+                raise RuntimeError(
+                    f"append-mode run collapsed to {n_batches} micro-batch(es)"
+                )
+            final = [
+                (r.day_start, r.event_type, r.n_events, r.value_cents)
+                for r in spark.table(name)
+                .select(
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                        "day_start"
+                    ),
+                    "event_type",
+                    "n_events",
+                    "value_cents",
+                )
+                .collect()
+            ]
+        finally:
+            if old_tz is None:
+                spark.conf.unset(tz_key)
+            else:
+                spark.conf.set(tz_key, old_tz)
+        return spark.createDataFrame(
+            final,
+            "day_start string, event_type string, n_events bigint, "
+            "value_cents string",
+        ).orderBy("day_start", "event_type")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STREAM_WINDOWED_APPEND_SQL = """
+WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+e AS (SELECT date_trunc('day', ts) AS day_start, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events)
+SELECT strftime(day_start, '%Y-%m-%d %H:%M:%S') AS day_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(cents) AS VARCHAR) AS value_cents
+FROM e, m
+WHERE day_start + INTERVAL 1 DAY <= wm
+GROUP BY 1, 2
+ORDER BY day_start, event_type
+"""
+
+
 QUERIES = {
     "stream_events_summary": (q_stream_events_summary, _STREAM_EVENTS_SUMMARY_SQL),
+    "stream_windowed_append": (
+        q_stream_windowed_append,
+        _STREAM_WINDOWED_APPEND_SQL,
+    ),
     "stream_dedup_fingerprint": (q_stream_dedup_fingerprint, _STREAM_DEDUP_FP_SQL),
     "stream_resume_checkpoint": (q_stream_resume_checkpoint, _STREAM_RESUME_SQL),
 }

@@ -85,3 +85,39 @@ def test_degenerate_single_batch_raises(spark, tmp_path):
     agg = stream.groupBy("lang").count()
     with pytest.raises(RuntimeError, match="micro-batch"):
         sq._run_to_memory_complete(agg, str(tmp_path / "ckpt"))
+
+
+def test_windowed_append_matches_batch_horizon(spark):
+    """Append-mode watermarked window agg: the final emitted set must
+    be exactly the windows whose end <= max(ts) - delay — computed
+    here independently from the raw rows — and the corpus's last day
+    must be CUT (the append-mode horizon is non-vacuous)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+    from math import floor
+
+    from ocr_intern_spark.streaming.stream_queries import (
+        q_stream_windowed_append,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    mx = max(r.ts for r in ev)
+    wm = mx - timedelta(hours=1)
+    ref_n: dict = defaultdict(int)
+    ref_c: dict = defaultdict(int)
+    dropped_days = set()
+    for r in ev:
+        day = datetime(r.ts.year, r.ts.month, r.ts.day)
+        if day + timedelta(days=1) <= wm:
+            k = (day.strftime("%Y-%m-%d %H:%M:%S"), r.event_type)
+            ref_n[k] += 1
+            ref_c[k] += int(floor(r.value * 100))
+        else:
+            dropped_days.add(day)
+    assert dropped_days, "horizon cut must be exercised"
+
+    got = {
+        (r.day_start, r.event_type): (r.n_events, r.value_cents)
+        for r in q_stream_windowed_append(spark, SF).collect()
+    }
+    assert got == {k: (ref_n[k], str(ref_c[k])) for k in ref_n}
