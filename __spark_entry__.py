@@ -146,6 +146,48 @@ def _q_export_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fmt", "n_bytes").orderBy("doc_id", "fmt")
 
 
+_DS_N_DOCS = 400
+_DS_PARTS = 8
+_DS_SEED = 42
+
+
+def _q_source_interleaved_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource (sources/datasource.py) driven at
+    the package boundary: executor-side range-partitioned generation
+    of the interleaved corpus, exploded to one row per span. The
+    golden oracle is built by tools/make_goldens.py from make_corpus —
+    the DRIVER-side materialization path — so the hash pins the
+    DataSource's partition/range machinery (range coverage, per-range
+    oversized-id shipping, executor-side generation) against the
+    independent driver-side path. Result is sf-independent by design
+    (fixed n_docs/seed): the source under test generates its own data."""
+    from ocr_intern_spark.sources.datasource import (
+        FORMAT_NAME,
+        InterleavedCorpusDataSource,
+    )
+
+    spark.dataSource.register(InterleavedCorpusDataSource)
+    docs = (
+        spark.read.format(FORMAT_NAME)
+        .option("n_docs", _DS_N_DOCS)
+        .option("parts", _DS_PARTS)
+        .option("seed", _DS_SEED)
+        .load()
+    )
+    return (
+        docs.select("doc_id", F.posexplode("spans").alias("ord", "s"))
+        .select(
+            "doc_id",
+            "ord",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        .orderBy("doc_id", "ord")
+    )
+
+
 def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 overall doc confidence — rows-only check; exact semantics
     pinned by tests/test_doc_confidence.py vs the oracle."""
@@ -287,6 +329,7 @@ _DEFERRED: list[str] = [
     "text_sample_alpha",
     "events_sketch_accuracy",
     "stream_windowed_append",
+    "source_interleaved_scan",
 ]
 _BACK = [
     # session-8 deferred TPC-H shapes (see _DEFERRED note above) —
@@ -300,6 +343,7 @@ _BACK = [
     "text_sample_alpha",
     "events_sketch_accuracy",
     "stream_windowed_append",
+    "source_interleaved_scan",
     # displaced from the r4 fill by the session-8 Q2/Q20 shapes; both
     # are hash-green in CORRECTNESS_r03.json:
     "events_rate_anomaly",
@@ -380,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["extract_template_fields_auto"] = _q_template_fields_auto
     all_q["export_fanout"] = _q_export_fanout
     all_q["extract_doc_confidence"] = _q_doc_confidence
+    all_q["source_interleaved_scan"] = _q_source_interleaved_scan
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _FRONT:
@@ -427,6 +472,11 @@ _GOLDEN_COLS = {
     "dedup_minhash_fast_lsh_buckets": (
         "band, bucket, n_docs, first_doc, last_doc"
     ),
+    # custom-DataSource pin: sf-independent (fixed n_docs/seed — the
+    # source generates its own data), so no key filter
+    "source_interleaved_scan": (
+        'doc_id, ord, kind, text, media_ref, "offset"'
+    ),
 }
 
 _GOLDEN_KEY_ALT = (
@@ -436,7 +486,14 @@ _GOLDEN_KEY_ALT = (
 _ALT_KEY_NAMES = {"dedup_minhash_fast", "dedup_minhash_fast_lsh_buckets"}
 
 
+_KEYLESS_NAMES = {"source_interleaved_scan"}
+
+
 def _golden_sql(name: str) -> str:
+    if name in _KEYLESS_NAMES:
+        return (
+            f"SELECT {_GOLDEN_COLS[name]} FROM '{_GOLDEN_DIR}/{name}.parquet'"
+        )
     key = _GOLDEN_KEY_ALT if name in _ALT_KEY_NAMES else _GOLDEN_KEY
     return (
         f"SELECT {_GOLDEN_COLS[name]} "

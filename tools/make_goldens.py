@@ -282,6 +282,31 @@ def golden_minhash_fast_frames(sf_dir: str, key: tuple):
     return sig_df, b_df
 
 
+def golden_source_interleaved_scan() -> pd.DataFrame:
+    """Expected span table for __spark_entry__._q_source_interleaved_scan
+    (n_docs=400, parts=8, seed=42) from the driver-side make_corpus
+    path — Spark-free, DataSource-free."""
+    from ocr_intern_spark.sources.corpus import make_corpus
+
+    rows = []
+    for d in make_corpus(400, seed=42):
+        for ord_, s in enumerate(d["spans"]):
+            rows.append(
+                (
+                    d["doc_id"],
+                    ord_,
+                    s["kind"],
+                    s["text"],
+                    s["media_ref"],
+                    s["offset"],
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "ord", "kind", "text", "media_ref", "offset"],
+    )
+
+
 def main() -> None:
     import os
 
@@ -331,6 +356,15 @@ def main() -> None:
         path = f"{GOLDEN_DIR}/{name}.parquet"
         out.to_parquet(path, index=False)
         print(f"wrote {path} ({len(out)} rows)")
+
+    # custom-DataSource pin: sf-independent (the source generates its
+    # own data at fixed n_docs/seed), built from make_corpus — the
+    # DRIVER-side materialization path — so the driver hash pins the
+    # DataSource's executor-side range machinery against it
+    ds = golden_source_interleaved_scan()
+    path = f"{GOLDEN_DIR}/source_interleaved_scan.parquet"
+    ds.to_parquet(path, index=False)
+    print(f"wrote {path} ({len(ds)} rows)")
 
 
 if __name__ == "__main__":
