@@ -331,19 +331,9 @@ _DEFERRED: list[str] = [
     "stream_windowed_append",
     "source_interleaved_scan",
 ]
-_BACK = [
-    # session-8 deferred TPC-H shapes (see _DEFERRED note above) —
-    # pinned here so their position is deterministic, directly after
-    # the window:
-    "late_order_priority",
-    "part_supplier_variety",
-    "bracket_revenue",
-    "extract_mojibake_repair",
-    "text_readability_fk",
-    "text_sample_alpha",
-    "events_sketch_accuracy",
-    "stream_windowed_append",
-    "source_interleaved_scan",
+# _DEFERRED names lead _BACK so their position is deterministic
+# (directly after the window) and the two lists can never drift apart.
+_BACK = _DEFERRED + [
     # displaced from the r4 fill by the session-8 Q2/Q20 shapes; both
     # are hash-green in CORRECTNESS_r03.json:
     "events_rate_anomaly",

@@ -2009,7 +2009,9 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 # --- interleaved media-text curation filter ----------------------------------
 
 ILF_MAX_MEDIA = 3       # cap on images kept per document
-ILF_MIN_GAP = 2         # min text tokens between consecutive kept images
+ILF_MIN_GAP = 2         # min token positions from the PREVIOUS media span
+                        # (kept or dropped; position 0 for the first), so a
+                        # stack of adjacent images keeps at most its head
 ILF_MIN_TOK_PER_IMG = 4  # doc must carry >= this many tokens per kept image
 
 

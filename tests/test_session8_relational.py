@@ -129,7 +129,8 @@ def test_min_cost_supplier_matches_correlated_min(spark):
             ref.append(
                 (s.s_acctbal, s.s_name, nat[s.s_nationkey].n_name, pk, c)
             )
-    ref.sort(key=lambda t: (-t[0], t[1], t[2], t[3]))
+    # same total order as the query: acctbal DESC, n_name, s_name, pk
+    ref.sort(key=lambda t: (-t[0], t[2], t[1], t[3]))
     ref = ref[:_Q2_TOPK]
 
     got = [
