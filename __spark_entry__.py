@@ -330,6 +330,8 @@ _DEFERRED: list[str] = [
     "events_sketch_accuracy",
     "stream_windowed_append",
     "source_interleaved_scan",
+    "ship_priority_mix",
+    "events_daily_type_pivot",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -2395,6 +2395,127 @@ GROUP BY 1 ORDER BY bracket
 _BRACKET_SQL = _bracket_sql()
 
 
+# --- TPC-H Q12 shape: two-way CASE mix over a late-shipment join ----------
+
+_Q12_YEAR_START = "1997-01-01"
+_Q12_YEAR_END = "1998-01-01"
+_Q12_LATE_DAYS = 365
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_ship_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late shipments in one calendar year, split per (returnflag,
+    linestatus) into high- vs low-priority order-line counts — the
+    TPC-H Q12 conditional two-way aggregation shape (this corpus has
+    no l_shipmode/l_commitdate, so the mode axis is the returnflag/
+    linestatus pair and "late" = shipped more than _Q12_LATE_DAYS
+    after the order date; reference Q12: priority mix per shipmode
+    among late receipts).
+
+    Scale shape: the year envelope is pushed to the lineitem scan
+    (PushedFilters on l_shipdate) and the fact side projects to
+    THREE columns before the join; the orders side carries exactly
+    (o_orderkey, o_orderdate, is_high) — the priority predicate is
+    folded to one boolean BEFORE the fact-fact shuffle so the wide
+    exchange moves a bit, not a string. The CASE mix is two
+    map-side-combinable conditional SUMs onto a 6-row group frame:
+    one keyed exchange per side, one tiny final aggregate, no
+    window, no second fact pass for the two counts."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(_Q12_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q12_YEAR_END).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag", "l_linestatus")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_orderpriority").isin(*_Q12_HIGH).alias("is_high"),
+    )
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q12_LATE_DAYS} DAYS")
+    )
+    return (
+        late.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("is_high").cast("bigint")).alias("high_count"),
+            F.sum((~F.col("is_high")).cast("bigint")).alias("low_count"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SHIP_PRIORITY_MIX_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{_Q12_YEAR_START}'
+  AND l_shipdate < TIMESTAMP '{_Q12_YEAR_END}'
+  AND l_shipdate > o_orderdate + INTERVAL {_Q12_LATE_DAYS} DAY
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- relational PIVOT: daily event-type matrix ------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts transposed to one column per event type —
+    the relational PIVOT capability, with an EXPLICIT pivot-value
+    list so no driver-side distinct-discovery job ever runs (pivot
+    without values collects the key set to the driver first — the
+    anti-pattern this query exists to show the safe form of).
+
+    Scale shape: Spark compiles the explicit-values pivot to the
+    long-form (day, type) count — map-side-combinable, the only
+    aggregate the fact ever feeds — followed by a pivotfirst
+    re-aggregation whose input is the ALREADY-REDUCED frame (rows =
+    days × |types|, bytes-scale regardless of corpus size). So the
+    wide dashboard shape costs the long-form groupBy plus a
+    negligible second exchange over the tiny frame. n_total is a
+    column sum over the pivoted cells, not a second fact pass."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    counts = [
+        F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+        for t in _PIVOT_TYPES
+    ]
+    out = piv.select("day", *counts)
+    total = None
+    for t in _PIVOT_TYPES:
+        c = F.col(f"n_{t}")
+        total = c if total is None else total + c
+    return out.withColumn("n_total", total).orderBy("day")
+
+
+_DAILY_PIVOT_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       {", ".join(
+           f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+           for t in _PIVOT_TYPES
+       )},
+       {" + ".join(
+           f"count(*) FILTER (WHERE event_type = '{t}')"
+           for t in _PIVOT_TYPES
+       )} AS n_total
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -2455,4 +2576,9 @@ QUERIES = {
     ),
     "bracket_revenue": (q_bracket_revenue, _BRACKET_SQL),
     "events_sketch_accuracy": (q_sketch_accuracy, _SKETCH_ACCURACY_SQL),
+    "ship_priority_mix": (q_ship_priority_mix, _SHIP_PRIORITY_MIX_SQL),
+    "events_daily_type_pivot": (
+        q_events_daily_type_pivot,
+        _DAILY_PIVOT_SQL,
+    ),
 }
