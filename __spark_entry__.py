@@ -332,6 +332,8 @@ _DEFERRED: list[str] = [
     "source_interleaved_scan",
     "ship_priority_mix",
     "events_daily_type_pivot",
+    "events_daily_gap_fill",
+    "product_profit_by_nation",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

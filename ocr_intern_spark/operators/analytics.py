@@ -2516,6 +2516,128 @@ FROM events GROUP BY 1 ORDER BY day
 """
 
 
+# --- TPC-H Q9 shape: product-line profit by nation and year -----------------
+# Reference parity: the reference has no relational engine; this is the
+# beyond-§2 analytics surface (SURVEY.md §2 A-class) exercising the one
+# join shape no other registered query has — a composite-key
+# (part, supplier) per-group floor joined back to the fact, decorrelated
+# into a partitionBy analytic so the fact is clustered ONCE on the
+# composite key and never self-joined.
+
+_Q9_PART_LIKE = "widget"  # ~13% of parts at every sf; non-vacuous
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per (supplier nation, order year) for one product line
+    (the TPC-H Q9 shape): per line, revenue minus the supplier's best
+    unit cost for that part, where unit cost is derived from the fact
+    itself (min unit price this supplier ever shipped the part at —
+    the corpus has no partsupp table, so the cost floor is the
+    supplier's own observed best price).
+
+    Scale shape: the correlated "supplier's min unit cost for this
+    part" decorrelates into ONE analytic min over a
+    partitionBy(l_partkey, l_suppkey) window — the fact is clustered
+    once on the composite key and never self-joined (frames are
+    bounded: lines for one part from one supplier). Profit is then
+    partially aggregated to (orderkey, nation) grain BEFORE the
+    orders join — the Q13 lesson — so the wide o_orderkey shuffle
+    carries order×nation rows, not line rows. All money is integer
+    cents (floor(x·100), unit cost via pure integer `div`, identical
+    both engines); the final sum rides decimal(38,0) → digit string
+    so a 10^12-row corpus cannot overflow or hit the HUGEINT-vs-
+    decimal rendering trap (the dsir lesson)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+
+    scoped = part.where(
+        F.col("p_name").contains(_Q9_PART_LIKE)
+    ).select("p_partkey")
+    supp_nation = F.broadcast(
+        supp.join(
+            F.broadcast(nation),
+            supp.s_nationkey == nation.n_nationkey,
+        ).select("s_suppkey", "n_name")
+    )
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    ext_cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    # bounded-window: frame = lines for ONE (part, supplier) pair
+    w_ps = Window.partitionBy("l_partkey", "l_suppkey")
+    fact = (
+        li.join(F.broadcast(scoped), li.l_partkey == F.col("p_partkey"))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            rev_cents.alias("rev_cents"),
+            ext_cents.alias("ext_cents"),
+            qty.alias("qty"),
+        )
+        .withColumn("unit_cents", F.expr("ext_cents div qty"))
+        .withColumn("ps_cents", F.min("unit_cents").over(w_ps))
+        .withColumn(
+            "profit_cents", F.col("rev_cents") - F.col("ps_cents") * F.col("qty")
+        )
+    )
+    per_order = (
+        fact.join(supp_nation, fact.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_orderkey", "n_name")
+        .agg(F.sum("profit_cents").alias("order_profit"))
+    )
+    return (
+        per_order.join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            per_order.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(F.col("order_profit").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("profit_cents")
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+_PRODUCT_PROFIT_SQL = f"""
+WITH fact AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev_cents,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS ext_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%{_Q9_PART_LIKE}%'
+),
+w AS (
+  SELECT l_orderkey, l_suppkey, rev_cents, qty,
+         min(ext_cents // qty)
+           OVER (PARTITION BY l_partkey, l_suppkey) AS ps_cents,
+         ext_cents // qty AS unit_cents
+  FROM fact
+),
+per_order AS (
+  SELECT l_orderkey, n_name,
+         sum(rev_cents - ps_cents * qty) AS order_profit
+  FROM w
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(order_profit) AS VARCHAR) AS profit_cents
+FROM per_order JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+ORDER BY nation, o_year
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -2581,4 +2703,5 @@ QUERIES = {
         q_events_daily_type_pivot,
         _DAILY_PIVOT_SQL,
     ),
+    "product_profit_by_nation": (q_product_profit, _PRODUCT_PROFIT_SQL),
 }

@@ -182,7 +182,108 @@ ORDER BY e.event_id
 """
 
 
+# --- calendar-spine gap fill + forward fill ---------------------------------
+
+_SPINE_START = "2024-01-01"
+_SPINE_END = "2024-01-30"  # inclusive; the corpus month at every sf
+
+
+def q_events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily activity series: every (user, calendar
+    day) cell over the corpus month, zero-filled where the user was
+    inactive, with a running value total and a forward-filled
+    days-since-last-active staleness counter — the gap-fill /
+    densification primitive every per-entity daily feature table
+    needs before a model can consume it (missing rows are silent
+    zeros to SQL aggregates but BUGS to a training pipeline).
+
+    Scale shape: the raw fact is touched ONCE, by a map-side-
+    combinable (user, day) aggregate; everything after — the
+    calendar-spine explode (30 rows per user from one sequence()
+    literal, no value-discovery scan), the left join back, and the
+    two per-user windows (≤31-row frames) — operates on the REDUCED
+    users×days frame, bytes-scale regardless of corpus size. Value
+    totals are floor-cents BIGINTs (the cross-engine-exact money
+    pattern), never float sums."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+            "day_cents"
+        ),
+    )
+    spine = (
+        daily.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_SPINE_START).cast("date"),
+                    F.lit(_SPINE_END).cast("date"),
+                )
+            ).alias("day"),
+        )
+    )
+    dense = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("day_cents", F.lit(0)).cast("bigint").alias("day_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    active_day = F.when(F.col("n_events") > 0, F.col("day"))
+    return dense.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.sum("day_cents").over(w).alias("cum_cents"),
+        F.datediff(F.col("day"), F.max(active_day).over(w)).alias(
+            "days_since_active"
+        ),
+    ).orderBy("user_id", "day")
+
+
+_GAP_FILL_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n_events,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS day_cents
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT u.user_id, CAST(s.d AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM daily) u
+  CROSS JOIN (SELECT unnest(generate_series(DATE '{_SPINE_START}',
+                                            DATE '{_SPINE_END}',
+                                            INTERVAL 1 DAY)) AS d) s
+),
+dense AS (
+  SELECT s.user_id, s.day,
+         COALESCE(d.n_events, 0) AS n_events,
+         COALESCE(d.day_cents, 0) AS day_cents
+  FROM spine s LEFT JOIN daily d
+    ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, day, n_events,
+       sum(day_cents) OVER w AS cum_cents,
+       day - max(CASE WHEN n_events > 0 THEN day END) OVER w
+         AS days_since_active
+FROM dense
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, day
+"""
+
+
 QUERIES = {
     "events_asof_plan": (q_events_asof_plan, _ASOF_SQL),
     "error_session_attribution": (q_error_session_attribution, _ERROR_ATTR_SQL),
+    "events_daily_gap_fill": (q_events_daily_gap_fill, _GAP_FILL_SQL),
 }
