@@ -334,6 +334,7 @@ _DEFERRED: list[str] = [
     "events_daily_type_pivot",
     "events_daily_gap_fill",
     "product_profit_by_nation",
+    "events_daily_type_unpivot",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -2516,6 +2516,55 @@ FROM events GROUP BY 1 ORDER BY day
 """
 
 
+def q_events_daily_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): transpose the wide daily event-type matrix back
+    to long (day, event_type, n) form and drop the zero cells — the
+    wide-to-long reshape every feature-store export needs, and the
+    inverse of q_events_daily_type_pivot. The oracle is the PLAIN
+    long-form `GROUP BY day, event_type` count, so driver hash
+    equality proves `unpivot ∘ pivot == identity` on the sparse long
+    frame — the reshape pair is exact, not just shape-compatible.
+
+    Scale shape: the fact feeds only the long-form map-side-combinable
+    (day, type) count (same single reduction as the pivot query); the
+    pivot and the Expand-based unpivot both run on the already-reduced
+    days×|types| frame, bytes-scale at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # name wide cells exactly by type so unpivot's variable column is
+    # the event_type string itself — no post-hoc prefix stripping
+    wide = wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+            for t in _PIVOT_TYPES
+        ],
+    )
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=list(_PIVOT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .where(F.col("n") > 0)
+        .orderBy("day", "event_type")
+    )
+
+
+_DAILY_UNPIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 # --- TPC-H Q9 shape: product-line profit by nation and year -----------------
 # Reference parity: the reference has no relational engine; this is the
 # beyond-§2 analytics surface (SURVEY.md §2 A-class) exercising the one
@@ -2704,4 +2753,8 @@ QUERIES = {
         _DAILY_PIVOT_SQL,
     ),
     "product_profit_by_nation": (q_product_profit, _PRODUCT_PROFIT_SQL),
+    "events_daily_type_unpivot": (
+        q_events_daily_type_unpivot,
+        _DAILY_UNPIVOT_SQL,
+    ),
 }
