@@ -1292,6 +1292,146 @@ ORDER BY d.vec_id
 """
 
 
+# --- margin-based pair mining (Artetxe & Schwenk 2019) ----------------------
+
+MARGIN_K = 4  # neighborhood size for the margin denominator
+MARGIN_T_MICROS = 1_100_000  # keep pairs with ratio margin >= 1.10
+
+
+def q_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019, the LASER
+    bitext-mining scorer): split the corpus into two sides (even /
+    odd vec_id — standing in for two languages), score every cross
+    pair by the RATIO margin — cosine divided by the average of the
+    two vectors' k-NN cosine neighborhoods — and keep only pairs that
+    are each other's best margin match (forward-backward "max"
+    strategy) above a threshold. The margin normalization suppresses
+    hub vectors that are near everything, which raw-cosine mining
+    mistakes for matches.
+
+    Cross-engine exactness: cosines quantize to integer micro-units
+    (floor(cos·10⁶ + 0.5) — identical IEEE ops both engines) the
+    moment they are born; neighborhood sums are BIGINT (order-free),
+    and the margin itself is the pure integer division
+    (c·(n_x+n_y)·10⁶) div (s_x+s_y) over POSITIVE operands (c > 0
+    enforced), where Spark `div` and DuckDB `//` agree. No float ever
+    crosses an aggregation.
+
+    Scale path: the all-pairs head is the exact baseline (same stance
+    as q_knn_join_topk); at 10^9 vectors candidates come from LSH
+    bands / IVF cells (q_ann_lsh_buckets / q_ivf_topk shapes) and the
+    margin tail — two bounded per-key window ranks + one integer
+    division — is unchanged. The scored frame is persisted once and
+    feeds its three consumers (two neighborhoods, the pair frame)."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    xs = e.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    ys = e.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
+    c = F.floor(
+        cosine(F.col("va"), F.col("vb")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    pos = (
+        xs.crossJoin(F.broadcast(ys))
+        .select("a", "b", c.alias("c"))
+        .where(F.col("c") > 0)
+        .cache()  # three consumers; checkpoint table at scale
+    )
+    wx = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("b"))
+    wy = Window.partitionBy("b").orderBy(F.desc("c"), F.asc("a"))
+    sx = (
+        pos.withColumn("rk", F.row_number().over(wx))
+        .where(F.col("rk") <= MARGIN_K)
+        .groupBy("a")
+        .agg(F.sum("c").alias("s_x"), F.count(F.lit(1)).alias("n_x"))
+    )
+    sy = (
+        pos.withColumn("rk", F.row_number().over(wy))
+        .where(F.col("rk") <= MARGIN_K)
+        .groupBy("b")
+        .agg(F.sum("c").alias("s_y"), F.count(F.lit(1)).alias("n_y"))
+    )
+    m = (
+        pos.join(sx, "a")
+        .join(sy, "b")
+        .withColumn(
+            "mm",
+            F.expr("(c * (n_x + n_y) * 1000000L) div (s_x + s_y)"),
+        )
+        .select("a", "b", "mm")
+    )
+    wbf = Window.partitionBy("a").orderBy(F.desc("mm"), F.asc("b"))
+    wbb = Window.partitionBy("b").orderBy(F.desc("mm"), F.asc("a"))
+    best_fwd = (
+        m.withColumn("rk", F.row_number().over(wbf))
+        .where(F.col("rk") == 1)
+        .select("a", "b", "mm")
+    )
+    best_bwd = (
+        m.withColumn("rk", F.row_number().over(wbb))
+        .where(F.col("rk") == 1)
+        .select("a", "b")
+    )
+    return (
+        best_fwd.join(best_bwd, ["a", "b"])
+        .where(F.col("mm") >= MARGIN_T_MICROS)
+        .select(
+            F.col("a").alias("x"),
+            F.col("b").alias("y"),
+            F.col("mm").alias("margin_micros"),
+        )
+        .orderBy("x")
+    )
+
+
+_MARGIN_COS = """
+           list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v))))
+"""
+
+_MARGIN_SQL = f"""
+WITH scored AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         CAST(floor(({_MARGIN_COS}) * 1000000 + 0.5) AS BIGINT) AS c
+  FROM embeddings x JOIN embeddings y
+    ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1
+),
+pos AS (SELECT * FROM scored WHERE c > 0),
+sx AS (
+  SELECT a, sum(c) AS s_x, count(*) AS n_x
+  FROM (SELECT a, c, row_number() OVER (PARTITION BY a ORDER BY c DESC, b) AS rk
+        FROM pos)
+  WHERE rk <= {MARGIN_K} GROUP BY a
+),
+sy AS (
+  SELECT b, sum(c) AS s_y, count(*) AS n_y
+  FROM (SELECT b, c, row_number() OVER (PARTITION BY b ORDER BY c DESC, a) AS rk
+        FROM pos)
+  WHERE rk <= {MARGIN_K} GROUP BY b
+),
+m AS (
+  SELECT p.a, p.b, (p.c * (n_x + n_y) * 1000000) // (s_x + s_y) AS mm
+  FROM pos p JOIN sx USING (a) JOIN sy USING (b)
+),
+bf AS (SELECT a, b, mm FROM
+        (SELECT *, row_number() OVER (PARTITION BY a ORDER BY mm DESC, b) AS rk FROM m)
+       WHERE rk = 1),
+bb AS (SELECT a, b FROM
+        (SELECT *, row_number() OVER (PARTITION BY b ORDER BY mm DESC, a) AS rk FROM m)
+       WHERE rk = 1)
+SELECT bf.a AS x, bf.b AS y, bf.mm AS margin_micros
+FROM bf JOIN bb ON bf.a = bb.a AND bf.b = bb.b
+WHERE bf.mm >= {MARGIN_T_MICROS}
+ORDER BY x
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_embedding_outliers": (q_embedding_outliers, _OUTLIER_SQL),
@@ -1305,4 +1445,5 @@ QUERIES = {
     "sim_embedding_neardup": (q_embedding_neardup_pairs, _neardup_sql()),
     "sim_ivf_topk": (q_ivf_topk, _IVF_SQL),
     "sim_kmeans_refine": (q_kmeans_refine, _KMEANS_SQL),
+    "sim_margin_pair_mining": (q_margin_pair_mining, _MARGIN_SQL),
 }

@@ -37,6 +37,7 @@ _BNLJ_ALLOWED = frozenset(
         "sim_ivf_topk",
         "sim_kmeans_refine",
         "sim_knn_join_topk",
+        "sim_margin_pair_mining",
         "sim_pq_adc_recall",
         "sim_semdedup_prune",
         "text_allpairs_cosine",
