@@ -336,6 +336,7 @@ _DEFERRED: list[str] = [
     "product_profit_by_nation",
     "events_daily_type_unpivot",
     "sim_margin_pair_mining",
+    "stream_session_window",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -416,8 +416,178 @@ ORDER BY day_start, event_type
 """
 
 
+_SESSION_GAP = "6 hours"
+_SESSION_GAP_SQL = "INTERVAL 6 HOUR"
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap SESSION windows in APPEND-mode Structured
+    Streaming — the stateful shape tumbling windows can't express:
+    a per-user session extends while events keep arriving within
+    _SESSION_GAP of its end, merges across micro-batches in the
+    state store, and is emitted exactly once when the watermark
+    passes its end. The batch q_sessionize pins the gap semantics;
+    this pins the INCREMENTAL path: sessions that span micro-batch
+    boundaries must come out identical to the batch computation over
+    the finalized horizon.
+
+    Determinism contract (same as q_stream_windowed_append): append
+    emission is order-sensitive, so staging makes lateness impossible
+    — files are time-sliced in (ts, event_id) order with increasing
+    mtimes, every session merge happens before the watermark can
+    finalize it, and the emitted set is the pure data function
+    {sessions with end ≤ max(ts) − delay} that the DuckDB oracle
+    computes with a lag/cumsum rebuild of the gap rule (new session
+    iff ts − prev_ts ≥ gap — Spark's [start, end) window means an
+    event at exactly prev + gap does NOT merge).
+
+    Scale notes (100 TB): state is one row per OPEN session per user
+    — bounded by the active-user set within the watermark horizon,
+    not the stream; at 10¹² events the same plan holds the same
+    state bound, and session merging is the state store's job, never
+    a shuffle of history."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="sq_sess_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        rows = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("ts", "user_id", "value", "event_id")
+            .orderBy("ts", "event_id")
+            .collect()
+        )  # harness-side staging at test scale, not the operator path
+        n = len(rows)
+        per = max(1, (n + _N_FILES - 1) // _N_FILES)
+        for k in range(_N_FILES):
+            chunk = rows[k * per : (k + 1) * per]
+            if not chunk:
+                break
+            path = os.path.join(in_dir, f"part-{k:05d}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "ts": [r.ts for r in chunk],
+                        "user_id": [r.user_id for r in chunk],
+                        "value": [r.value for r in chunk],
+                        "event_id": [r.event_id for r in chunk],
+                    }
+                ),
+                path,
+            )
+            os.utime(path, (1700000000 + k * 60, 1700000000 + k * 60))
+
+        tz_key = "spark.sql.session.timeZone"
+        old_tz = spark.conf.get(tz_key, None)
+        spark.conf.set(tz_key, "UTC")
+        try:
+            stream = (
+                spark.readStream.schema(
+                    "ts timestamp, user_id bigint, value double, "
+                    "event_id bigint"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            agg = (
+                stream.withWatermark("ts", _WM_DELAY)
+                .groupBy(
+                    F.session_window("ts", _SESSION_GAP).alias("w"),
+                    "user_id",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.floor(F.col("value") * 100).cast("long"))
+                    .cast("string")
+                    .alias("value_cents"),
+                )
+            )
+            name = f"sq_{uuid.uuid4().hex}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            n_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if n_batches < 2:
+                raise RuntimeError(
+                    f"append-mode run collapsed to {n_batches} micro-batch(es)"
+                )
+            final = [
+                (r.user_id, r.s_start, r.s_end, r.n_events, r.value_cents)
+                for r in spark.table(name)
+                .select(
+                    "user_id",
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                        "s_start"
+                    ),
+                    F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                        "s_end"
+                    ),
+                    "n_events",
+                    "value_cents",
+                )
+                .collect()
+            ]
+        finally:
+            if old_tz is None:
+                spark.conf.unset(tz_key)
+            else:
+                spark.conf.set(tz_key, old_tz)
+        return spark.createDataFrame(
+            final,
+            "user_id bigint, s_start string, s_end string, "
+            "n_events bigint, value_cents string",
+        ).orderBy("user_id", "s_start")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STREAM_SESSION_SQL = f"""
+WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+s AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= {_SESSION_GAP_SQL}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS s_start,
+         max(ts) + {_SESSION_GAP_SQL} AS s_end,
+         count(*) AS n_events, CAST(sum(cents) AS VARCHAR) AS value_cents
+  FROM g GROUP BY 1, 2
+)
+SELECT user_id, strftime(s_start, '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(s_end, '%Y-%m-%d %H:%M:%S') AS s_end,
+       n_events, value_cents
+FROM sess, m
+WHERE s_end <= wm
+ORDER BY user_id, s_start
+"""
+
+
 QUERIES = {
     "stream_events_summary": (q_stream_events_summary, _STREAM_EVENTS_SUMMARY_SQL),
+    "stream_session_window": (
+        q_stream_session_window,
+        _STREAM_SESSION_SQL,
+    ),
     "stream_windowed_append": (
         q_stream_windowed_append,
         _STREAM_WINDOWED_APPEND_SQL,

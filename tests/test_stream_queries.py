@@ -121,3 +121,70 @@ def test_windowed_append_matches_batch_horizon(spark):
         for r in q_stream_windowed_append(spark, SF).collect()
     }
     assert got == {k: (ref_n[k], str(ref_c[k])) for k in ref_n}
+
+
+def test_session_window_merges_across_micro_batches(spark):
+    """The value of the streaming session shape is state MERGING: a
+    session whose events arrive in different micro-batches must come
+    out as one row. Rebuild the staging slices exactly as the query
+    stages them (ts, event_id order, 8 contiguous slices) and prove
+    (a) at least one EMITTED session straddles a slice boundary, and
+    (b) the horizon cut is non-vacuous (some session is withheld)."""
+    from datetime import timedelta
+
+    from ocr_intern_spark.streaming.stream_queries import (
+        _N_FILES,
+        q_stream_session_window,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "user_id", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    per = max(1, (len(rows) + _N_FILES - 1) // _N_FILES)
+    slice_of = {
+        r.event_id: i // per for i, r in enumerate(rows)
+    }
+
+    # independent python session rebuild (gap = 6h, delay = 1h)
+    gap = timedelta(hours=6)
+    wm = max(r.ts for r in rows) - timedelta(hours=1)
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    sessions = []  # (user, start, end, n, slices)
+    for u, rs in by_user.items():
+        cur = [rs[0]]
+        for r in rs[1:]:
+            if r.ts - cur[-1].ts >= gap:
+                sessions.append(cur)
+                cur = [r]
+            else:
+                cur.append(r)
+        sessions.append(cur)
+    finalized = [s for s in sessions if s[-1].ts + gap <= wm]
+    withheld = [s for s in sessions if s[-1].ts + gap > wm]
+    straddlers = [
+        s
+        for s in finalized
+        if len({slice_of[r.event_id] for r in s}) > 1
+    ]
+    assert straddlers, "no finalized session spans a micro-batch boundary"
+    assert withheld, "horizon cut vacuous: every session finalized"
+
+    got = q_stream_session_window(spark, SF)
+    got_rows = {
+        (r.user_id, r.s_start, r.n_events) for r in got.collect()
+    }
+    assert len(got_rows) == len(finalized)
+    # the straddling session came out as ONE merged row with the full
+    # event count
+    s = straddlers[0]
+    key = (
+        s[0].user_id,
+        s[0].ts.strftime("%Y-%m-%d %H:%M:%S"),
+        len(s),
+    )
+    assert key in got_rows
