@@ -337,6 +337,8 @@ _DEFERRED: list[str] = [
     "events_daily_type_unpivot",
     "sim_margin_pair_mining",
     "stream_session_window",
+    "graph_knn_bfs_hops",
+    "forecast_revenue_change",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -2565,6 +2565,58 @@ ORDER BY day, event_type
 """
 
 
+# --- TPC-H Q6 shape: forecast revenue change ---------------------------------
+
+_Q6_YEAR = 1997
+_Q6_DISC_LO = 0.05
+_Q6_DISC_HI = 0.07
+_Q6_MAX_QTY = 24
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change (the TPC-H Q6 shape): revenue given up
+    if discounts in a band were eliminated for small-quantity lines in
+    one year — a single-table filter-aggregate whose entire value is
+    the SCAN contract: all three predicates (year envelope, discount
+    band, quantity cap) must reach the parquet reader as pushed
+    filters and only 3 columns may be read; the aggregate is one
+    map-side-combinable partial sum, zero keyed exchanges.
+
+    Revenue rides floor(l_extendedprice · l_discount · 100) integer
+    cents summed as decimal(38,0) → digit string (overflow-proof at
+    10^12 rows, render-identical both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(f"{_Q6_YEAR}-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(f"{_Q6_YEAR + 1}-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= _Q6_DISC_LO)
+            & (F.col("l_discount") <= _Q6_DISC_HI)
+            & (F.col("l_quantity") < _Q6_MAX_QTY)
+        )
+        .agg(
+            F.sum(cents.cast("decimal(38,0)")).cast("string").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_FORECAST_REVENUE_SQL = f"""
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS VARCHAR) AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_YEAR}-01-01'
+  AND l_shipdate < TIMESTAMP '{_Q6_YEAR + 1}-01-01'
+  AND l_discount >= CAST({_Q6_DISC_LO} AS DOUBLE)
+  AND l_discount <= CAST({_Q6_DISC_HI} AS DOUBLE)
+  AND l_quantity < {_Q6_MAX_QTY}
+"""
+
+
 # --- TPC-H Q9 shape: product-line profit by nation and year -----------------
 # Reference parity: the reference has no relational engine; this is the
 # beyond-§2 analytics surface (SURVEY.md §2 A-class) exercising the one
@@ -2753,6 +2805,10 @@ QUERIES = {
         _DAILY_PIVOT_SQL,
     ),
     "product_profit_by_nation": (q_product_profit, _PRODUCT_PROFIT_SQL),
+    "forecast_revenue_change": (
+        q_forecast_revenue_change,
+        _FORECAST_REVENUE_SQL,
+    ),
     "events_daily_type_unpivot": (
         q_events_daily_type_unpivot,
         _DAILY_UNPIVOT_SQL,

@@ -413,8 +413,9 @@ def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_JOIN_SQL = f"""
-WITH scored AS (
+# shared by _KNN_JOIN_SQL and the BFS oracle below — one definition,
+# so the edge set can never drift between the two queries
+_KNN_CTE = f"""scored AS (
   SELECT x.vec_id AS a, y.vec_id AS b,
          round(
            list_sum(list_transform(list_zip(x.embedding, y.embedding),
@@ -428,8 +429,83 @@ ranked AS (
   SELECT a, b, cos,
          CAST(row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS INT) AS rk
   FROM scored
-)
+)"""
+
+_KNN_JOIN_SQL = f"""
+WITH {_KNN_CTE}
 SELECT a, b, cos, rk FROM ranked WHERE rk <= {KNN_K} ORDER BY a, rk
+"""
+
+
+BFS_MAX_HOPS = 24  # raise-guard; measured kNN-graph diameter is ~12
+
+
+def q_knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the directed kNN graph: minimum hop
+    count from the QUERY_VEC_ID vector to every vector reachable by
+    following top-{K} cosine-neighbor edges — the graph-connectivity
+    view of a similarity index (how many expansion steps an
+    ANN-graph walk needs to reach a target; unreachable vectors are
+    the isolated islands a graph-based retriever can never surface).
+
+    Iterative frontier expansion, Pregel-style in plain DataFrames:
+    each round joins the frontier to the edge list, anti-joins
+    already-visited vertices, and checkpoints — rounds = graph
+    diameter (~12 here), raising if BFS_MAX_HOPS rounds don't drain
+    the frontier (a silent cap would under-report hops; the oracle
+    caps at the same constant so the two engines can only agree or
+    loudly fail). Only the frontier count (one long) reaches the
+    driver per round.
+
+    Scale: the edge list here is the exact kNN baseline (shared with
+    q_knn_join_topk — one definition both sides); at 10^9 vectors the
+    edges come from the blocked LSH/IVF builds and the BFS tail —
+    per-round hash joins on vertex id — is unchanged. State per round
+    is frontier + visited vertex ids, never the pair matrix."""
+    from ocr_intern_spark.operators.dedup import _round_checkpoint
+
+    edges = q_knn_join_topk(spark, sf_dir).select("a", "b").persist()
+    visited = spark.createDataFrame(
+        [(QUERY_VEC_ID, 0)], "vec_id bigint, hops int"
+    ).transform(_round_checkpoint)
+    frontier = visited
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.vec_id == edges.a)
+            .select(F.col("b").alias("vec_id"))
+            .distinct()
+            .join(visited, "vec_id", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .transform(_round_checkpoint)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).transform(_round_checkpoint)
+        frontier = nxt
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"kNN-graph BFS frontier still active after {BFS_MAX_HOPS} "
+            "rounds; raise BFS_MAX_HOPS (and the oracle cap) together"
+        )
+    edges.unpersist()
+    return visited.select(
+        "vec_id", F.col("hops").cast("bigint").alias("hops")
+    ).orderBy("vec_id")
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE {_KNN_CTE},
+edges AS (SELECT a, b FROM ranked WHERE rk <= {KNN_K}),
+bfs(vec_id, hops) AS (
+  SELECT CAST({QUERY_VEC_ID} AS BIGINT), 0
+  UNION
+  SELECT e.b, bfs.hops + 1
+  FROM bfs JOIN edges e ON e.a = bfs.vec_id
+  WHERE bfs.hops < {BFS_MAX_HOPS}
+)
+SELECT vec_id, CAST(min(hops) AS BIGINT) AS hops
+FROM bfs GROUP BY vec_id ORDER BY vec_id
 """
 
 
@@ -1446,4 +1522,5 @@ QUERIES = {
     "sim_ivf_topk": (q_ivf_topk, _IVF_SQL),
     "sim_kmeans_refine": (q_kmeans_refine, _KMEANS_SQL),
     "sim_margin_pair_mining": (q_margin_pair_mining, _MARGIN_SQL),
+    "graph_knn_bfs_hops": (q_knn_bfs_hops, _BFS_SQL),
 }

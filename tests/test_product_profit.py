@@ -82,3 +82,61 @@ def test_product_profit_plan_shape(spark):
     # (c) a partial aggregate at (l_orderkey, n_name) grain exists —
     # i.e. HashAggregate keyed on l_orderkey appears in the plan
     assert "HashAggregate(keys=[l_orderkey" in p
+
+
+# --- Q6: pure pushed-filter scan contract -----------------------------------
+
+
+def test_forecast_revenue_matches_python_reference(spark):
+    from datetime import datetime
+    from math import floor
+
+    from ocr_intern_spark.operators.analytics import (
+        _Q6_DISC_HI,
+        _Q6_DISC_LO,
+        _Q6_MAX_QTY,
+        _Q6_YEAR,
+        q_forecast_revenue_change,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    lo, hi = datetime(_Q6_YEAR, 1, 1), datetime(_Q6_YEAR + 1, 1, 1)
+    kept = [
+        r
+        for r in li
+        if lo <= r.l_shipdate < hi
+        and _Q6_DISC_LO <= r.l_discount <= _Q6_DISC_HI
+        and r.l_quantity < _Q6_MAX_QTY
+    ]
+    want = sum(int(floor(r.l_extendedprice * r.l_discount * 100)) for r in kept)
+    row = q_forecast_revenue_change(spark, SF_DIR).collect()[0]
+    assert int(row.revenue_cents) == want
+    assert row.n_lines == len(kept)
+    # non-vacuity: every predicate excludes something
+    assert 0 < len(kept) < len(li)
+
+
+def test_forecast_revenue_scan_contract(spark):
+    """Q6's whole value is the scan: all three predicates pushed, only
+    the four needed columns read, zero keyed exchanges."""
+    from ocr_intern_spark.operators.analytics import (
+        q_forecast_revenue_change,
+    )
+
+    df = q_forecast_revenue_change(spark, SF_DIR)
+    # formatted mode prints the FULL PushedFilters list (the plan
+    # toString truncates it mid-predicate)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount" in p
+    assert "LessThanOrEqual(l_discount" in p
+    assert "LessThan(l_quantity" in p
+    assert (
+        "struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in p
+    )
+    assert "hashpartitioning" not in p
