@@ -339,6 +339,7 @@ _DEFERRED: list[str] = [
     "stream_session_window",
     "graph_knn_bfs_hops",
     "forecast_revenue_change",
+    "events_peak_concurrency",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -53,6 +53,9 @@ HEADLINE = [
     # distributed-rank operator's cost visible round over round)
     "market_share_by_year",
     "customer_spend_deciles",
+    # session-9 addition: composite-key analytic decorrelation over
+    # the fact (Q9 shape) — the newest fact-heavy shape, kept visible
+    "product_profit_by_nation",
 ]
 
 

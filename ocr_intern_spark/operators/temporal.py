@@ -282,8 +282,137 @@ ORDER BY user_id, day
 """
 
 
+# --- sweep-line peak concurrency ---------------------------------------------
+
+_PEAK_GAP = "30 MINUTES"  # session activity window, matches sessionize()
+
+
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent active sessions per day (sweep-line / interval
+    stabbing aggregate): a session is "active" from its first event
+    until 30 minutes after its last (the sessionize() gap rule), and
+    the question every capacity dashboard asks is the MAX number of
+    simultaneously-active sessions each day — which no groupBy can
+    answer, because concurrency is a property of interval OVERLAP.
+
+    Sweep-line, made scale-safe by a two-level (hierarchical) prefix
+    sum instead of one global ordered scan: boundary deltas (+1 at
+    session start, −1 at activity end) are aggregated per TIMESTAMP
+    first (unique keys — no tie ambiguity anywhere), the running sum
+    within each day runs day-partitioned, and the cross-day carry-in
+    comes from a cumulative sum over the tiny per-day-net frame. The
+    peak includes the carry itself (a day whose first boundary is an
+    END had its peak at midnight). Days with no boundary points don't
+    emit a row. At 10^12 events the same recipe splits once more
+    (hour grain) — the global sort never happens at any scale.
+
+    Pure integer arithmetic end-to-end; the only unpartitioned window
+    is the ≤31-row day frame."""
+    from ocr_intern_spark.operators.analytics import sessionize
+
+    sess = sessionize(_t(spark, sf_dir, "events")).select(
+        "session_start",
+        (F.col("session_end") + F.expr(f"INTERVAL {_PEAK_GAP}")).alias(
+            "act_end"
+        ),
+    )
+    pts = sess.select(
+        F.col("session_start").alias("ts"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select(F.col("act_end").alias("ts"), F.lit(-1).alias("d"))
+    )
+    net = pts.groupBy("ts").agg(F.sum("d").cast("long").alias("net"))
+    day_net = net.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("net").alias("day_net")
+    )
+    # bounded-window: frame = the per-day net totals (≤ corpus days + 1)
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_net.select(
+        "day",
+        F.coalesce(F.sum("day_net").over(wd), F.lit(0))
+        .cast("long")
+        .alias("carry_in"),
+    )
+    wt = (
+        Window.partitionBy("day")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (
+        net.withColumn("day", F.to_date("ts"))
+        .withColumn("cum", F.sum("net").over(wt))
+    )
+    return (
+        run.join(carry, "day")
+        .groupBy("day")
+        .agg(
+            F.greatest(
+                F.max(F.col("carry_in") + F.col("cum")),
+                F.min("carry_in"),
+            ).alias("peak_concurrent")
+        )
+        .orderBy("day")
+    )
+
+
+_PEAK_CONCURRENCY_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS act_end
+  FROM numbered GROUP BY user_id, sid
+),
+pts AS (
+  SELECT s_start AS ts, 1 AS d FROM sess
+  UNION ALL
+  SELECT act_end AS ts, -1 AS d FROM sess
+),
+net AS (SELECT ts, CAST(sum(d) AS BIGINT) AS net FROM pts GROUP BY ts),
+day_net AS (
+  SELECT CAST(ts AS DATE) AS day, sum(net) AS day_net FROM net GROUP BY 1
+),
+carry AS (
+  SELECT day,
+         CAST(coalesce(sum(day_net) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS carry_in
+  FROM day_net
+),
+run AS (
+  SELECT CAST(ts AS DATE) AS day, ts,
+         sum(net) OVER (PARTITION BY CAST(ts AS DATE) ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM net
+)
+SELECT r.day,
+       greatest(max(c.carry_in + r.cum), min(c.carry_in))
+         AS peak_concurrent
+FROM run r JOIN carry c ON r.day = c.day
+GROUP BY r.day
+ORDER BY r.day
+"""
+
+
 QUERIES = {
     "events_asof_plan": (q_events_asof_plan, _ASOF_SQL),
     "error_session_attribution": (q_error_session_attribution, _ERROR_ATTR_SQL),
     "events_daily_gap_fill": (q_events_daily_gap_fill, _GAP_FILL_SQL),
+    "events_peak_concurrency": (
+        q_events_peak_concurrency,
+        _PEAK_CONCURRENCY_SQL,
+    ),
 }
