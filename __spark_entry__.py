@@ -340,6 +340,7 @@ _DEFERRED: list[str] = [
     "graph_knn_bfs_hops",
     "forecast_revenue_change",
     "events_peak_concurrency",
+    "events_nearest_error_gap",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

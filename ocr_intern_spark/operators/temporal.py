@@ -407,6 +407,93 @@ ORDER BY r.day
 """
 
 
+# --- cogrouped-map: per-user two-sided temporal alignment --------------------
+
+
+def _nearest_gap_kernel(purchases, errors):
+    """Per-user pandas kernel: for each purchase, the distance (µs) to
+    the user's NEAREST error in either direction — magnitude only, so
+    there is no before/after tie to break. numpy searchsorted over the
+    sorted error timeline; empty error side → nulls."""
+    import numpy as np
+    import pandas as pd
+
+    if purchases.empty:
+        return pd.DataFrame(
+            columns=["event_id", "user_id", "nearest_err_us"]
+        )
+    p_ts = purchases["ts"].values.astype("datetime64[us]").astype("int64")
+    out = pd.DataFrame(
+        {
+            "event_id": purchases["event_id"],
+            "user_id": purchases["user_id"],
+        }
+    )
+    if errors.empty:
+        out["nearest_err_us"] = pd.array([None] * len(out), dtype="Int64")
+        return out
+    e_ts = np.sort(
+        errors["ts"].values.astype("datetime64[us]").astype("int64")
+    )
+    idx = np.searchsorted(e_ts, p_ts)
+    right = e_ts[np.minimum(idx, len(e_ts) - 1)] - p_ts
+    left = p_ts - e_ts[np.maximum(idx - 1, 0)]
+    right = np.where(idx < len(e_ts), np.abs(right), np.iinfo("int64").max)
+    left = np.where(idx > 0, np.abs(left), np.iinfo("int64").max)
+    out["nearest_err_us"] = pd.array(
+        np.minimum(left, right), dtype="Int64"
+    )
+    return out
+
+
+def q_events_nearest_error_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the time (µs) to the user's nearest error
+    event in EITHER direction — the two-sided temporal-proximity
+    feature ("was this conversion surrounded by trouble?") that an
+    as-of join only answers half of.
+
+    This is the repo's cogrouped-map surface:
+    `purchases.groupBy(user).cogroup(errors.groupBy(user))
+    .applyInPandas(...)` — both sides arrive co-partitioned as
+    per-user pandas frames in ONE exchange pair, and the kernel is
+    vectorized numpy (searchsorted over the sorted error timeline),
+    never per-row Python. Distance is |Δt| in integer microseconds —
+    magnitude only, so no before/after tie rule exists to diverge
+    between engines. The oracle keeps the textbook correlated
+    `min(abs(...))` form, so hash equality proves the kernel.
+
+    Scale: per-user frames are bounded by per-user activity; the
+    cogroup is exactly two co-hashed exchanges (same key), nothing
+    all-pairs. At 10^12 events a hot user salts into (user, day)
+    panes with pane-boundary patching — same kernel."""
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    err = ev.where(F.col("event_type") == "error").select("user_id", "ts")
+    out = (
+        pur.groupBy("user_id")
+        .cogroup(err.groupBy("user_id"))
+        .applyInPandas(
+            _nearest_gap_kernel,
+            "event_id bigint, user_id bigint, nearest_err_us bigint",
+        )
+    )
+    return out.orderBy("event_id")
+
+
+_NEAREST_ERR_SQL = """
+SELECT p.event_id, p.user_id,
+       (SELECT min(abs(epoch_us(p.ts) - epoch_us(e.ts)))
+        FROM events e
+        WHERE e.event_type = 'error' AND e.user_id = p.user_id)
+         AS nearest_err_us
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
 QUERIES = {
     "events_asof_plan": (q_events_asof_plan, _ASOF_SQL),
     "error_session_attribution": (q_error_session_attribution, _ERROR_ATTR_SQL),
@@ -414,5 +501,9 @@ QUERIES = {
     "events_peak_concurrency": (
         q_events_peak_concurrency,
         _PEAK_CONCURRENCY_SQL,
+    ),
+    "events_nearest_error_gap": (
+        q_events_nearest_error_gap,
+        _NEAREST_ERR_SQL,
     ),
 }
