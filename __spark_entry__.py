@@ -341,6 +341,12 @@ _DEFERRED: list[str] = [
     "forecast_revenue_change",
     "events_peak_concurrency",
     "events_nearest_error_gap",
+    # session-10 additions (CDC MERGE, anchor-text graph, incremental
+    # IVF maintenance) — registered after the window filled; oracles
+    # verified hash-exact locally at ×3 sfs this session:
+    "events_merge_upsert",
+    "graph_anchor_text",
+    "sim_ivf_delta_assign",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -2739,6 +2739,150 @@ ORDER BY nation, o_year
 """
 
 
+# --- CDC MERGE INTO: snapshot maintenance as one conditional aggregate ----
+
+_MERGE_CUT = "2024-01-20 00:00:00"
+
+
+def q_events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (the north rule's idempotent-resume primitive,
+    here as the CDC snapshot-maintenance query): a per-(user, k) state
+    snapshot built from events BEFORE the cutoff is merged with a
+    delta batch of events AT-OR-AFTER the cutoff under full MERGE
+    semantics —
+
+      WHEN MATCHED AND src.is_delete THEN DELETE
+      WHEN MATCHED                   THEN UPDATE (combine aggregates)
+      WHEN NOT MATCHED BY SOURCE     THEN keep target row
+      WHEN NOT MATCHED [BY TARGET] AND NOT is_delete THEN INSERT
+      (an is_delete row with no target match is a no-op)
+
+    where is_delete means the key's LAST delta event (total order
+    (ts, event_id)) is an 'error' — an account-tombstone marker.
+    State grain is (user_id, k = props.k) so all five branches fire
+    at every sf (per user, before/after key sets overlap partially).
+
+    Scale shape — the decorrelated MERGE: instead of materializing
+    target and source and joining them (two keyed shuffles + a
+    full-outer join), the fact is scanned ONCE and both sides'
+    aggregates are computed as conditional aggregations in a single
+    map-side-combinable hash aggregate — ONE exchange on the state
+    key, zero joins; the merge branches become a projection + filter.
+    The 'last delta event' lookup is a max over struct(ts, event_id,
+    event_type) (lexicographic; (ts, event_id) is a total order so
+    event_type never decides) — combinable, no window. The oracle
+    keeps the textbook form (separate target/source CTEs +
+    FULL OUTER JOIN + row_number for the last event), so driver hash
+    equality proves the decorrelation. Money is floor-cents BIGINT
+    (the cross-engine-exact convention); timestamps never appear in
+    the output (last_event_id carries recency)."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_MERGE_CUT).cast("timestamp")
+    rows = ev.select(
+        "user_id",
+        F.from_json(F.col("props"), "k INT")["k"].alias("k"),
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("ts") < cut).alias("b"),
+    )
+    a = ~F.col("b")
+    agg = rows.groupBy("user_id", "k").agg(
+        F.count(F.when(F.col("b"), 1)).alias("n_t"),
+        F.sum(F.when(F.col("b"), F.col("cents"))).alias("c_t"),
+        F.max(F.when(F.col("b"), F.col("event_id"))).alias("id_t"),
+        F.count(F.when(a, 1)).alias("n_s"),
+        F.sum(F.when(a, F.col("cents"))).alias("c_s"),
+        F.max(F.when(a, F.col("event_id"))).alias("id_s"),
+        F.max(
+            F.when(a, F.struct("ts", "event_id", "event_type"))
+        )["event_type"].alias("last_type"),
+    )
+    in_tgt = F.col("id_t").isNotNull()
+    in_src = F.col("id_s").isNotNull()
+    op = (
+        F.when(~in_tgt, F.lit("insert"))
+        .when(~in_src, F.lit("keep"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        agg.where(~in_src | (F.col("last_type") != F.lit("error")))
+        .select(
+            "user_id",
+            "k",
+            op.alias("op"),
+            (F.col("n_t") + F.col("n_s")).alias("n_events"),
+            (
+                F.coalesce("c_t", F.lit(0)) + F.coalesce("c_s", F.lit(0))
+            ).alias("total_cents"),
+            F.greatest(
+                F.coalesce("id_t", F.lit(-1)), F.coalesce("id_s", F.lit(-1))
+            ).alias("last_event_id"),
+        )
+        .orderBy("user_id", "k")
+    )
+
+
+_MERGE_UPSERT_SQL = f"""
+WITH tgt AS (
+  SELECT user_id, CAST(json_extract(props, '$.k') AS INT) AS k,
+         count(*) AS n_t,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS c_t,
+         max(event_id) AS id_t
+  FROM events
+  WHERE ts < TIMESTAMP '{_MERGE_CUT}'
+  GROUP BY 1, 2
+),
+src0 AS (
+  SELECT user_id, CAST(json_extract(props, '$.k') AS INT) AS k,
+         event_id, event_type, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE ts >= TIMESTAMP '{_MERGE_CUT}'
+),
+src AS (
+  SELECT user_id, k, count(*) AS n_s, sum(cents) AS c_s,
+         max(event_id) AS id_s
+  FROM src0
+  GROUP BY 1, 2
+),
+last AS (
+  SELECT user_id, k, event_type AS last_type
+  FROM (
+    SELECT user_id, k, event_type,
+           row_number() OVER (
+             PARTITION BY user_id, k ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM src0
+  )
+  WHERE rn = 1
+),
+merged AS (
+  SELECT coalesce(t.user_id, s.user_id) AS user_id,
+         coalesce(t.k, s.k) AS k,
+         CASE WHEN t.id_t IS NULL THEN 'insert'
+              WHEN s.id_s IS NULL THEN 'keep'
+              ELSE 'update' END AS op,
+         l.last_type,
+         CAST(coalesce(t.n_t, 0) + coalesce(s.n_s, 0) AS BIGINT)
+           AS n_events,
+         CAST(coalesce(t.c_t, 0) + coalesce(s.c_s, 0) AS BIGINT)
+           AS total_cents,
+         greatest(coalesce(t.id_t, -1), coalesce(s.id_s, -1))
+           AS last_event_id
+  FROM tgt t
+  FULL OUTER JOIN src s ON t.user_id = s.user_id AND t.k = s.k
+  LEFT JOIN last l ON coalesce(t.user_id, s.user_id) = l.user_id
+                  AND coalesce(t.k, s.k) = l.k
+)
+SELECT user_id, k, op, n_events, total_cents, last_event_id
+FROM merged
+WHERE last_type IS NULL OR last_type <> 'error'
+ORDER BY user_id, k
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -2813,4 +2957,5 @@ QUERIES = {
         q_events_daily_type_unpivot,
         _DAILY_UNPIVOT_SQL,
     ),
+    "events_merge_upsert": (q_events_merge_upsert, _MERGE_UPSERT_SQL),
 }

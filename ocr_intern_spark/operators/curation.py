@@ -2193,6 +2193,147 @@ FROM r ORDER BY lang
 """
 
 
+# --- anchor-text aggregation over the synthetic outlink graph ------------
+
+ANCHOR_SITES = 50  # synthetic target hosts site0..site49
+
+
+def q_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (the web-graph doc-expansion primitive:
+    a target page is described by the anchor text of its in-links —
+    how search engines and link-spam filters summarize a host). Each
+    doc emits 1 + doc_id%3 outlinks; link j carries anchor text =
+    word j+1 of the doc and targets host
+    site{(doc_id*7 + 13*len(anchor)) % ANCHOR_SITES}.com — the host
+    depends on the anchor's length, so two same-length anchors in one
+    doc produce parallel edges to one host (in_degree > distinct
+    sources: the multi-edge case an anchor aggregator must count
+    correctly). Per target host: in-degree, distinct linking docs,
+    distinct anchor terms, and the dominant anchor under the total
+    tie-break (highest count, then lexicographically smallest term).
+
+    Scale shape: the edge list is a narrow explode (≤3 edges/doc, no
+    data motion); the (host, anchor) counts and the host rollup are
+    both map-side-combinable hash aggregates, and the dominant anchor
+    is min(struct(-n, anchor)) over the per-host anchor frame — an
+    ordinary combinable aggregate, no window, no sort. Distinct
+    linking docs needs its own (host, doc) distinct pass — kept as a
+    second aggregation tree over the same edge projection (two narrow
+    scans beat caching a 2·10^12-row edge list); the final host-level
+    join is ANCHOR_SITES rows, broadcast. At web scale this is
+    exactly the anchor-corpus build: 10^12 edges hash-aggregated to
+    ~10^8 hosts with no per-host sort anywhere."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    edges = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("j"),
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.try_element_at("toks", (F.col("j") + F.lit(1)).cast("int")),
+            F.lit("x"),
+        ).alias("anchor"),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("site"),
+            (
+                (F.col("doc_id") * 7 + F.length("anchor") * 13)
+                % ANCHOR_SITES
+            ).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+        "anchor",
+    )
+    per_anchor = edges.groupBy("host", "anchor").agg(
+        F.count("*").alias("n")
+    )
+    hosts = per_anchor.groupBy("host").agg(
+        F.sum("n").cast("bigint").alias("in_degree"),
+        F.count("*").alias("n_anchor_terms"),
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("anchor")))[
+            "anchor"
+        ].alias("top_anchor"),
+        F.max("n").cast("bigint").alias("top_anchor_n"),
+    )
+    sources = (
+        edges.select("host", "doc_id")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").alias("n_sources"))
+    )
+    return (
+        hosts.join(F.broadcast(sources), "host")
+        .select(
+            "host",
+            "in_degree",
+            "n_sources",
+            "n_anchor_terms",
+            "top_anchor",
+            "top_anchor_n",
+        )
+        .orderBy("host")
+    )
+
+
+_ANCHOR_GRAPH_SQL = f"""
+WITH edges0 AS (
+  SELECT d.doc_id,
+         coalesce(
+           regexp_split_to_array(trim(lower(d.text)), '\\s+')
+             [CAST(t.j + 1 AS INT)],
+           'x') AS anchor
+  FROM documents d, unnest(range(0, (d.doc_id % 3) + 1)) AS t(j)
+),
+edges AS (
+  SELECT doc_id,
+         'site' || CAST((doc_id * 7 + 13 * length(anchor))
+                        % {ANCHOR_SITES} AS VARCHAR) || '.com' AS host,
+         anchor
+  FROM edges0
+),
+per_anchor AS (
+  SELECT host, anchor, count(*) AS n
+  FROM edges
+  GROUP BY host, anchor
+),
+hosts AS (
+  SELECT host,
+         CAST(sum(n) AS BIGINT) AS in_degree,
+         count(*) AS n_anchor_terms,
+         CAST(max(n) AS BIGINT) AS top_anchor_n
+  FROM per_anchor
+  GROUP BY host
+),
+top AS (
+  SELECT host, anchor AS top_anchor
+  FROM (
+    SELECT host, anchor,
+           row_number() OVER (
+             PARTITION BY host ORDER BY n DESC, anchor ASC
+           ) AS rn
+    FROM per_anchor
+  )
+  WHERE rn = 1
+),
+sources AS (
+  SELECT host, count(DISTINCT doc_id) AS n_sources
+  FROM edges
+  GROUP BY host
+)
+SELECT h.host, h.in_degree, s.n_sources, h.n_anchor_terms,
+       t.top_anchor, h.top_anchor_n
+FROM hosts h
+JOIN top t ON h.host = t.host
+JOIN sources s ON h.host = s.host
+ORDER BY h.host
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
     "text_sample_alpha": (q_sample_alpha, _SAMPLE_ALPHA_SQL),
@@ -2220,4 +2361,5 @@ QUERIES = {
         q_interleave_filter,
         _INTERLEAVE_FILTER_SQL,
     ),
+    "graph_anchor_text": (q_anchor_graph, _ANCHOR_GRAPH_SQL),
 }

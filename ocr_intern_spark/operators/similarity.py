@@ -1508,6 +1508,130 @@ ORDER BY x
 """
 
 
+# --- incremental IVF index maintenance (delta assignment) ----------------
+
+DELTA_MOD = 10  # vec_id % DELTA_MOD == 0 → "newly arrived" vector
+
+
+def q_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance: the corpus is split into an
+    already-indexed BASE (vec_id % DELTA_MOD != 0) and a newly-arrived
+    DELTA batch; centroids are derived from the base ONLY and stay
+    FROZEN (the production invariant — an index update must not move
+    existing vectors between cells), the delta batch is assigned to
+    the frozen centroids, and the query reports per-cell growth:
+    base population, delta arrivals, growth in ppm (pure integer
+    arithmetic), and the best-fitting delta vector per cell (highest
+    centroid cosine, ties to the lower vec_id).
+
+    Scale shape: this is the nightly vector-store compaction audit —
+    only the delta batch (a day's arrivals) does any work: centroid
+    derivation and base counts come from the existing index's
+    metadata at real scale, and the delta assignment is the same
+    broadcast-centroid narrow argmax as the full build
+    (`_ivf_assign`), so cost is O(|delta| · cells) with zero shuffles
+    beyond one tiny per-cell aggregate. Cells with no arrivals stay
+    in the report with NULL best-vector (left join) — the signal a
+    rebalance monitor watches. Shares `_ivf_centroids`/`_ivf_assign`
+    with the IVF ANN query so index build and index maintenance can
+    never drift on tie-breaks."""
+    e = _emb(spark, sf_dir)
+    base = e.where(F.col("vec_id") % DELTA_MOD != 0)
+    delta = e.where(F.col("vec_id") % DELTA_MOD == 0)
+    cents = _ivf_centroids(base)
+    b = (
+        _ivf_assign(base, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_base"))
+    )
+    d = (
+        _ivf_assign(delta, cents)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_delta"),
+            F.max(
+                F.struct(F.col("ccos"), (-F.col("vec_id")).alias("nv"))
+            ).alias("top"),
+        )
+    )
+    return (
+        b.join(F.broadcast(d), "cell", "left")
+        .select(
+            "cell",
+            "n_base",
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+            F.expr(
+                "CAST(coalesce(n_delta, 0) * 1000000 DIV n_base AS BIGINT)"
+            ).alias("growth_ppm"),
+            (-F.col("top.nv")).alias("top_delta_vec"),
+            F.col("top.ccos").alias("top_delta_ccos"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _ivf_delta_sql() -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+            f"/ (sqrt(list_sum(list_transform({a}, "
+            "x -> CAST(x AS DOUBLE) * x))) "
+            f"* sqrt(list_sum(list_transform({b}, "
+            "x -> CAST(x AS DOUBLE) * x)))), 6)"
+        )
+
+    assign = """
+  SELECT vec_id, cid AS cell, ccos FROM (
+    SELECT s.vec_id, s.cid, s.ccos,
+           row_number() OVER (
+             PARTITION BY s.vec_id ORDER BY s.ccos DESC, s.cid ASC
+           ) AS rk
+    FROM {scored} s
+  ) WHERE rk = 1
+"""
+    return f"""
+WITH base AS (
+  SELECT * FROM embeddings WHERE vec_id % {DELTA_MOD} != 0
+),
+delta AS (
+  SELECT * FROM embeddings WHERE vec_id % {DELTA_MOD} = 0
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS cid,
+         embedding AS cvec
+  FROM base
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
+),
+bscored AS (
+  SELECT e.vec_id, c.cid, {cos('e.embedding', 'c.cvec')} AS ccos
+  FROM base e CROSS JOIN cents c
+),
+dscored AS (
+  SELECT e.vec_id, c.cid, {cos('e.embedding', 'c.cvec')} AS ccos
+  FROM delta e CROSS JOIN cents c
+),
+bbest AS ({assign.format(scored='bscored')}),
+dbest AS ({assign.format(scored='dscored')}),
+b AS (SELECT cell, count(*) AS n_base FROM bbest GROUP BY cell),
+d AS (
+  SELECT cell, count(*) AS n_delta,
+         first(vec_id ORDER BY ccos DESC, vec_id ASC) AS top_delta_vec,
+         max(ccos) AS top_delta_ccos
+  FROM dbest
+  GROUP BY cell
+)
+SELECT b.cell, b.n_base,
+       coalesce(d.n_delta, 0) AS n_delta,
+       CAST(coalesce(d.n_delta, 0) * 1000000 // b.n_base AS BIGINT)
+         AS growth_ppm,
+       d.top_delta_vec, d.top_delta_ccos
+FROM b LEFT JOIN d ON b.cell = d.cell
+ORDER BY b.cell
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_embedding_outliers": (q_embedding_outliers, _OUTLIER_SQL),
@@ -1523,4 +1647,5 @@ QUERIES = {
     "sim_kmeans_refine": (q_kmeans_refine, _KMEANS_SQL),
     "sim_margin_pair_mining": (q_margin_pair_mining, _MARGIN_SQL),
     "graph_knn_bfs_hops": (q_knn_bfs_hops, _BFS_SQL),
+    "sim_ivf_delta_assign": (q_ivf_delta_assign, _ivf_delta_sql()),
 }
