@@ -34,6 +34,7 @@ _BNLJ_ALLOWED = frozenset(
         "sim_embedding_outliers",
         "sim_hard_negatives",
         "sim_int8_quant_recall",
+        "sim_ivf_delta_assign",
         "sim_ivf_topk",
         "sim_kmeans_refine",
         "sim_knn_join_topk",
