@@ -23,6 +23,7 @@ from ocr_intern_spark.operators import (
     dedup,
     extract_queries,
     layout,
+    maintenance,
     retrieval,
     similarity,
     temporal,
@@ -33,7 +34,7 @@ from ocr_intern_spark.streaming import stream_queries
 
 _MODULES = (
     extract_queries, analytics, dedup, similarity, text_q, temporal, layout,
-    curation, retrieval, stream_queries,
+    curation, retrieval, stream_queries, maintenance,
 )
 
 
@@ -347,6 +348,14 @@ _DEFERRED: list[str] = [
     "events_merge_upsert",
     "graph_anchor_text",
     "sim_ivf_delta_assign",
+    # session-11 additions (table-maintenance planning, binary-quant
+    # recall, 64-bit SimHash hamming pairs, HITS) — registered after
+    # the window filled; oracles verified hash-exact locally at ×3 sfs
+    # this session:
+    "table_compaction_plan",
+    "sim_binary_quant_recall",
+    "dedup_simhash_hamming64",
+    "graph_hits",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

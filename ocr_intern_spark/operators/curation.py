@@ -2334,6 +2334,117 @@ ORDER BY h.host
 """
 
 
+# --- HITS hubs & authorities over the provenance digraph --------------------
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the content-provenance digraph
+    (doc → first corpus occurrence of each shared 8-gram, the same
+    edge set as q_provenance_rank): authorities are canonical source
+    documents pointed at by many content reusers; hubs are documents
+    that aggregate content from many distinct sources — the "scraper
+    / mashup page" signal a curation pass DOWN-weights, complementary
+    to PageRank's source ranking.
+
+    Two full hub/authority rounds in EXACT INTEGER arithmetic (the
+    unnormalized iterates: auth1 = in-degree, hub1 = Σ auth1 over
+    out-edges, auth2 = Σ hub1 over in-edges, hub2 = Σ auth2 —
+    normalization only rescales, the RANKING is identical), so the
+    DuckDB oracle agrees bit-for-bit with no float-portability
+    quantum. Sums are cast to BIGINT on both engines (the
+    decimal/HUGEINT rendering discipline).
+
+    Scale shape: the gram → first-doc map is one hash aggregate;
+    edges are the distinct attribution pairs (inverted-index class);
+    each HITS half-round is ONE edges⋈scores hash join + one keyed
+    hash aggregate — identical plan shape to a PageRank round, O(|E|)
+    per round, cached edge table reused four times (checkpoint table
+    at real scale)."""
+    d = _docs(spark, sf_dir)
+    g = _grams(d)
+    first = g.groupBy("g").agg(F.min("doc_id").alias("src"))
+    edges = (
+        g.join(first, "g")
+        .where(F.col("doc_id") != F.col("src"))
+        .select(F.col("doc_id").alias("a"), F.col("src").alias("b"))
+        .distinct()
+        .cache()  # reused by 4 half-rounds; checkpoint table at scale
+    )
+    auth1 = edges.groupBy("b").agg(F.count("*").cast("long").alias("auth1"))
+    hub1 = (
+        edges.join(auth1, "b")
+        .groupBy("a")
+        .agg(F.sum("auth1").cast("long").alias("hub1"))
+    )
+    auth2 = (
+        edges.join(hub1, "a")
+        .groupBy("b")
+        .agg(F.sum("hub1").cast("long").alias("auth2"))
+    )
+    hub2 = (
+        edges.join(auth2, "b")
+        .groupBy("a")
+        .agg(F.sum("auth2").cast("long").alias("hub2"))
+    )
+    nodes = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    return (
+        nodes.join(auth1.withColumnRenamed("b", "doc_id"), "doc_id", "left")
+        .join(hub1.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        .join(auth2.withColumnRenamed("b", "doc_id"), "doc_id", "left")
+        .join(hub2.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("auth1", F.lit(0)).cast("long").alias("auth1"),
+            F.coalesce("hub1", F.lit(0)).cast("long").alias("hub1"),
+            F.coalesce("auth2", F.lit(0)).cast("long").alias("auth2"),
+            F.coalesce("hub2", F.lit(0)).cast("long").alias("hub2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _hits_sql() -> str:
+    return f"""
+WITH g AS ({_grams_sql()}),
+first_occ AS (SELECT g, min(doc_id) AS src FROM g GROUP BY g),
+edges AS (
+  SELECT DISTINCT doc_id AS a, src AS b
+  FROM g JOIN first_occ USING (g) WHERE doc_id != src
+),
+auth1 AS (SELECT b, CAST(count(*) AS BIGINT) AS auth1 FROM edges GROUP BY b),
+hub1 AS (
+  SELECT a, CAST(sum(auth1) AS BIGINT) AS hub1
+  FROM edges JOIN auth1 USING (b) GROUP BY a
+),
+auth2 AS (
+  SELECT b, CAST(sum(hub1) AS BIGINT) AS auth2
+  FROM edges JOIN hub1 USING (a) GROUP BY b
+),
+hub2 AS (
+  SELECT a, CAST(sum(auth2) AS BIGINT) AS hub2
+  FROM edges JOIN auth2 USING (b) GROUP BY a
+),
+nodes AS (
+  SELECT a AS doc_id FROM edges UNION SELECT b FROM edges
+)
+SELECT doc_id,
+       CAST(coalesce(a1.auth1, 0) AS BIGINT) AS auth1,
+       CAST(coalesce(h1.hub1, 0) AS BIGINT) AS hub1,
+       CAST(coalesce(a2.auth2, 0) AS BIGINT) AS auth2,
+       CAST(coalesce(h2.hub2, 0) AS BIGINT) AS hub2
+FROM nodes
+LEFT JOIN auth1 a1 ON a1.b = doc_id
+LEFT JOIN hub1 h1 ON h1.a = doc_id
+LEFT JOIN auth2 a2 ON a2.b = doc_id
+LEFT JOIN hub2 h2 ON h2.a = doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
     "text_sample_alpha": (q_sample_alpha, _SAMPLE_ALPHA_SQL),
@@ -2362,4 +2473,5 @@ QUERIES = {
         _INTERLEAVE_FILTER_SQL,
     ),
     "graph_anchor_text": (q_anchor_graph, _ANCHOR_GRAPH_SQL),
+    "graph_hits": (q_hits, _hits_sql()),
 }

@@ -1172,6 +1172,169 @@ SELECT doc_id, {bits} AS simhash FROM sums ORDER BY doc_id
 
 
 
+# --- 64-bit SimHash hamming pairs (Manku-style band blocking) ---------------
+
+SIMHAM_BITS = 64        # production fingerprint width (Manku et al. 2007)
+SIMHAM_BANKS = 4        # 4 × 16-bit bands → pigeonhole recall for ham ≤ 3
+SIMHAM_BANK_BITS = 16
+SIMHAM_MAX = 3          # near-dup threshold: differing bits allowed
+SIMHAM_MAX_BUCKET = 200  # band-bucket DF cut (skew guard, both engines)
+
+
+def _simham_banks(sums_prefix: str = "s"):
+    """Bank columns b0..b3 from the per-bit sign sums: bit j of bank k
+    is sign(s_{16k+j}) packed LSB-first. Returns list of Columns."""
+    out = []
+    for k in range(SIMHAM_BANKS):
+        terms = [
+            F.when(
+                F.col(f"{sums_prefix}{SIMHAM_BANK_BITS * k + j}") > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(SIMHAM_BANK_BITS)
+        ]
+        col = terms[0]
+        for t in terms[1:]:
+            col = col + t
+        out.append(col.alias(f"b{k}"))
+    return out
+
+
+def q_simhash_hamming64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate PAIRS by 64-bit SimHash hamming distance — the
+    Manku/Jain/Das Sarma (WWW 2007) web-dedup design at its real
+    fingerprint width (the 16-bit dedup_simhash variant emits
+    fingerprints for inspection; this one finds the pairs). Bits come
+    from sign-of-sum over token md5 bits; fingerprints are packed as
+    4 × 16-bit bands; by pigeonhole, any pair within hamming ≤ 3
+    shares at least one band exactly, so candidates are ONE
+    equi-self-join on (band_index, band_value) — never all-pairs —
+    and the exact hamming check (xor + popcount per band) runs only
+    on band-collision survivors.
+
+    Band buckets larger than SIMHAM_MAX_BUCKET docs are dropped on
+    BOTH engines (deterministic skew guard — a mega-bucket is a giant
+    duplicate clique that exact dedup already owns; same policy as
+    the n-gram Jaccard MAX_SHINGLE_DF cut).
+
+    Scale shape: one explode + one 64-conditional-sum hash aggregate
+    (map-side combinable) builds every fingerprint; banding is a
+    4-way narrow explode; the candidate join is keyed on 16-bit band
+    values (65,536 buckets per band) with the DF cut bounding any
+    bucket's quadratic term. This is exactly the shape that deduped
+    the 8B-page Google crawl in the paper."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).where(F.length("w") > 0)
+    h = F.md5(F.col("w"))
+    aggs = [
+        F.sum(
+            F.when(_hex_nibble_bit_spark(h, b) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHAM_BITS)
+    ]
+    codes = (
+        toks.groupBy("doc_id").agg(*aggs).select("doc_id", *_simham_banks())
+    ).cache()  # reused by the band explode + two join-backs
+    bucketed = codes.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "val"),
+    )
+    sizes = bucketed.groupBy("k", "val").agg(F.count("*").alias("df"))
+    keep = bucketed.join(
+        sizes.where(F.col("df") <= SIMHAM_MAX_BUCKET), ["k", "val"]
+    ).select("doc_id", "k", "val")
+    pairs = (
+        keep.alias("x")
+        .join(
+            keep.alias("y"),
+            (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    ca = codes.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"b{k}").alias(f"xa{k}") for k in range(SIMHAM_BANKS)],
+    )
+    cb = codes.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"b{k}").alias(f"xb{k}") for k in range(SIMHAM_BANKS)],
+    )
+    ham = F.lit(0)
+    for k in range(SIMHAM_BANKS):
+        ham = ham + F.bit_count(
+            F.col(f"xa{k}").bitwiseXOR(F.col(f"xb{k}"))
+        )
+    return (
+        pairs.join(ca, "da")
+        .join(cb, "db")
+        .select("da", "db", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= SIMHAM_MAX)
+        .orderBy("da", "db")
+    )
+
+
+def _simham64_sql() -> str:
+    bit_exprs = []
+    for b in range(SIMHAM_BITS):
+        nib = f"(instr('0123456789abcdef', substr(md5(w), {1 + b // 4}, 1)) - 1)"
+        bit_exprs.append(
+            f"sum(CASE WHEN ({nib} >> {3 - b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+    sums = ",\n         ".join(bit_exprs)
+    banks = ", ".join(
+        " + ".join(
+            f"CASE WHEN s{SIMHAM_BANK_BITS * k + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(SIMHAM_BANK_BITS)
+        )
+        + f" AS b{k}"
+        for k in range(SIMHAM_BANKS)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(CAST(a.b{k} AS BIGINT), CAST(c.b{k} AS BIGINT)))"
+        for k in range(SIMHAM_BANKS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), filtered AS (SELECT * FROM toks WHERE length(w) > 0),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM filtered GROUP BY doc_id
+),
+codes AS (SELECT doc_id, {banks} FROM sums),
+bucketed AS (
+  SELECT doc_id, k,
+         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS val
+  FROM codes, (SELECT unnest(range(0, {SIMHAM_BANKS})) AS k)
+),
+keep AS (
+  SELECT doc_id, k, val FROM bucketed
+  QUALIFY count(*) OVER (PARTITION BY k, val) <= {SIMHAM_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM keep x JOIN keep y
+    ON x.k = y.k AND x.val = y.val AND x.doc_id < y.doc_id
+)
+SELECT da, db, CAST({hamming} AS INT) AS hamming
+FROM pairs
+JOIN codes a ON a.doc_id = da
+JOIN codes c ON c.doc_id = db
+WHERE {hamming} <= {SIMHAM_MAX}
+ORDER BY da, db
+"""
+
+
 # --- blocked fuzzy vocabulary matching ----------------------------------------
 
 FUZZY_BLOCK = 3     # chars of shared prefix forming a candidate block
@@ -1402,6 +1565,7 @@ QUERIES = {
     "dedup_fuzzy_vocab_pairs": (q_fuzzy_vocab_pairs, _FUZZY_VOCAB_SQL),
     "dedup_keep_best": (q_dedup_keep_best, _KEEP_BEST_SQL),
     "dedup_simhash": (q_simhash, _simhash_sql()),
+    "dedup_simhash_hamming64": (q_simhash_hamming64, _simham64_sql()),
     "dedup_fingerprint_count": (q_dedup_fingerprint_count, _DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _JACCARD_SQL),
     "dedup_ngram_containment": (q_ngram_containment_pairs, _CONTAINMENT_SQL),

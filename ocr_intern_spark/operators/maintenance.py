@@ -1,0 +1,111 @@
+"""Table-maintenance planning operators (Iceberg-style metadata ops).
+
+The north-rule deployment target is an Iceberg table of 10^12
+interleaved documents; keeping such a table healthy is a first-class
+pipeline job: streaming ingest + MERGE INTO resume leave a long tail
+of small data files that degrade scan planning, so a compaction
+planner periodically bins undersized files into rewrite groups
+(Iceberg's `rewrite_data_files` binpack strategy).
+
+Everything here is METADATA-plane work: at 100 TB the inputs are the
+manifest file listing (~10^6-10^7 rows, one per data file), never the
+data itself — so a per-partition window over the file list is the
+correct scale shape. For the driver's correctness gate the "file
+listing" is synthesized deterministically from the documents table
+(file_id = doc_id, partition = source, size = n_chars), which gives
+the planner a realistic skewed size distribution without external
+data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Iceberg rewrite_data_files-style knobs: target rewrite group size,
+# and the small-file admission cut (files >= SMALL_CUT are already
+# "big enough" and left alone — Iceberg's min-file-size-bytes).
+TARGET_BYTES = 4096
+SMALL_CUT = 3072  # 0.75 * TARGET_BYTES
+
+
+def _files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized manifest listing: one row per data file."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("file_id"),
+        F.col("source").alias("part"),
+        F.col("n_chars").cast("long").alias("size_bytes"),
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: within each table partition, admit
+    files under SMALL_CUT bytes, order them largest-first (first-fit-
+    decreasing's sort), and cut rewrite groups by cumulative quota —
+    group = ceil(running_bytes / TARGET_BYTES). Groups that end up
+    with a single file are dropped (rewriting one file alone buys
+    nothing — Iceberg's min-input-files=2 default). Emits one plan
+    row per rewrite group with its byte/file totals.
+
+    Scale shape: ONE window partitioned by the table partition over
+    the manifest listing — file-count scale (metadata), not data
+    scale. No join, no global sort; the per-partition ordering is
+    exactly what a driver-side planner would do, pushed down to
+    executors. The quota cut makes every group's size land in
+    [TARGET - max_small, TARGET + max_small), the binpack contract."""
+    f = _files(spark, sf_dir).where(F.col("size_bytes") < SMALL_CUT)
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.desc("size_bytes"), F.asc("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = f.select(
+        "part",
+        "file_id",
+        "size_bytes",
+        F.ceil(F.sum("size_bytes").over(w) / F.lit(TARGET_BYTES))
+        .cast("long")
+        .alias("group_id"),
+    )
+    return (
+        grouped.groupBy("part", "group_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("size_bytes").cast("long").alias("group_bytes"),
+            F.min("size_bytes").cast("long").alias("min_file_bytes"),
+            F.max("size_bytes").cast("long").alias("max_file_bytes"),
+        )
+        .where(F.col("n_files") >= 2)
+        .orderBy("part", "group_id")
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH small AS (
+  SELECT source AS part, doc_id AS file_id, CAST(n_chars AS BIGINT) AS size_bytes
+  FROM documents WHERE n_chars < {SMALL_CUT}
+),
+grouped AS (
+  SELECT part, file_id, size_bytes,
+         CAST(ceil(sum(size_bytes) OVER (
+             PARTITION BY part ORDER BY size_bytes DESC, file_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) / {TARGET_BYTES}.0) AS BIGINT) AS group_id
+  FROM small
+)
+SELECT part, group_id,
+       count(*) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS group_bytes,
+       CAST(min(size_bytes) AS BIGINT) AS min_file_bytes,
+       CAST(max(size_bytes) AS BIGINT) AS max_file_bytes
+FROM grouped
+GROUP BY part, group_id
+HAVING count(*) >= 2
+ORDER BY part, group_id
+"""
+
+
+QUERIES = {
+    "table_compaction_plan": (q_compaction_plan, _COMPACTION_SQL),
+}

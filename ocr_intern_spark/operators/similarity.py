@@ -638,6 +638,154 @@ ORDER BY qid
 """
 
 
+BQ_BANKS = 4  # 64 dims packed as 4 × 16-bit words
+BQ_BANK_BITS = 16
+
+
+def _sign_banks(col: Column) -> Column:
+    """Binary quantization: sign bit per dimension, packed LSB-first
+    into BQ_BANKS × 16-bit integer words. Word-packed form so hamming
+    distance is bit_count(xor(...)) over 4 small ints — the popcount
+    kernel a real binary-ANN deployment runs over 1-bit codes, not a
+    per-dimension comparison loop."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(col, BQ_BANK_BITS * k + 1, BQ_BANK_BITS),
+                    F.sequence(F.lit(0), F.lit(BQ_BANK_BITS - 1)),
+                    # shiftleft needs a literal shift; 2^i is exact
+                    # in double for i < 16 so the cast is lossless
+                    lambda v, i: F.when(
+                        v.cast("double") > 0,
+                        F.pow(F.lit(2.0), i).cast("int"),
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, b: acc + b,
+            )
+            for k in range(BQ_BANKS)
+        ]
+    )
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, h: acc + h,
+    )
+
+
+def q_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) quantization quality, companion to
+    sim_int8_quant_recall at the far end of the memory-for-recall
+    curve: 64-dim float32 vectors collapse to ONE 64-bit code (32×
+    smaller), neighbors rank by hamming distance via xor+popcount.
+    Per evaluation query: the top-{K} overlap between the float-cosine
+    ranking and the hamming ranking.
+
+    Tie-breaks are total (hamming asc, vec_id asc — hamming over 64
+    bits ties constantly, unlike cosine), so the DuckDB oracle
+    reproduces overlaps exactly. All arithmetic is integer.
+
+    Scale shape: codes build in one narrow pass; the evaluation-query
+    side is broadcast (n/QUANT_QMOD rows); scoring is codegen'd
+    integer xor/popcount — the exact kernel that makes 1-bit codes
+    the RAM-resident rerank tier for 10^12-vector corpora."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _sign_banks(F.col("embedding")).alias("code")
+    )
+    qs = e.where(F.col("vec_id") % QUANT_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("code").alias("qcode"),
+    )
+    pairs = e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("oid"),
+        F.round(cosine(F.col("embedding"), F.col("qemb")), 6).alias("fcos"),
+        _hamming(F.col("code"), F.col("qcode")).alias("ham"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("fcos"), F.asc("oid"))
+    wb = Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("oid"))
+    ranked = pairs.select(
+        "qid",
+        "oid",
+        F.row_number().over(wf).alias("frk"),
+        F.row_number().over(wb).alias("brk"),
+    )
+    ftop = ranked.where(F.col("frk") <= QUANT_K).select("qid", "oid")
+    btop = ranked.where(F.col("brk") <= QUANT_K).select("qid", "oid")
+    hits = ftop.join(btop, ["qid", "oid"]).groupBy("qid").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / QUANT_K, 6).alias(
+                "overlap"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+_BQ_BANK_SQL = (
+    "list_transform(range(0, 4), k -> "
+    "list_sum(list_transform(range(0, 16), i -> "
+    "CASE WHEN CAST(embedding[16*k + i + 1] AS DOUBLE) > 0 "
+    "THEN (1 << i) ELSE 0 END)))"
+)
+
+_BINARY_RECALL_SQL = f"""
+WITH coded AS (
+  SELECT vec_id, embedding, {_BQ_BANK_SQL} AS code
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qemb, code AS qcode
+  FROM coded WHERE vec_id % {QUANT_QMOD} = 0
+),
+pairs AS (
+  SELECT qid, vec_id AS oid,
+         round(
+           list_sum(list_transform(list_zip(embedding, qemb),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * v)))
+              * sqrt(list_sum(list_transform(qemb, v -> CAST(v AS DOUBLE) * v)))),
+           6) AS fcos,
+         list_sum(list_transform(list_zip(code, qcode),
+                  p -> bit_count(xor(CAST(p[1] AS BIGINT), CAST(p[2] AS BIGINT)))))
+           AS ham
+  FROM coded, qs
+  WHERE vec_id != qid
+),
+ranked AS (
+  SELECT qid, oid,
+         row_number() OVER (PARTITION BY qid ORDER BY fcos DESC, oid) AS frk,
+         row_number() OVER (PARTITION BY qid ORDER BY ham ASC, oid) AS brk
+  FROM pairs
+),
+hits AS (
+  SELECT f.qid, count(*) AS n_overlap
+  FROM (SELECT qid, oid FROM ranked WHERE frk <= {QUANT_K}) f
+  JOIN (SELECT qid, oid FROM ranked WHERE brk <= {QUANT_K}) g
+    USING (qid, oid)
+  GROUP BY f.qid
+)
+SELECT qid, CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) / CAST({QUANT_K} AS DOUBLE), 6) AS overlap
+FROM qs LEFT JOIN hits USING (qid)
+ORDER BY qid
+"""
+
+
 SEMDEDUP_TAU = 0.4  # intra-cluster cosine above which one of a pair is pruned
 
 
@@ -1648,4 +1796,5 @@ QUERIES = {
     "sim_margin_pair_mining": (q_margin_pair_mining, _MARGIN_SQL),
     "graph_knn_bfs_hops": (q_knn_bfs_hops, _BFS_SQL),
     "sim_ivf_delta_assign": (q_ivf_delta_assign, _ivf_delta_sql()),
+    "sim_binary_quant_recall": (q_binary_quant_recall, _BINARY_RECALL_SQL),
 }

@@ -31,6 +31,7 @@ _BNLJ_ALLOWED = frozenset(
         "idle_rich_customers",
         "major_revenue_parts",
         "sim_cosine_topk",
+        "sim_binary_quant_recall",
         "sim_embedding_outliers",
         "sim_hard_negatives",
         "sim_int8_quant_recall",

@@ -1,0 +1,343 @@
+"""Pure-Python reference pins for the session-11 operators:
+Iceberg-style compaction planning (full plan recompute + the binpack
+size contract), binary-quantization recall (sign-bit codes + hamming
+ranking recomputed with stdlib ints), 64-bit SimHash hamming pairs
+(all-pairs ground truth + the pigeonhole recall guarantee), and HITS
+(four half-rounds of exact integer propagation). Each reference is an
+independent stdlib recompute, never a re-run of the Spark code."""
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return list(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+
+
+@pytest.fixture(scope="module")
+def files():
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("source").to_pylist(),
+            t.column("n_chars").to_pylist(),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    return list(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- table_compaction_plan ---------------------------------------------------
+
+
+def _compaction_reference(files):
+    from ocr_intern_spark.operators.maintenance import SMALL_CUT, TARGET_BYTES
+
+    by_part = defaultdict(list)
+    for fid, part, size in files:
+        if size < SMALL_CUT:
+            by_part[part].append((fid, size))
+    plan = {}
+    for part, lst in by_part.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        cum = 0
+        groups = defaultdict(list)
+        for fid, size in lst:
+            cum += size
+            groups[math.ceil(cum / TARGET_BYTES)].append(size)
+        for gid, sizes in groups.items():
+            if len(sizes) >= 2:
+                plan[(part, gid)] = (
+                    len(sizes),
+                    sum(sizes),
+                    min(sizes),
+                    max(sizes),
+                )
+    return plan
+
+
+def test_compaction_plan_exact(spark, files):
+    from ocr_intern_spark.operators.maintenance import q_compaction_plan
+
+    got = {
+        (r["part"], r["group_id"]): (
+            r["n_files"],
+            r["group_bytes"],
+            r["min_file_bytes"],
+            r["max_file_bytes"],
+        )
+        for r in q_compaction_plan(spark, SF_DIR).collect()
+    }
+    assert got == _compaction_reference(files)
+
+
+def test_compaction_binpack_contract(spark, files):
+    """Every planned group lands within the binpack contract: quota
+    groups except a partition's last never undershoot TARGET by more
+    than the group's largest file, and never overshoot by more."""
+    from ocr_intern_spark.operators.maintenance import TARGET_BYTES
+
+    plan = _compaction_reference(files)
+    last_gid = {}
+    for part, gid in plan:
+        last_gid[part] = max(last_gid.get(part, 0), gid)
+    for (part, gid), (n, total, _mn, mx) in plan.items():
+        assert total < TARGET_BYTES + mx
+        if gid != last_gid[part]:
+            assert total + mx > TARGET_BYTES
+
+
+def test_compaction_plan_single_keyed_exchange(spark):
+    """Window(part) and groupBy(part, group_id) share ONE hash
+    exchange — the metadata-plane shape that holds at any file count."""
+    from ocr_intern_spark.operators.maintenance import q_compaction_plan
+
+    plan = _plan(q_compaction_plan(spark, SF_DIR))
+    assert plan.count("hashpartitioning") == 1
+
+
+# --- sim_binary_quant_recall -------------------------------------------------
+
+
+def _binary_reference(embeddings):
+    from ocr_intern_spark.operators.similarity import QUANT_K, QUANT_QMOD
+
+    def code(v):
+        banks = []
+        for k in range(4):
+            w = 0
+            for j in range(16):
+                if v[16 * k + j] > 0:
+                    w |= 1 << j
+            banks.append(w)
+        return banks
+
+    def cos6(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        den = math.sqrt(sum(float(x) ** 2 for x in a)) * math.sqrt(
+            sum(float(y) ** 2 for y in b)
+        )
+        return round(num / den, 6)
+
+    coded = [(vid, emb, code(emb)) for vid, emb in embeddings]
+    out = {}
+    for qid, qemb, qcode in coded:
+        if qid % QUANT_QMOD != 0:
+            continue
+        rows = []
+        for oid, emb, c in coded:
+            if oid == qid:
+                continue
+            ham = sum(bin(a ^ b).count("1") for a, b in zip(c, qcode))
+            rows.append((oid, cos6(emb, qemb), ham))
+        ftop = {
+            oid
+            for oid, _, _ in sorted(rows, key=lambda r: (-r[1], r[0]))[
+                :QUANT_K
+            ]
+        }
+        btop = {
+            oid
+            for oid, _, _ in sorted(rows, key=lambda r: (r[2], r[0]))[
+                :QUANT_K
+            ]
+        }
+        out[qid] = len(ftop & btop)
+    return out
+
+
+def test_binary_quant_recall_exact(spark, embeddings):
+    from ocr_intern_spark.operators.similarity import q_binary_quant_recall
+
+    got = {
+        r["qid"]: r["n_overlap"]
+        for r in q_binary_quant_recall(spark, SF_DIR).collect()
+    }
+    assert got == _binary_reference(embeddings)
+    # 1-bit codes at 64 dims must retain SOME signal: mean overlap
+    # strictly above the ~1.6% random-ranking expectation.
+    assert sum(got.values()) / len(got) > 1.0
+
+
+# --- dedup_simhash_hamming64 -------------------------------------------------
+
+
+def _simham_reference(docs):
+    from ocr_intern_spark.operators.dedup import (
+        SIMHAM_MAX,
+        SIMHAM_MAX_BUCKET,
+    )
+
+    def banks(text):
+        toks = [w for w in text.strip().lower().split() if w]
+        sums = [0] * 64
+        for w in toks:
+            h = hashlib.md5(w.encode()).hexdigest()
+            for b in range(64):
+                nib = int(h[b // 4], 16)
+                bit = (nib >> (3 - b % 4)) & 1
+                sums[b] += 1 if bit == 1 else -1
+        return tuple(
+            sum(1 << j for j in range(16) if sums[16 * k + j] > 0)
+            for k in range(4)
+        ) if toks else None
+
+    coded = [(d, banks(t)) for d, t in docs]
+    coded = [(d, c) for d, c in coded if c is not None]
+    bucket = Counter()
+    for d, c in coded:
+        for k in range(4):
+            bucket[(k, c[k])] += 1
+    pairs = {}
+    for i, (da, ca) in enumerate(coded):
+        for db, cb in coded[i + 1 :]:
+            shares = any(
+                ca[k] == cb[k] and bucket[(k, ca[k])] <= SIMHAM_MAX_BUCKET
+                for k in range(4)
+            )
+            if not shares:
+                continue
+            ham = sum(bin(a ^ b).count("1") for a, b in zip(ca, cb))
+            if ham <= SIMHAM_MAX:
+                key = (da, db) if da < db else (db, da)
+                pairs[key] = ham
+    return pairs
+
+
+def test_simhash_hamming64_exact(spark, docs):
+    from ocr_intern_spark.operators.dedup import q_simhash_hamming64
+
+    got = {
+        (r["da"], r["db"]): r["hamming"]
+        for r in q_simhash_hamming64(spark, SF_DIR).collect()
+    }
+    ref = _simham_reference(docs)
+    assert got == ref
+    assert len(got) > 0  # the corpus plants near-dups; must find them
+
+
+def test_simhash_pigeonhole_recall(docs):
+    """4 × 16-bit bands guarantee: any pair within hamming ≤ 3 shares
+    at least one full band (pigeonhole), so band blocking loses
+    nothing under the threshold — band values can only differ in 3
+    of the 4 banks."""
+    ref = _simham_reference(docs)
+    # recompute all-pairs hamming with NO blocking; every <=3 pair
+    # must appear in the blocked result unless a bucket cap hid it
+    from ocr_intern_spark.operators.dedup import SIMHAM_MAX
+
+    def banks_of(text):
+        toks = [w for w in text.strip().lower().split() if w]
+        if not toks:
+            return None
+        sums = [0] * 64
+        for w in toks:
+            h = hashlib.md5(w.encode()).hexdigest()
+            for b in range(64):
+                bit = (int(h[b // 4], 16) >> (3 - b % 4)) & 1
+                sums[b] += 1 if bit == 1 else -1
+        return tuple(
+            sum(1 << j for j in range(16) if sums[16 * k + j] > 0)
+            for k in range(4)
+        )
+
+    coded = [(d, banks_of(t)) for d, t in docs]
+    coded = [(d, c) for d, c in coded if c is not None]
+    bucket = Counter()
+    for _, c in coded:
+        for k in range(4):
+            bucket[(k, c[k])] += 1
+    from ocr_intern_spark.operators.dedup import SIMHAM_MAX_BUCKET
+
+    for i, (da, ca) in enumerate(coded):
+        for db, cb in coded[i + 1 :]:
+            ham = sum(bin(a ^ b).count("1") for a, b in zip(ca, cb))
+            if ham <= SIMHAM_MAX:
+                assert any(ca[k] == cb[k] for k in range(4)), (
+                    "pigeonhole violated"
+                )
+                capped = all(
+                    bucket[(k, ca[k])] > SIMHAM_MAX_BUCKET
+                    for k in range(4)
+                    if ca[k] == cb[k]
+                )
+                key = (da, db) if da < db else (db, da)
+                assert key in ref or capped
+
+
+# --- graph_hits --------------------------------------------------------------
+
+
+def _hits_reference(docs):
+    grams = {}
+    for d, t in docs:
+        toks = t.strip().lower().split()
+        gs = {
+            " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+        } if len(toks) >= 8 else set()
+        grams[d] = gs
+    first = {}
+    for d in sorted(grams):
+        for g in grams[d]:
+            if g not in first or first[g] > d:
+                first[g] = min(first.get(g, d), d)
+    edges = set()
+    for d, gs in grams.items():
+        for g in gs:
+            if first[g] != d:
+                edges.add((d, first[g]))
+    auth1, hub1, auth2, hub2 = Counter(), Counter(), Counter(), Counter()
+    for a, b in edges:
+        auth1[b] += 1
+    for a, b in edges:
+        hub1[a] += auth1[b]
+    for a, b in edges:
+        auth2[b] += hub1[a]
+    for a, b in edges:
+        hub2[a] += auth2[b]
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    return {
+        n: (auth1[n], hub1[n], auth2[n], hub2[n]) for n in nodes
+    }
+
+
+def test_hits_exact(spark, docs):
+    from ocr_intern_spark.operators.curation import q_hits
+
+    got = {
+        r["doc_id"]: (r["auth1"], r["hub1"], r["auth2"], r["hub2"])
+        for r in q_hits(spark, SF_DIR).collect()
+    }
+    ref = _hits_reference(docs)
+    assert got == ref
+    # hubs and authorities separate: at least one node is a pure hub
+    # (points at sources, nothing points at it) and one a pure
+    # authority — the digraph is irregular by construction.
+    assert any(a == 0 and h > 0 for a, h, _, _ in got.values())
+    assert any(a > 0 and h == 0 for a, h, _, _ in got.values())
