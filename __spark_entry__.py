@@ -356,6 +356,9 @@ _DEFERRED: list[str] = [
     "sim_binary_quant_recall",
     "dedup_simhash_hamming64",
     "graph_hits",
+    "sim_matryoshka_recall",
+    "table_zonemap_prune_stats",
+    "stream_stream_join",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -106,6 +106,133 @@ ORDER BY part, group_id
 """
 
 
+# --- zone-map pruning advisor ------------------------------------------------
+
+FILE_ROWS = 100  # rows per synthesized data file
+
+
+def q_zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file min/max statistics) pruning effectiveness under
+    two physical layouts — the sort-layout advisor every Iceberg/
+    Parquet deployment runs before paying for a rewrite: cut the
+    orders table into FILE_ROWS-row files once in INSERTION order
+    (by o_orderkey — dates scattered across every file) and once in
+    DATE-SORTED order, compute each file's (min, max) o_orderdate
+    zone map, and for each order-year predicate count how many files
+    a min/max-overlap scan planner would actually read. The delta
+    between the two layouts IS the business case for the sort
+    rewrite.
+
+    File assignment uses the distributed two-pass global rank
+    (skew.global_rank — range partition + per-partition prefix
+    offsets), NEVER an unpartitioned row_number window: at 10^12
+    rows the layout simulation must itself scale. At real scale the
+    zone maps come straight from the manifest (this query's
+    simulation layer exists because the sandbox has no real file
+    metadata); the advisor aggregate over (layout, file, year) is
+    metadata-plane work either way.
+
+    All outputs are integers; hit rule is the standard half-open
+    overlap test min < year_end AND max >= year_start."""
+    from ocr_intern_spark.operators.skew import global_rank
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.col("o_orderdate").alias("d")
+    )
+    layouts = []
+    for name, order in (
+        ("insertion", [F.asc("o_orderkey")]),
+        ("date_sorted", [F.asc("d"), F.asc("o_orderkey")]),
+    ):
+        ranked = global_rank(o, *order, rank_name="rk")
+        layouts.append(
+            ranked.select(
+                F.lit(name).alias("layout"),
+                F.floor((F.col("rk") - 1) / FILE_ROWS).cast("long").alias(
+                    "file_id"
+                ),
+                "d",
+            )
+        )
+    files = (
+        layouts[0]
+        .unionByName(layouts[1])
+        .groupBy("layout", "file_id")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    )
+    years = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1995), F.lit(2001))
+            ).alias("yr")
+        )
+        .select(
+            "yr",
+            F.to_timestamp(F.concat(F.col("yr"), F.lit("-01-01"))).alias(
+                "y0"
+            ),
+            F.to_timestamp(
+                F.concat(F.col("yr") + 1, F.lit("-01-01"))
+            ).alias("y1"),
+        )
+    )
+    hit = (
+        files.crossJoin(F.broadcast(years))
+        .groupBy("layout", "yr")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(
+                F.when(
+                    (F.col("mn") < F.col("y1")) & (F.col("mx") >= F.col("y0")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    return hit.select(
+        "layout", F.col("yr").cast("long").alias("yr"), "n_files", "n_hit"
+    ).orderBy("layout", "yr")
+
+
+_ZONEMAP_SQL = f"""
+WITH ins AS (
+  SELECT (row_number() OVER (ORDER BY o_orderkey) - 1) // {FILE_ROWS}
+           AS file_id,
+         o_orderdate AS d
+  FROM orders
+),
+srt AS (
+  SELECT (row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+           // {FILE_ROWS} AS file_id,
+         o_orderdate AS d
+  FROM orders
+),
+files AS (
+  SELECT 'insertion' AS layout, file_id, min(d) AS mn, max(d) AS mx
+  FROM ins GROUP BY file_id
+  UNION ALL
+  SELECT 'date_sorted', file_id, min(d), max(d) FROM srt GROUP BY file_id
+),
+years AS (
+  SELECT yr,
+         CAST(yr || '-01-01' AS TIMESTAMP) AS y0,
+         CAST((yr + 1) || '-01-01' AS TIMESTAMP) AS y1
+  FROM (SELECT unnest(range(1995, 2002)) AS yr)
+)
+SELECT layout, CAST(yr AS BIGINT) AS yr,
+       count(*) AS n_files,
+       CAST(sum(CASE WHEN mn < y1 AND mx >= y0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit
+FROM files, years
+GROUP BY layout, yr
+ORDER BY layout, yr
+"""
+
+
 QUERIES = {
     "table_compaction_plan": (q_compaction_plan, _COMPACTION_SQL),
+    "table_zonemap_prune_stats": (q_zonemap_prune_stats, _ZONEMAP_SQL),
 }

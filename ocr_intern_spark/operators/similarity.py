@@ -786,6 +786,114 @@ ORDER BY qid
 """
 
 
+MRL_DIM = 16  # Matryoshka truncation width (prefix of the 64 dims)
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality (Kusupati et al. 2022): rank
+    neighbors by cosine over the FIRST {MRL_DIM} dimensions only (4×
+    smaller vectors by dropping the embedding tail, the MRL deployment
+    trade) and measure the top-{K} overlap against the full-dimension
+    ranking per evaluation query. Third point on the repo's
+    memory-for-recall curve: int8 (4×, near-lossless), matryoshka
+    prefix (4×, lossy-ordered), binary sign (32×, coarse).
+
+    Same harness, tie-breaks, and rounding as the int8/binary
+    variants, so the three curves are directly comparable and the
+    DuckDB oracle reproduces overlaps exactly.
+
+    Scale shape: identical to sim_int8_quant_recall — broadcast
+    eval-query frame, one narrow scoring pass, qid-partitioned
+    ranking windows."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, MRL_DIM).alias("mvec"),
+    )
+    qs = e.where(F.col("vec_id") % QUANT_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("mvec").alias("qm"),
+    )
+    pairs = e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("oid"),
+        F.round(cosine(F.col("embedding"), F.col("qemb")), 6).alias("fcos"),
+        F.round(cosine(F.col("mvec"), F.col("qm")), 6).alias("mcos"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("fcos"), F.asc("oid"))
+    wm = Window.partitionBy("qid").orderBy(F.desc("mcos"), F.asc("oid"))
+    ranked = pairs.select(
+        "qid",
+        "oid",
+        F.row_number().over(wf).alias("frk"),
+        F.row_number().over(wm).alias("mrk"),
+    )
+    ftop = ranked.where(F.col("frk") <= QUANT_K).select("qid", "oid")
+    mtop = ranked.where(F.col("mrk") <= QUANT_K).select("qid", "oid")
+    hits = ftop.join(mtop, ["qid", "oid"]).groupBy("qid").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / QUANT_K, 6).alias(
+                "overlap"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+_MRL_COS = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * v))) "
+    "* sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * v)))), 6)"
+)
+
+_MATRYOSHKA_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_slice(embedding, 1, {MRL_DIM}) AS mvec
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qemb, mvec AS qm
+  FROM e WHERE vec_id % {QUANT_QMOD} = 0
+),
+pairs AS (
+  SELECT qid, vec_id AS oid,
+         {_MRL_COS.format(a="embedding", b="qemb")} AS fcos,
+         {_MRL_COS.format(a="mvec", b="qm")} AS mcos
+  FROM e, qs
+  WHERE vec_id != qid
+),
+ranked AS (
+  SELECT qid, oid,
+         row_number() OVER (PARTITION BY qid ORDER BY fcos DESC, oid) AS frk,
+         row_number() OVER (PARTITION BY qid ORDER BY mcos DESC, oid) AS mrk
+  FROM pairs
+),
+hits AS (
+  SELECT f.qid, count(*) AS n_overlap
+  FROM (SELECT qid, oid FROM ranked WHERE frk <= {QUANT_K}) f
+  JOIN (SELECT qid, oid FROM ranked WHERE mrk <= {QUANT_K}) g
+    USING (qid, oid)
+  GROUP BY f.qid
+)
+SELECT qid, CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) / CAST({QUANT_K} AS DOUBLE), 6) AS overlap
+FROM qs LEFT JOIN hits USING (qid)
+ORDER BY qid
+"""
+
+
 SEMDEDUP_TAU = 0.4  # intra-cluster cosine above which one of a pair is pruned
 
 
@@ -1797,4 +1905,5 @@ QUERIES = {
     "graph_knn_bfs_hops": (q_knn_bfs_hops, _BFS_SQL),
     "sim_ivf_delta_assign": (q_ivf_delta_assign, _ivf_delta_sql()),
     "sim_binary_quant_recall": (q_binary_quant_recall, _BINARY_RECALL_SQL),
+    "sim_matryoshka_recall": (q_matryoshka_recall, _MATRYOSHKA_SQL),
 }

@@ -102,11 +102,22 @@ def global_rank(
     """
     from pyspark.sql.window import Window
 
+    from pyspark import StorageLevel
+
     p = partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
         df.repartitionByRange(p, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
+        # MATERIALIZED between the two passes (TeraSort-style): _pid is
+        # only meaningful if the counts subtree and the join subtree see
+        # the SAME physical partitioning. Without this, AQE may plan the
+        # two instances of the range exchange independently (reuse is an
+        # optimization, not a guarantee) and coalesce them differently —
+        # observed: duplicate ranks under a union of two global_rank
+        # branches. At petabyte scale the materialization is a bucketed
+        # table write; the algorithm is two-pass either way.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = parted.groupBy("_pid").agg(F.count("*").alias("_m"))
     # bounded-window: frame is exactly `partitions` rows (config, not data)

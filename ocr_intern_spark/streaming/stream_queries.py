@@ -582,8 +582,174 @@ ORDER BY user_id, s_start
 """
 
 
+_SSJ_INTERVAL_MIN = 120  # purchase within 2h after the click
+_SSJ_DELAY = "1 hour"    # both sides' watermark delay
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join, driver-hashed — the remaining
+    Structured Streaming state class (aggregation, dedup, session
+    windows, and checkpoint-resume are already driver-checked; joins
+    keep BOTH sides in the state store): click events join purchase
+    events of the same user arriving within {interval} minutes AFTER
+    the click, inner append-mode with watermarks on both sides.
+
+    Determinism contract: inner stream-stream joins emit a pair
+    exactly once, when its later element arrives; the emitted SET
+    equals the batch interval join PROVIDED no needed state was
+    evicted and no row was late. Both are guaranteed structurally:
+    the staging is TIME-SLICED (file k = k-th contiguous (ts,
+    event_id) slice, increasing mtimes) so no row is ever late, and
+    eviction only removes clicks with ts < watermark − interval while
+    any future purchase needs clicks ≥ its ts − interval >
+    watermark − interval (watermark lags max seen by the delay;
+    multipleWatermarkPolicy=min can only lag further). So the final
+    output is the pure data function the DuckDB oracle computes with
+    a plain interval join.
+
+    Scale notes (100 TB): this is THE funnel-attribution shape at
+    ingest — both sides' state is bounded by watermark + interval
+    (hours of data, not history), keyed and co-partitioned on
+    user_id, exactly how a 1000-executor cluster holds it. The
+    batch-side equivalent (events_asof_plan / events_funnel) re-scans
+    history; this pays state proportional to the join window."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("ts", "event_type", "user_id", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )  # harness-side staging at test scale, not the operator path
+    final = _ssj_run(spark, rows)
+    return spark.createDataFrame(
+        final,
+        "user_id bigint, click_id bigint, purchase_id bigint, "
+        "gap_us bigint",
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+def _ssj_run(spark: SparkSession, rows, n_files: int = _N_FILES):
+    """Stage pre-sorted (ts, event_type, user_id, event_id) rows as
+    n_files time-sliced parquet files and run the watermarked
+    stream-stream interval join over them; returns the emitted pairs
+    as plain tuples. Split out so tests can inject a synthetic
+    staging where a pair provably straddles micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="sq_ssj_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        n = len(rows)
+        per = max(1, (n + n_files - 1) // n_files)
+        for k in range(n_files):
+            chunk = rows[k * per : (k + 1) * per]
+            if not chunk:
+                break
+            path = os.path.join(in_dir, f"part-{k:05d}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "ts": [r.ts for r in chunk],
+                        "event_type": [r.event_type for r in chunk],
+                        "user_id": [r.user_id for r in chunk],
+                        "event_id": [r.event_id for r in chunk],
+                    }
+                ),
+                path,
+            )
+            os.utime(path, (1700000000 + k * 60, 1700000000 + k * 60))
+
+        tz_key = "spark.sql.session.timeZone"
+        old_tz = spark.conf.get(tz_key, None)
+        spark.conf.set(tz_key, "UTC")
+        try:
+            schema = (
+                "ts timestamp, event_type string, user_id bigint, "
+                "event_id bigint"
+            )
+
+            def side(ev: str, pre: str) -> DataFrame:
+                return (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(in_dir)
+                    .where(F.col("event_type") == ev)
+                    .select(
+                        F.col("user_id").alias(f"{pre}_user"),
+                        F.col("event_id").alias(f"{pre}_id"),
+                        F.col("ts").alias(f"{pre}_ts"),
+                    )
+                    .withWatermark(f"{pre}_ts", _SSJ_DELAY)
+                )
+
+            joined = side("click", "c").join(
+                side("purchase", "p"),
+                F.expr(
+                    "c_user = p_user AND p_ts >= c_ts AND "
+                    f"p_ts <= c_ts + INTERVAL {_SSJ_INTERVAL_MIN} MINUTES"
+                ),
+            )
+            out = joined.select(
+                F.col("c_user").alias("user_id"),
+                F.col("c_id").alias("click_id"),
+                F.col("p_id").alias("purchase_id"),
+                (
+                    F.unix_micros("p_ts") - F.unix_micros("c_ts")
+                ).alias("gap_us"),
+            )
+            name = f"sq_{uuid.uuid4().hex}"
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            n_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if n_batches < 2:
+                raise RuntimeError(
+                    f"stream-stream join ran as {n_batches} micro-batch(es)"
+                )
+            final = [
+                (r.user_id, r.click_id, r.purchase_id, r.gap_us)
+                for r in spark.table(name).collect()
+            ]
+        finally:
+            if old_tz is None:
+                spark.conf.unset(tz_key)
+            else:
+                spark.conf.set(tz_key, old_tz)
+        return final
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STREAM_SSJ_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, click_id, purchase_id,
+       CAST(epoch_us(pts) - epoch_us(cts) AS BIGINT) AS gap_us
+FROM c JOIN p USING (user_id)
+WHERE pts >= cts AND pts <= cts + INTERVAL {_SSJ_INTERVAL_MIN} MINUTE
+ORDER BY user_id, click_id, purchase_id
+"""
+
+
 QUERIES = {
     "stream_events_summary": (q_stream_events_summary, _STREAM_EVENTS_SUMMARY_SQL),
+    "stream_stream_join": (q_stream_stream_join, _STREAM_SSJ_SQL),
     "stream_session_window": (
         q_stream_session_window,
         _STREAM_SESSION_SQL,

@@ -97,3 +97,39 @@ def test_every_unpartitioned_window_is_marked_bounded():
         "unpartitioned windows without a bounded-window justification:\n"
         + "\n".join(offenders)
     )
+
+
+def test_two_branch_union_ranks_stay_dense(spark):
+    """Regression for the AQE double-execution hazard: global_rank's
+    first pass (repartitionByRange + spark_partition_id) feeds two
+    subtrees; if the range exchange is planned independently for each
+    (exchange reuse is an optimization, not a guarantee) the _pid
+    labeling can disagree and ranks duplicate. Observed as 200-row
+    'files' in table_zonemap_prune_stats at sf0.01 before the
+    materialize-between-passes fix. Shape under test: a UNION of two
+    global_rank branches over the same frame — the shape that
+    triggered it."""
+    from pyspark.sql import functions as F
+
+    from ocr_intern_spark.operators.skew import global_rank
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id")) % 10007).alias("k"),
+    )
+    a = global_rank(df, F.asc("k"), F.asc("id"), rank_name="rk")
+    b = global_rank(df, F.desc("id"), rank_name="rk")
+    u = a.select(F.lit("a").alias("l"), "rk").unionByName(
+        b.select(F.lit("b").alias("l"), "rk")
+    )
+    got = {
+        r["l"]: (r["n"], r["d"], r["mx"])
+        for r in u.groupBy("l")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("rk").alias("d"),
+            F.max("rk").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == {"a": (20000, 20000, 20000), "b": (20000, 20000, 20000)}

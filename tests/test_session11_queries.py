@@ -341,3 +341,186 @@ def test_hits_exact(spark, docs):
     # authority — the digraph is irregular by construction.
     assert any(a == 0 and h > 0 for a, h, _, _ in got.values())
     assert any(a > 0 and h == 0 for a, h, _, _ in got.values())
+
+
+# --- sim_matryoshka_recall ---------------------------------------------------
+
+
+def _matryoshka_reference(embeddings):
+    from ocr_intern_spark.operators.similarity import (
+        MRL_DIM,
+        QUANT_K,
+        QUANT_QMOD,
+    )
+
+    def cos6(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        den = math.sqrt(sum(float(x) ** 2 for x in a)) * math.sqrt(
+            sum(float(y) ** 2 for y in b)
+        )
+        return round(num / den, 6)
+
+    out = {}
+    for qid, qemb in embeddings:
+        if qid % QUANT_QMOD != 0:
+            continue
+        rows = []
+        for oid, emb in embeddings:
+            if oid == qid:
+                continue
+            rows.append(
+                (
+                    oid,
+                    cos6(emb, qemb),
+                    cos6(emb[:MRL_DIM], qemb[:MRL_DIM]),
+                )
+            )
+        ftop = {
+            oid
+            for oid, _, _ in sorted(rows, key=lambda r: (-r[1], r[0]))[
+                :QUANT_K
+            ]
+        }
+        mtop = {
+            oid
+            for oid, _, _ in sorted(rows, key=lambda r: (-r[2], r[0]))[
+                :QUANT_K
+            ]
+        }
+        out[qid] = len(ftop & mtop)
+    return out
+
+
+def test_matryoshka_recall_exact(spark, embeddings):
+    from ocr_intern_spark.operators.similarity import q_matryoshka_recall
+
+    got = {
+        r["qid"]: r["n_overlap"]
+        for r in q_matryoshka_recall(spark, SF_DIR).collect()
+    }
+    assert got == _matryoshka_reference(embeddings)
+
+
+# --- table_zonemap_prune_stats -----------------------------------------------
+
+
+def test_zonemap_prune_reference(spark):
+    """Full recompute of both layouts with stdlib sorting, plus the
+    advisor's point: the date-sorted layout must prune strictly
+    better than insertion order overall."""
+    from ocr_intern_spark.operators.maintenance import (
+        FILE_ROWS,
+        q_zonemap_prune_stats,
+    )
+
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    orders = list(
+        zip(
+            t.column("o_orderkey").to_pylist(),
+            t.column("o_orderdate").to_pylist(),
+        )
+    )
+    ref = {}
+    for layout, key in (
+        ("insertion", lambda r: r[0]),
+        ("date_sorted", lambda r: (r[1], r[0])),
+    ):
+        rows = sorted(orders, key=key)
+        zones = defaultdict(lambda: [None, None])
+        for i, (_, d) in enumerate(rows):
+            z = zones[i // FILE_ROWS]
+            z[0] = d if z[0] is None else min(z[0], d)
+            z[1] = d if z[1] is None else max(z[1], d)
+        for yr in range(1995, 2002):
+            from datetime import datetime
+
+            y0, y1 = datetime(yr, 1, 1), datetime(yr + 1, 1, 1)
+            hit = sum(1 for mn, mx in zones.values() if mn < y1 and mx >= y0)
+            ref[(layout, yr)] = (len(zones), hit)
+    got = {
+        (r["layout"], r["yr"]): (r["n_files"], r["n_hit"])
+        for r in q_zonemap_prune_stats(spark, SF_DIR).collect()
+    }
+    assert got == ref
+    ins = sum(h for (l, _), (_, h) in got.items() if l == "insertion")
+    srt = sum(h for (l, _), (_, h) in got.items() if l == "date_sorted")
+    assert srt < ins  # the sort rewrite provably pays off
+
+
+def test_zonemap_no_unpartitioned_window(spark):
+    """File assignment must ride the distributed global rank, never a
+    single-reducer `WindowExec: No Partition Defined`."""
+    from ocr_intern_spark.operators.maintenance import q_zonemap_prune_stats
+
+    plan = _plan(q_zonemap_prune_stats(spark, SF_DIR))
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        # every Window in the plan must carry a partition spec
+        seg = plan[m.start() : m.start() + 400]
+        assert "windowspecdefinition(_pid" in seg or "partitionBy" in seg or (
+            "windowspecdefinition(" in seg
+            and not seg.split("windowspecdefinition(")[1].startswith("ROWS")
+        ), seg
+
+
+# --- stream_stream_join ------------------------------------------------------
+
+
+def _ssj_reference():
+    from datetime import timedelta
+
+    from ocr_intern_spark.streaming.stream_queries import _SSJ_INTERVAL_MIN
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    ev = t.to_pylist()
+    clicks = [e for e in ev if e["event_type"] == "click"]
+    buys = [e for e in ev if e["event_type"] == "purchase"]
+    pairs = {}
+    for c in clicks:
+        for p in buys:
+            if p["user_id"] != c["user_id"]:
+                continue
+            if c["ts"] <= p["ts"] <= c["ts"] + timedelta(
+                minutes=_SSJ_INTERVAL_MIN
+            ):
+                gap = int((p["ts"] - c["ts"]).total_seconds() * 1_000_000)
+                pairs[(c["user_id"], c["event_id"], p["event_id"])] = gap
+    return pairs
+
+
+def test_stream_stream_join_exact(spark):
+    from ocr_intern_spark.streaming.stream_queries import q_stream_stream_join
+
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"]): r["gap_us"]
+        for r in q_stream_stream_join(spark, SF_DIR).collect()
+    }
+    assert got == _ssj_reference()
+    assert len(got) > 0
+
+
+def test_stream_stream_join_crosses_batches(spark):
+    """A pair whose click and purchase land in DIFFERENT staged files
+    must still emit — the click matched from the join STATE STORE,
+    proving cross-micro-batch state actually carried. Synthetic
+    staging (injected through _ssj_run): the matching click is the
+    first row, its purchase the last, with 14 non-matching filler
+    rows between, so at 8 files the pair straddles 7 batch
+    boundaries."""
+    from collections import namedtuple
+    from datetime import datetime, timedelta
+
+    from ocr_intern_spark.streaming.stream_queries import _ssj_run
+
+    R = namedtuple("R", "ts event_type user_id event_id")
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [R(t0, "click", 1, 100)]
+    # filler: clicks of OTHER users (no purchases → no extra pairs)
+    for i in range(14):
+        rows.append(R(t0 + timedelta(minutes=5 * (i + 1)), "click", 50 + i, 200 + i))
+    rows.append(R(t0 + timedelta(minutes=90), "purchase", 1, 999))
+    got = _ssj_run(spark, rows, n_files=8)
+    assert got == [(1, 100, 999, 90 * 60 * 1_000_000)]
