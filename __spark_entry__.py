@@ -359,6 +359,9 @@ _DEFERRED: list[str] = [
     "sim_matryoshka_recall",
     "table_zonemap_prune_stats",
     "stream_stream_join",
+    "dedup_cc_incremental",
+    "events_salted_type_totals",
+    "sim_ivf_recall_curve",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -2883,6 +2883,65 @@ ORDER BY user_id, k
 """
 
 
+# --- salted hot-key aggregation, driver-hashed --------------------------------
+
+SALT_N = 32
+
+
+def q_salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-PROOF aggregation shape, driver-hashed: per-event-type
+    totals where the grouping key has only ~5 distinct values — at
+    10^12 events a plain groupBy(event_type) funnels 20% of the
+    corpus through each of 5 reducers; the two-phase salted rewrite
+    (phase 1 groups by (key, salt) so SALT_N reducers share each hot
+    key, phase 2 merges the decomposable partials) is the standard
+    fix, and this query PROVES it exact: the oracle is the plain
+    one-phase GROUP BY, so the driver hash certifies salted ≡ plain.
+
+    The salt is content-derived (xxhash64 over the full row — the
+    skew.salted_agg discipline): a re-executed map task under partial
+    stage retry routes every row to the SAME (key, salt) group, so
+    partials are bit-stable (the SPARK-23207 failure class that
+    rand()/monotonic-id salts are exposed to). Money stays in
+    floor-cents BIGINT through both phases and is emitted as a digit
+    string (the dsir lesson); count/sum/min/max are all decomposable
+    so the two-phase merge is exact, not approximate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64(*ev.columns), F.lit(SALT_N))
+    )
+    part = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("pc"),
+        F.min("event_id").alias("pmin"),
+        F.max("event_id").alias("pmax"),
+    )
+    return (
+        part.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("pc").cast("string").alias("value_cents"),
+            F.min("pmin").alias("first_event"),
+            F.max("pmax").alias("last_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SALTED_TOTALS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS VARCHAR) AS value_cents,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -2958,4 +3017,5 @@ QUERIES = {
         _DAILY_UNPIVOT_SQL,
     ),
     "events_merge_upsert": (q_events_merge_upsert, _MERGE_UPSERT_SQL),
+    "events_salted_type_totals": (q_salted_type_totals, _SALTED_TOTALS_SQL),
 }

@@ -1172,6 +1172,85 @@ SELECT doc_id, {bits} AS simhash FROM sums ORDER BY doc_id
 
 
 
+# --- incremental connected-components maintenance ---------------------------
+
+CC_CUT_NUM, CC_CUT_DEN = 4, 5  # base corpus = doc_id <= max_id * 4/5
+
+
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-cluster MAINTENANCE: new documents (the
+    top 1/{CC_CUT_DEN} of the doc_id range) arrive against a corpus
+    whose near-dup components were already computed; instead of
+    re-running connected components over all edges, the update runs
+    CC only on the CONTRACTED delta graph — every delta edge's base
+    endpoint is replaced by its frozen base cluster label, so the
+    second CC's input is (touched base clusters + new docs), delta-
+    scale, never corpus-scale. Because base labels are component MIN
+    doc_ids, the contracted component's min node id equals the merged
+    component's global min — the final labels are IDENTICAL to a full
+    recompute, and the oracle IS the full recompute
+    (_DUP_CLUSTERS_SQL verbatim): driver hash equality PROVES the
+    incremental maintenance path, the same proof pattern as the
+    exact→LSH pipeline swap.
+
+    Scale shape: at 10^12 docs the nightly delta is ~10^9; the base
+    label table is a join-indexed artifact (here recomputed from the
+    base slice because the sandbox stores no state between queries —
+    stated, same convention as sim_ivf_delta_assign's frozen
+    centroids); the contracted CC touches only delta edges and the
+    base clusters they collide with."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b").persist()
+    docs = _docs(spark, sf_dir)
+    cut_df = docs.agg(
+        (F.max("doc_id") * CC_CUT_NUM / CC_CUT_DEN)
+        .cast("long")
+        .alias("cut")
+    )
+    with_cut = pairs.crossJoin(F.broadcast(cut_df))
+    base_pairs = with_cut.where(
+        (F.col("a") <= F.col("cut")) & (F.col("b") <= F.col("cut"))
+    ).select("a", "b")
+    delta_pairs = with_cut.where(
+        (F.col("a") > F.col("cut")) | (F.col("b") > F.col("cut"))
+    ).select("a", "b")
+    base_labels = connected_components(base_pairs).withColumnRenamed(
+        "cluster_id", "label"
+    ).persist()
+    la = base_labels.select(
+        F.col("doc_id").alias("a"), F.col("label").alias("la")
+    )
+    lb = base_labels.select(
+        F.col("doc_id").alias("b"), F.col("label").alias("lb")
+    )
+    contracted = (
+        delta_pairs.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("a"),
+            F.coalesce("lb", F.col("b")).alias("b"),
+        )
+    )
+    roots = connected_components(contracted).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("root")
+    )
+    members = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    out = (
+        members.join(base_labels, "doc_id", "left")
+        .withColumn("node", F.coalesce("label", F.col("doc_id")))
+        .join(roots, "node", "left")
+        .select(
+            "doc_id",
+            F.coalesce("root", F.col("node")).alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
 # --- 64-bit SimHash hamming pairs (Manku-style band blocking) ---------------
 
 SIMHAM_BITS = 64        # production fingerprint width (Manku et al. 2007)
@@ -1566,6 +1645,7 @@ QUERIES = {
     "dedup_keep_best": (q_dedup_keep_best, _KEEP_BEST_SQL),
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "dedup_simhash_hamming64": (q_simhash_hamming64, _simham64_sql()),
+    "dedup_cc_incremental": (q_cc_incremental, _DUP_CLUSTERS_SQL),
     "dedup_fingerprint_count": (q_dedup_fingerprint_count, _DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _JACCARD_SQL),
     "dedup_ngram_containment": (q_ngram_containment_pairs, _CONTAINMENT_SQL),

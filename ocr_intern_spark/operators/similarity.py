@@ -786,6 +786,225 @@ ORDER BY qid
 """
 
 
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF RECALL-vs-PROBES curve — the tuning table every ANN
+    deployment reads before picking nprobe: per evaluation query
+    (vec_id % {QUANT_QMOD} == 0), candidate-set size and exact-top-{K}
+    overlap at nprobe=1 and nprobe=2 against the shared deterministic
+    IVF index (md5-sample centroids, argmax cell assignment — same
+    helpers as sim_ivf_topk/semdedup so the index under measurement
+    is the index the other queries search).
+
+    Recall@K(p) = |top-K_exact ∩ top-K among candidates from the p
+    nearest cells| — candidates are re-ranked by EXACT cosine, so the
+    only loss is cell pruning, which is exactly what nprobe buys
+    back. Monotonicity (p2 ⊇ p1 candidates ⇒ overlap_p2 ≥
+    overlap_p1) is pinned in tests.
+
+    Scale shape: centroid table broadcast; per-query cell affinity is
+    a ≤cells-row frame; candidate generation is ONE hash join from
+    the assignment table (cell is the cluster key at real scale, so
+    the probe join IS partition pruning); ranking windows partition
+    by qid. The eval frame (n/{QUANT_QMOD} rows) is the allowlisted
+    broadcast class shared with the quantization-recall family."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    cents = _ivf_centroids(e)
+    assigned = e.join(_ivf_assign(e, cents).drop("ccos"), "vec_id").select(
+        "vec_id", "embedding", "cell"
+    )
+    qs = e.where(F.col("vec_id") % QUANT_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # per-query cell affinity ranks (bounded frame: IVF_CELLS rows/qid)
+    qcells = (
+        qs.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "cid",
+            _cos_expr(F.col("cvec"), F.col("qvec")).alias("qccos"),
+        )
+        .select(
+            "qid",
+            "cid",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("qccos"), F.asc("cid")
+                )
+            )
+            .alias("probe_rk"),
+        )
+        .where(F.col("probe_rk") <= 2)
+    )
+    cands = (
+        assigned.join(
+            F.broadcast(qcells), assigned.cell == qcells.cid
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(
+            qs.withColumnRenamed("qid", "q2"),
+            F.col("qid") == F.col("q2"),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("oid"),
+            "probe_rk",
+            _cos_expr(F.col("embedding"), F.col("qvec")).alias("ccand"),
+        )
+    )
+    # exact global top-K per query
+    exact = e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("oid"),
+        _cos_expr(F.col("embedding"), F.col("qvec")).alias("fcos"),
+    )
+    we = Window.partitionBy("qid").orderBy(F.desc("fcos"), F.asc("oid"))
+    etop = (
+        exact.select(
+            "qid", "oid", F.row_number().over(we).alias("rk")
+        )
+        .where(F.col("rk") <= QUANT_K)
+        .select("qid", "oid")
+    )
+
+    def probe_stats(max_rk: int, tag: str) -> DataFrame:
+        c = cands.where(F.col("probe_rk") <= max_rk)
+        w = Window.partitionBy("qid").orderBy(F.desc("ccand"), F.asc("oid"))
+        top = (
+            c.select("qid", "oid", F.row_number().over(w).alias("rk"))
+            .where(F.col("rk") <= QUANT_K)
+            .select("qid", "oid")
+        )
+        n_cand = c.groupBy("qid").agg(
+            F.count("*").alias(f"n_cand_{tag}")
+        )
+        n_hit = (
+            top.join(etop, ["qid", "oid"])
+            .groupBy("qid")
+            .agg(F.count("*").alias(f"n_overlap_{tag}"))
+        )
+        return n_cand.join(n_hit, "qid", "left").select(
+            "qid",
+            f"n_cand_{tag}",
+            F.coalesce(f"n_overlap_{tag}", F.lit(0)).alias(
+                f"n_overlap_{tag}"
+            ),
+        )
+    return (
+        qs.select("qid")
+        .join(probe_stats(1, "p1"), "qid", "left")
+        .join(probe_stats(2, "p2"), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_cand_p1", F.lit(0)).alias("n_cand_p1"),
+            F.coalesce("n_overlap_p1", F.lit(0)).alias("n_overlap_p1"),
+            F.coalesce("n_cand_p2", F.lit(0)).alias("n_cand_p2"),
+            F.coalesce("n_overlap_p2", F.lit(0)).alias("n_overlap_p2"),
+        )
+        .orderBy("qid")
+    )
+
+
+_IVF_COS = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x)))), 6)"
+)
+
+_IVF_RECALL_CURVE_SQL = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_IVF_COS.format(a="e.embedding", b="c.cvec")} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qvec
+  FROM embeddings WHERE vec_id % {QUANT_QMOD} = 0
+),
+qcells AS (
+  SELECT qid, cid, probe_rk FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {_IVF_COS.format(a="c.cvec", b="q.qvec")} DESC, c.cid ASC)
+             AS probe_rk
+    FROM cents c CROSS JOIN qs q
+  ) WHERE probe_rk <= 2
+),
+cands AS (
+  SELECT k.qid, a.vec_id AS oid, k.probe_rk,
+         {_IVF_COS.format(a="a.embedding", b="q.qvec")} AS ccand
+  FROM assigned a
+  JOIN qcells k ON a.cell = k.cid
+  JOIN qs q ON q.qid = k.qid
+  WHERE a.vec_id != k.qid
+),
+exact AS (
+  SELECT q.qid, e.vec_id AS oid,
+         {_IVF_COS.format(a="e.embedding", b="q.qvec")} AS fcos
+  FROM embeddings e CROSS JOIN qs q
+  WHERE e.vec_id != q.qid
+),
+etop AS (
+  SELECT qid, oid FROM (
+    SELECT qid, oid,
+           row_number() OVER (PARTITION BY qid ORDER BY fcos DESC, oid) AS rk
+    FROM exact
+  ) WHERE rk <= {QUANT_K}
+),
+p1top AS (
+  SELECT qid, oid FROM (
+    SELECT qid, oid,
+           row_number() OVER (PARTITION BY qid ORDER BY ccand DESC, oid) AS rk
+    FROM cands WHERE probe_rk <= 1
+  ) WHERE rk <= {QUANT_K}
+),
+p2top AS (
+  SELECT qid, oid FROM (
+    SELECT qid, oid,
+           row_number() OVER (PARTITION BY qid ORDER BY ccand DESC, oid) AS rk
+    FROM cands WHERE probe_rk <= 2
+  ) WHERE rk <= {QUANT_K}
+),
+nc1 AS (SELECT qid, count(*) AS n_cand_p1 FROM cands WHERE probe_rk <= 1 GROUP BY qid),
+nc2 AS (SELECT qid, count(*) AS n_cand_p2 FROM cands GROUP BY qid),
+nh1 AS (
+  SELECT p.qid, count(*) AS n_overlap_p1
+  FROM p1top p JOIN etop e ON p.qid = e.qid AND p.oid = e.oid GROUP BY p.qid
+),
+nh2 AS (
+  SELECT p.qid, count(*) AS n_overlap_p2
+  FROM p2top p JOIN etop e ON p.qid = e.qid AND p.oid = e.oid GROUP BY p.qid
+)
+SELECT qs.qid,
+       CAST(coalesce(nc1.n_cand_p1, 0) AS BIGINT) AS n_cand_p1,
+       CAST(coalesce(nh1.n_overlap_p1, 0) AS BIGINT) AS n_overlap_p1,
+       CAST(coalesce(nc2.n_cand_p2, 0) AS BIGINT) AS n_cand_p2,
+       CAST(coalesce(nh2.n_overlap_p2, 0) AS BIGINT) AS n_overlap_p2
+FROM qs
+LEFT JOIN nc1 USING (qid)
+LEFT JOIN nh1 USING (qid)
+LEFT JOIN nc2 USING (qid)
+LEFT JOIN nh2 USING (qid)
+ORDER BY qs.qid
+"""
+
+
 MRL_DIM = 16  # Matryoshka truncation width (prefix of the 64 dims)
 
 
@@ -1906,4 +2125,5 @@ QUERIES = {
     "sim_ivf_delta_assign": (q_ivf_delta_assign, _ivf_delta_sql()),
     "sim_binary_quant_recall": (q_binary_quant_recall, _BINARY_RECALL_SQL),
     "sim_matryoshka_recall": (q_matryoshka_recall, _MATRYOSHKA_SQL),
+    "sim_ivf_recall_curve": (q_ivf_recall_curve, _IVF_RECALL_CURVE_SQL),
 }

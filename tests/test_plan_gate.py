@@ -32,6 +32,9 @@ _BNLJ_ALLOWED = frozenset(
         "major_revenue_parts",
         "sim_cosine_topk",
         "sim_binary_quant_recall",
+        "sim_ivf_recall_curve",
+        "sim_matryoshka_recall",
+        "table_zonemap_prune_stats",
         "sim_embedding_outliers",
         "sim_hard_negatives",
         "sim_int8_quant_recall",

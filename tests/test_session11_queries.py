@@ -524,3 +524,101 @@ def test_stream_stream_join_crosses_batches(spark):
     rows.append(R(t0 + timedelta(minutes=90), "purchase", 1, 999))
     got = _ssj_run(spark, rows, n_files=8)
     assert got == [(1, 100, 999, 90 * 60 * 1_000_000)]
+
+
+# --- dedup_cc_incremental ----------------------------------------------------
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    """The maintenance path's labels must equal a FULL connected-
+    components recompute over the same pair graph — the same proof
+    the driver hash makes, pinned here against the Spark batch CC
+    directly, plus non-vacuity: the delta actually attaches at least
+    one new doc to a base cluster (else the contraction is never
+    exercised)."""
+    from pyspark.sql import functions as F
+
+    from ocr_intern_spark.operators.dedup import (
+        CC_CUT_DEN,
+        CC_CUT_NUM,
+        connected_components,
+        q_cc_incremental,
+        q_ngram_jaccard_pairs,
+    )
+
+    pairs = q_ngram_jaccard_pairs(spark, SF_DIR).select("a", "b")
+    full = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    inc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in q_cc_incremental(spark, SF_DIR).collect()
+    }
+    assert inc == full
+    cut = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .agg((F.max("doc_id") * CC_CUT_NUM / CC_CUT_DEN).cast("long"))
+        .first()[0]
+    )
+    # a new doc (id > cut) must share a cluster rooted at a base doc
+    assert any(d > cut and c <= cut for d, c in inc), (
+        "fixture too weak: no delta doc joined a base cluster"
+    )
+
+
+# --- events_salted_type_totals -----------------------------------------------
+
+
+def test_salted_totals_two_phase_plan(spark):
+    """The salted rewrite must actually run TWO keyed aggregations —
+    (event_type, _salt) then (event_type) — and the salt must spread:
+    more than one salt bucket per hot key at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from ocr_intern_spark.operators.analytics import (
+        SALT_N,
+        q_salted_type_totals,
+    )
+
+    df = q_salted_type_totals(spark, SF_DIR)
+    plan = _plan(df)
+    assert "hashpartitioning(event_type" in plan
+    assert "_salt" in plan
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    spread = (
+        ev.withColumn(
+            "_salt", F.pmod(F.xxhash64(*ev.columns), F.lit(SALT_N))
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("_salt").alias("d"))
+        .agg(F.min("d"))
+        .first()[0]
+    )
+    assert spread > SALT_N // 2
+
+
+# --- sim_ivf_recall_curve ----------------------------------------------------
+
+
+def test_ivf_recall_monotone_and_exact_at_full_probe(spark):
+    """nprobe=2 candidates are a superset of nprobe=1, so overlap
+    must be monotone per query; and with only 8 cells the curve must
+    show real pruning (p1 candidate count < corpus-1 somewhere)."""
+    from ocr_intern_spark.operators.similarity import q_ivf_recall_curve
+
+    rows = q_ivf_recall_curve(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_overlap_p2"] >= r["n_overlap_p1"]
+        assert r["n_cand_p2"] >= r["n_cand_p1"]
+    assert any(r["n_cand_p1"] < 499 for r in rows)
+    # the second probe must buy measurable recall on average (the
+    # synthetic embeddings are near-random, so absolute recall is low
+    # by construction — the CURVE is the signal, not the level)
+    mean_p1 = sum(r["n_overlap_p1"] for r in rows) / len(rows)
+    mean_p2 = sum(r["n_overlap_p2"] for r in rows) / len(rows)
+    assert mean_p2 > mean_p1
+    assert mean_p2 >= 2.0
