@@ -362,6 +362,9 @@ _DEFERRED: list[str] = [
     "dedup_cc_incremental",
     "events_salted_type_totals",
     "sim_ivf_recall_curve",
+    "graph_community_modularity",
+    "multimodal_audio_chunk_plan",
+    "text_ccnet_buckets",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

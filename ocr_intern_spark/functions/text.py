@@ -2283,6 +2283,89 @@ FROM p ORDER BY doc_id
 """
 
 
+# --- CCNet head/middle/tail perplexity buckets -------------------------------
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's defining move (Wenzek et al. 2020): split the corpus
+    into HEAD / MIDDLE / TAIL tertiles by language-model perplexity
+    and let downstream consumers pick their quality/quantity trade —
+    head for high-quality pretraining, tail for filtering studies.
+    Score = the bigram-LM mean NLL (q_bigram_logprob, the repo's
+    KenLM stand-in); docs too short to have a bigram are dropped
+    exactly as CCNet drops unscorable docs.
+
+    Tertile cuts are RANK-based in pure integer arithmetic —
+    bucket = ((rank − 1) · 3) div n over the total order
+    (mean_nll asc, doc_id) — no percentile interpolation to diverge
+    between engines. The rank is the distributed two-pass
+    skew.global_rank, never a single-reducer window: at 10^12 docs
+    the bucket assignment is exactly the TeraSort shape.
+
+    Scale note: the LM scoring pass it inherits is the audited
+    one-pass bigram plan; bucketing adds ONE range exchange + a 1-row
+    n broadcast."""
+    from ocr_intern_spark.operators.skew import global_rank
+
+    base = q_bigram_logprob(spark, sf_dir)
+    ranked = global_rank(
+        base, F.asc("mean_nll"), F.asc("doc_id"), rank_name="rk"
+    )
+    n1 = base.agg(F.count("*").alias("n"))
+    bucket_idx = F.expr("((rk - 1) * 3) div n")
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "mean_nll",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                (bucket_idx + 1).cast("int"),
+            ).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CCNET_BUCKETS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM base, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+  WHERE len(toks) >= 2 AND length(toks[i]) > 0 AND length(toks[i + 1]) > 0
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+vocab_n AS (
+  SELECT count(*) AS v FROM (
+    SELECT w2 AS w FROM bg UNION SELECT w1 AS w FROM bg
+  )
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(-ln((c2 + {BIGRAM_K}) / (c1 + {BIGRAM_K} * v))), 6)
+           AS mean_nll
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab_n
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_bigrams, mean_nll,
+         row_number() OVER (ORDER BY mean_nll ASC, doc_id ASC) AS rk,
+         count(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, n_bigrams, mean_nll,
+       (['head', 'middle', 'tail'])[CAST(((rk - 1) * 3) // n AS INT) + 1]
+         AS bucket
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
     "text_readability_fk": (q_readability_fk, _FK_SQL),
@@ -2313,4 +2396,5 @@ QUERIES = {
     "text_tfidf_keywords": (q_tfidf_keywords, _TFIDF_SQL),
     "text_winnow_fingerprints": (q_winnow_fingerprints, _WINNOW_FPS_SQL),
     "text_winnow_shared_pairs": (q_winnow_shared_pairs, _WINNOW_PAIRS_SQL),
+    "text_ccnet_buckets": (q_ccnet_buckets, _CCNET_BUCKETS_SQL),
 }

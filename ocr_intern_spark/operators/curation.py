@@ -1191,7 +1191,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.orderBy("doc_id")
 
 
-def _lpa_sql() -> str:
+def _lpa_cte_prefix() -> str:
+    """The shared CTE chain: gram edges + LPA_ROUNDS unrolled label
+    rounds; final labels live in l{LPA_ROUNDS}. Used by the LPA oracle
+    and by the modularity oracle (which scores those communities)."""
     rounds = []
     prev = "l0"
     for k in range(LPA_ROUNDS):
@@ -1209,14 +1212,220 @@ l{k + 1} AS (
   ) WHERE rk = 1
 )""")
         prev = f"l{k + 1}"
-    return f"""
-WITH grams AS ({_GRAMS_SQL}),
+    return f"""grams AS ({_GRAMS_SQL}),
 first AS (SELECT g, min(doc_id) AS src FROM grams GROUP BY g),
 de AS (SELECT DISTINCT gr.doc_id AS a, f.src AS b
        FROM grams gr JOIN first f USING (g) WHERE gr.doc_id != f.src),
 edges AS (SELECT a, b FROM de UNION SELECT b, a FROM de),
-l0 AS (SELECT doc_id, doc_id AS label FROM documents),{",".join(x[1:] for x in rounds)}
+l0 AS (SELECT doc_id, doc_id AS label FROM documents),{",".join(x[1:] for x in rounds)}"""
+
+
+def _lpa_sql() -> str:
+    return f"""
+WITH {_lpa_cte_prefix()}
 SELECT doc_id, label FROM l{LPA_ROUNDS} ORDER BY doc_id
+"""
+
+
+# --- audio chunking plan -----------------------------------------------------
+
+AUDIO_CHUNK_MS = 30_000  # Whisper-style 30 s windows
+AUDIO_HOP_MS = 25_000    # 5 s overlap between consecutive chunks
+
+
+def q_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan — the metadata half of an ASR ingest
+    stage: per synthesized audio asset (duration_ms derived
+    deterministically from the doc — 10 s..10 min, skewed like real
+    podcast corpora), emit the overlapping CHUNK/HOP windows a
+    Whisper-style transcriber consumes: chunk_idx, start_ms, end_ms
+    (clamped to the asset), plus is_last. Chunk count =
+    1 + ceil(max(0, dur − CHUNK)/HOP) — the standard sliding-window
+    formula, pinned against unnest/sequence on both engines.
+
+    The DECODE half is the multimodal module's injectable-codec
+    mapInPandas stage (honest sandbox boundary, same as frame
+    sampling); THIS query is the part that must be exact and
+    plannable: a narrow sequence-explode, zero shuffles, payload
+    column never touched (Catalyst prunes it — at 100 TB of audio
+    the plan reads only the metadata struct)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dur = (F.lit(10_000) + (F.col("doc_id") * F.lit(7919)) % F.lit(590_001)).cast(
+        "long"
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        dur.alias("duration_ms"),
+    )
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(
+                F.col("duration_ms") - AUDIO_CHUNK_MS, F.lit(0)
+            )
+            / F.lit(AUDIO_HOP_MS)
+        )
+    ).cast("int")
+    return (
+        media.select(
+            "media_id",
+            "duration_ms",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.struct(
+                        (i.cast("long") * AUDIO_HOP_MS).alias("start_ms"),
+                        F.least(
+                            i.cast("long") * AUDIO_HOP_MS + AUDIO_CHUNK_MS,
+                            F.col("duration_ms"),
+                        ).alias("end_ms"),
+                    ),
+                )
+            ).alias("chunk_idx", "c"),
+        )
+        .select(
+            "media_id",
+            "duration_ms",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.start_ms").alias("start_ms"),
+            F.col("c.end_ms").alias("end_ms"),
+            (F.col("c.end_ms") == F.col("duration_ms")).alias("is_last"),
+        )
+        .orderBy("media_id", "chunk_idx")
+    )
+
+
+_AUDIO_CHUNK_SQL = f"""
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(10000 + (doc_id * 7919) % 590001 AS BIGINT) AS duration_ms
+  FROM documents
+),
+planned AS (
+  SELECT media_id, duration_ms,
+         CAST(u.i AS INT) AS chunk_idx,
+         CAST(u.i * {AUDIO_HOP_MS} AS BIGINT) AS start_ms,
+         CAST(least(u.i * {AUDIO_HOP_MS} + {AUDIO_CHUNK_MS}, duration_ms)
+              AS BIGINT) AS end_ms
+  FROM media,
+       unnest(range(1 + CAST(ceil(greatest(duration_ms - {AUDIO_CHUNK_MS}, 0)
+                                  / {AUDIO_HOP_MS}.0) AS BIGINT))) AS u(i)
+)
+SELECT media_id, duration_ms, chunk_idx, start_ms, end_ms,
+       end_ms = duration_ms AS is_last
+FROM planned
+ORDER BY media_id, chunk_idx
+"""
+
+
+# --- community modularity ----------------------------------------------------
+
+
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities over the gram-sharing
+    graph — the quality score that says whether the detected
+    communities are real structure or noise, per community and in
+    EXACT INTEGER arithmetic: Q = Σ_c (e_c/m − (d_c/2m)²), scaled by
+    4m² so every contribution is the integer 4·m·e_c − d_c² (no float
+    ever crosses an aggregation; Q itself = sum(q_contrib)/(4m²) for
+    the reader). Emits per community: member count (degree ≥ 1
+    members — isolated docs contribute nothing to Q and are
+    excluded), intra-community edge count, total degree, and the
+    integer contribution.
+
+    Scale shape: communities come from the audited LPA rounds; the
+    scoring pass is two label hash-joins onto the canonical edge
+    list + two keyed aggregates + a 1-row m broadcast — O(|E|) after
+    the LPA cost it inherits, no new iteration."""
+    lab = q_label_propagation(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("community")
+    )
+    d = _docs(spark, sf_dir)
+    g = _grams(d)
+    first = g.groupBy("g").agg(F.min("doc_id").alias("src"))
+    de = (
+        g.join(first, "g")
+        .where(F.col("doc_id") != F.col("src"))
+        .select(F.col("doc_id").alias("x"), F.col("src").alias("y"))
+        .distinct()
+    )
+    edges = de.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct().cache()  # reused: m, degrees, intra join
+    m1 = edges.agg(F.count("*").alias("m"))
+    deg = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    node_comm = deg.join(lab, "doc_id")
+    dc = node_comm.groupBy("community").agg(
+        F.count("*").alias("n_members"),
+        F.sum("deg").cast("long").alias("d_total"),
+    )
+    la = lab.select(F.col("doc_id").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("doc_id").alias("b"), F.col("community").alias("cb"))
+    ec = (
+        edges.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("e_intra"))
+    )
+    return (
+        dc.join(ec, "community", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("e_intra", F.lit(0)).cast("long").alias("e_intra"),
+            "d_total",
+            (
+                F.lit(4) * F.col("m") * F.coalesce("e_intra", F.lit(0))
+                - F.col("d_total") * F.col("d_total")
+            )
+            .cast("long")
+            .alias("q_contrib_4m2"),
+        )
+        .orderBy("community")
+    )
+
+
+def _modularity_sql() -> str:
+    return f"""
+WITH {_lpa_cte_prefix()},
+lab AS (SELECT doc_id, label AS community FROM l{LPA_ROUNDS}),
+canon AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM (SELECT a AS x, b AS y FROM de)
+),
+m1 AS (SELECT count(*) AS m FROM canon),
+deg AS (
+  SELECT doc_id, count(*) AS deg FROM (
+    SELECT a AS doc_id FROM canon UNION ALL SELECT b FROM canon
+  ) GROUP BY doc_id
+),
+dc AS (
+  SELECT community, count(*) AS n_members,
+         CAST(sum(deg) AS BIGINT) AS d_total
+  FROM deg JOIN lab USING (doc_id) GROUP BY community
+),
+ec AS (
+  SELECT la.community, count(*) AS e_intra
+  FROM canon
+  JOIN lab la ON la.doc_id = canon.a
+  JOIN lab lb ON lb.doc_id = canon.b
+  WHERE la.community = lb.community
+  GROUP BY la.community
+)
+SELECT dc.community, dc.n_members,
+       CAST(coalesce(ec.e_intra, 0) AS BIGINT) AS e_intra,
+       dc.d_total,
+       CAST(4 * m1.m * coalesce(ec.e_intra, 0)
+            - dc.d_total * dc.d_total AS BIGINT) AS q_contrib_4m2
+FROM dc LEFT JOIN ec USING (community) CROSS JOIN m1
+ORDER BY dc.community
 """
 
 
@@ -2474,4 +2683,9 @@ QUERIES = {
     ),
     "graph_anchor_text": (q_anchor_graph, _ANCHOR_GRAPH_SQL),
     "graph_hits": (q_hits, _hits_sql()),
+    "graph_community_modularity": (
+        q_community_modularity,
+        _modularity_sql(),
+    ),
+    "multimodal_audio_chunk_plan": (q_audio_chunk_plan, _AUDIO_CHUNK_SQL),
 }

@@ -622,3 +622,142 @@ def test_ivf_recall_monotone_and_exact_at_full_probe(spark):
     mean_p2 = sum(r["n_overlap_p2"] for r in rows) / len(rows)
     assert mean_p2 > mean_p1
     assert mean_p2 >= 2.0
+
+
+# --- graph_community_modularity ----------------------------------------------
+
+
+def test_modularity_reference(spark, docs):
+    """Recompute modularity from scratch: LPA communities (the
+    deterministic min-tie variant, replayed in pure Python) scored by
+    the integer 4m*e_c - d_c^2 contributions; the summed Q must also
+    land in (0, 1] scaled — real community structure, not noise."""
+    grams = {}
+    for d, t in docs:
+        toks = t.strip().lower().split()
+        grams[d] = (
+            {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+            if len(toks) >= 8
+            else set()
+        )
+    first = {}
+    for d in sorted(grams):
+        for g in grams[d]:
+            first.setdefault(g, d)
+    de = {
+        (d, first[g])
+        for d, gs in grams.items()
+        for g in gs
+        if first[g] != d
+    }
+    edges = de | {(b, a) for a, b in de}
+    # LPA, deterministic variant, LPA_ROUNDS rounds
+    from ocr_intern_spark.operators.curation import (
+        LPA_ROUNDS,
+        q_community_modularity,
+    )
+
+    lab = {d: d for d, _ in docs}
+    for _ in range(LPA_ROUNDS):
+        votes = defaultdict(Counter)
+        for a, b in edges:
+            votes[a][lab[b]] += 1
+        for d in lab:
+            votes[d][lab[d]] += 1
+        lab = {
+            d: min(
+                (l for l, c in v.items() if c == max(v.values())),
+            )
+            for d, v in ((d, votes[d]) for d in lab)
+        }
+    canon = {(min(a, b), max(a, b)) for a, b in de}
+    m = len(canon)
+    deg = Counter()
+    for a, b in canon:
+        deg[a] += 1
+        deg[b] += 1
+    ref = {}
+    for d, k in deg.items():
+        c = lab[d]
+        if c not in ref:
+            ref[c] = [0, 0, 0]
+        ref[c][0] += 1
+        ref[c][2] += k
+    for a, b in canon:
+        if lab[a] == lab[b]:
+            ref[lab[a]][1] += 1
+    expect = {
+        c: (n, e, dt, 4 * m * e - dt * dt)
+        for c, (n, e, dt) in ref.items()
+    }
+    got = {
+        r["community"]: (
+            r["n_members"],
+            r["e_intra"],
+            r["d_total"],
+            r["q_contrib_4m2"],
+        )
+        for r in q_community_modularity(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    q_scaled = sum(v[3] for v in got.values())
+    assert 0 < q_scaled <= 4 * m * m  # genuine structure
+
+
+# --- multimodal_audio_chunk_plan ----------------------------------------------
+
+
+def test_audio_chunk_plan_contract(spark):
+    """Sliding-window contract per asset: chunk 0 starts at 0; chunks
+    step by HOP; every chunk except the last spans exactly CHUNK ms;
+    the last ends exactly at the duration; coverage has no gaps."""
+    from ocr_intern_spark.operators.curation import (
+        AUDIO_CHUNK_MS,
+        AUDIO_HOP_MS,
+        q_audio_chunk_plan,
+    )
+
+    rows = q_audio_chunk_plan(spark, SF_DIR).collect()
+    by_media = defaultdict(list)
+    for r in rows:
+        by_media[r["media_id"]].append(r)
+    assert len(by_media) == 500
+    for media, chunks in by_media.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        dur = chunks[0]["duration_ms"]
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["start_ms"] == i * AUDIO_HOP_MS
+            assert c["end_ms"] == min(
+                i * AUDIO_HOP_MS + AUDIO_CHUNK_MS, dur
+            )
+            assert c["is_last"] == (i == len(chunks) - 1) or (
+                c["end_ms"] == dur
+            )
+        assert chunks[-1]["end_ms"] == dur
+        # no gaps: next chunk starts before the previous ends
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_ms"] < a["end_ms"]
+        # minimality: one fewer chunk would leave a tail uncovered
+        if len(chunks) > 1:
+            assert chunks[-2]["end_ms"] < dur
+
+
+# --- text_ccnet_buckets --------------------------------------------------------
+
+
+def test_ccnet_buckets_tertiles(spark):
+    """Rank-based tertiles: bucket sizes differ by at most 1, head
+    holds the lowest-NLL docs, tail the highest, and every scored doc
+    is bucketed."""
+    from ocr_intern_spark.functions.text import q_ccnet_buckets
+
+    rows = q_ccnet_buckets(spark, SF_DIR).collect()
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append((r["mean_nll"], r["doc_id"]))
+    sizes = {b: len(v) for b, v in by_bucket.items()}
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
