@@ -365,6 +365,7 @@ _DEFERRED: list[str] = [
     "graph_community_modularity",
     "multimodal_audio_chunk_plan",
     "text_ccnet_buckets",
+    "extract_span_lang_runs",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -730,6 +730,116 @@ FROM d ORDER BY doc_id
 """
 
 
+# --- span-stream language runs (gaps-and-islands) ----------------------------
+
+_RUN_AR_MARK = " شهادة"  # injected Arabic marker (docs are homogeneous)
+
+
+def q_span_lang_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language SEGMENTATION of the interleaved span stream — the
+    post-extraction step that turns per-span script guesses (V13)
+    into contiguous language RUNS, so downstream routing (Arabic
+    reshaping, French OCR fixes, per-language tokenizers) operates on
+    runs instead of flapping span-by-span. Spans are the flagship's
+    8-word text chunks in reading order; every third span (doc_id +
+    ord ≡ 0 mod 3) carries an injected Arabic marker — the corpus is
+    language-homogeneous, so mixing is synthesized deterministically,
+    same convention as q_lang_guess — which makes run boundaries
+    dense and the islands logic non-vacuous at every sf.
+
+    The gaps-and-islands classic, distributed: island key = ord −
+    row_number() over (doc_id, lang ORDER BY ord); both windows
+    partition by doc_id so no frame exceeds a document's span count.
+    One exchange on doc_id total (Spark co-plans the two window specs
+    and the final (doc_id, lang, grp) aggregate on the same
+    clustering)."""
+    d = _t(spark, sf_dir, "documents")
+    from ocr_intern_spark.functions.normalizers import guess_lang
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(8)).cast("int"), F.lit(1)
+    )
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            )
+        ).alias("ord", "chunk"),
+    )
+    probe = F.when(
+        (F.col("doc_id") + F.col("ord")) % 3 == 0,
+        F.concat(F.col("chunk"), F.lit(_RUN_AR_MARK)),
+    ).otherwise(F.col("chunk"))
+    langed = spans.select(
+        "doc_id", "ord", guess_lang(probe).alias("lang")
+    )
+    grp = F.col("ord") - F.row_number().over(
+        Window.partitionBy("doc_id", "lang").orderBy("ord")
+    )
+    runs = langed.select(
+        "doc_id", "ord", "lang", grp.alias("grp")
+    )
+    return (
+        runs.groupBy("doc_id", "lang", "grp")
+        .agg(
+            F.min("ord").alias("run_start"),
+            F.max("ord").alias("run_end"),
+            F.count("*").alias("n_spans"),
+        )
+        .select("doc_id", "run_start", "run_end", "lang", "n_spans")
+        .orderBy("doc_id", "run_start")
+    )
+
+
+_SPAN_LANG_RUNS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(u.i AS INT) AS ord,
+         array_to_string(list_slice(toks, u.i * 8 + 1, u.i * 8 + 8), ' ')
+           AS chunk
+  FROM base, LATERAL (
+    SELECT unnest(range(greatest(CAST(ceil(len(toks) / 8.0) AS INT), 1)))
+      AS i
+  ) u
+),
+langed AS (
+  SELECT doc_id, ord,
+         CASE
+           WHEN regexp_matches(probe, '[؀-ۿ]') THEN 'arabic'
+           WHEN regexp_matches(lower(probe), '[a-z]') THEN 'french'
+           ELSE NULL
+         END AS lang
+  FROM (
+    SELECT doc_id, ord,
+           CASE WHEN (doc_id + ord) % 3 = 0
+                THEN chunk || '{_RUN_AR_MARK}'
+                ELSE chunk END AS probe
+    FROM spans
+  )
+),
+runs AS (
+  SELECT doc_id, ord, lang,
+         ord - row_number() OVER (PARTITION BY doc_id, lang ORDER BY ord)
+           AS grp
+  FROM langed
+)
+SELECT doc_id,
+       CAST(min(ord) AS INT) AS run_start,
+       CAST(max(ord) AS INT) AS run_end,
+       lang,
+       count(*) AS n_spans
+FROM runs
+GROUP BY doc_id, lang, grp
+ORDER BY doc_id, run_start
+"""
+
+
 QUERIES = {
     "extract_doc_type": (q_doc_type, _DOC_TYPE_SQL),
     "extract_template_detect": (q_template_detect, _template_detect_sql()),
@@ -740,4 +850,5 @@ QUERIES = {
     "extract_html_block_classify": (q_html_block_classify, _HTML_BLOCKS_SQL),
     "extract_dehyphenate": (q_dehyphenate, _DEHYPH_SQL),
     "extract_mojibake_repair": (q_mojibake_repair, _mojibake_sql()),
+    "extract_span_lang_runs": (q_span_lang_runs, _SPAN_LANG_RUNS_SQL),
 }

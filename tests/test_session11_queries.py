@@ -761,3 +761,54 @@ def test_ccnet_buckets_tertiles(spark):
     assert max(sizes.values()) - min(sizes.values()) <= 1
     assert max(by_bucket["head"]) <= min(by_bucket["middle"])
     assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+# --- extract_span_lang_runs ----------------------------------------------------
+
+
+def test_span_lang_runs_reference(spark, docs):
+    """Full recompute: 8-word chunking, per-span probe injection,
+    script guess, run segmentation — plus non-vacuity: real docs must
+    produce MULTIPLE runs (the injected Arabic markers alternate) and
+    both languages must appear."""
+    import re
+
+    from ocr_intern_spark.operators.extract_queries import (
+        _RUN_AR_MARK,
+        q_span_lang_runs,
+    )
+
+    expect = []
+    for d, t in docs:
+        toks = t.strip().split()
+        n = max(-(-len(toks) // 8), 1)
+        langs = []
+        for i in range(n):
+            chunk = " ".join(toks[i * 8 : i * 8 + 8])
+            probe = chunk + _RUN_AR_MARK if (d + i) % 3 == 0 else chunk
+            if re.search("[؀-ۿ]", probe):
+                langs.append("arabic")
+            elif re.search("[a-z]", probe.lower()):
+                langs.append("french")
+            else:
+                langs.append(None)
+        start = 0
+        for i in range(1, n + 1):
+            if i == n or langs[i] != langs[start]:
+                expect.append((d, start, i - 1, langs[start], i - start))
+                start = i
+    got = [
+        (
+            r["doc_id"],
+            r["run_start"],
+            r["run_end"],
+            r["lang"],
+            r["n_spans"],
+        )
+        for r in q_span_lang_runs(spark, SF_DIR).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+    langs_seen = {r[3] for r in got}
+    assert {"arabic", "french"} <= langs_seen
+    runs_per_doc = Counter(r[0] for r in got)
+    assert max(runs_per_doc.values()) > 3
