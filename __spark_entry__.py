@@ -366,6 +366,7 @@ _DEFERRED: list[str] = [
     "multimodal_audio_chunk_plan",
     "text_ccnet_buckets",
     "extract_span_lang_runs",
+    "dedup_lsh_banding_sweep",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -56,6 +56,9 @@ HEADLINE = [
     # session-9 addition: composite-key analytic decorrelation over
     # the fact (Q9 shape) — the newest fact-heavy shape, kept visible
     "product_profit_by_nation",
+    # session-11 addition: the CCNet tertile split — bigram-LM scoring
+    # pass + the materialized two-pass global rank, the TeraSort shape
+    "text_ccnet_buckets",
 ]
 
 

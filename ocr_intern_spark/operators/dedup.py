@@ -1172,6 +1172,202 @@ SELECT doc_id, {bits} AS simhash FROM sums ORDER BY doc_id
 
 
 
+# --- LSH banding sweep (the b×r tuning table) --------------------------------
+
+LSH_SWEEP = ((8, 1), (4, 2), (2, 4), (1, 8))  # (bands, rows) with b·r = 8
+
+
+def q_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH TUNING TABLE: measured recall/precision of banded-
+    minhash candidate generation at every (bands × rows) split of the
+    8-hash signature, against the exact jaccard ≥ 0.5 pair set — the
+    S-curve trade (more bands → higher recall, worse precision;
+    longer rows → the reverse) measured on the corpus instead of
+    assumed from theory. q_lsh_quality monitors the production (4×2)
+    point; this query is how that point gets CHOSEN. Same tuning-
+    table family as sim_ivf_recall_curve.
+
+    Scale shape: ONE shingle pass and ONE signature aggregate feed
+    all four configs (the banding re-hashes signature columns — a
+    projection, not a pipeline re-run); per-config candidates come
+    from equi-self-joins keyed (cfg, band, bucket); every count is a
+    keyed aggregate — the 1-row true-pair total rides a broadcast
+    cross join, no driver scalars."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    a, b = shr.alias("a"), shr.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    true_pairs = (
+        common.join(sa, "da").join(sb, "db").where(jac >= 0.5)
+        .select("da", "db")
+        .cache()  # joined against all four configs + the 1-row total
+    )
+    sig = sh.groupBy("doc_id").agg(*minhash_signature_cols())
+    band_structs = []
+    for bands, rpb in LSH_SWEEP:
+        for band in range(bands):
+            band_structs.append(
+                F.struct(
+                    F.lit(bands).alias("cfg"),
+                    F.lit(band).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{band * rpb + r}")
+                                for r in range(rpb)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+            )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("s")
+    ).select("doc_id", "s.cfg", "s.band", "s.bucket")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.cfg") == F.col("r.cfg"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.cfg").alias("cfg"),
+            F.col("l.doc_id").alias("da"),
+            F.col("r.doc_id").alias("db"),
+        )
+        .distinct()
+    )
+    n_cand = cand.groupBy("cfg").agg(F.count("*").alias("n_candidate_pairs"))
+    n_hit = (
+        cand.join(true_pairs, ["da", "db"])
+        .groupBy("cfg")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_true = true_pairs.agg(F.count("*").alias("n_true_pairs"))
+    cfgs = spark.createDataFrame(
+        [(bands, rpb) for bands, rpb in LSH_SWEEP],
+        "cfg int, rows_per_band int",
+    )
+    return (
+        cfgs.join(n_cand, "cfg", "left")
+        .join(n_hit, "cfg", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            F.col("cfg").alias("bands"),
+            "rows_per_band",
+            F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+            F.coalesce("n_candidate_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)) / F.col("n_true_pairs"), 6
+                )
+            )
+            .alias("recall"),
+            F.when(F.coalesce("n_candidate_pairs", F.lit(0)) == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_hits", F.lit(0))
+                    / F.col("n_candidate_pairs"),
+                    6,
+                )
+            )
+            .alias("precision"),
+        )
+        .orderBy(F.desc("bands"))
+    )
+
+
+def _lsh_sweep_sql() -> str:
+    band_selects = []
+    for bands, rpb in LSH_SWEEP:
+        for band in range(bands):
+            cols = " || '|' || ".join(
+                f"mh{band * rpb + r}" for r in range(rpb)
+            )
+            band_selects.append(
+                f"SELECT doc_id, {bands} AS cfg, {band} AS band, "
+                f"md5({cols}) AS bucket FROM sig"
+            )
+    cfg_rows = ", ".join(f"({b}, {r})" for b, r in LSH_SWEEP)
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+true_pairs AS (
+  SELECT da, db FROM common
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+),
+sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM sh GROUP BY doc_id),
+bands AS ({" UNION ALL ".join(band_selects)}),
+cand AS (
+  SELECT DISTINCT l.cfg, l.doc_id AS da, r.doc_id AS db
+  FROM bands l JOIN bands r
+    ON l.cfg = r.cfg AND l.band = r.band AND l.bucket = r.bucket
+   AND l.doc_id < r.doc_id
+),
+nc AS (SELECT cfg, count(*) AS n_candidate_pairs FROM cand GROUP BY cfg),
+nh AS (
+  SELECT cfg, count(*) AS n_hits
+  FROM cand JOIN true_pairs USING (da, db) GROUP BY cfg
+),
+nt AS (SELECT count(*) AS n_true_pairs FROM true_pairs),
+cfgs AS (SELECT * FROM (VALUES {cfg_rows}) AS t(cfg, rows_per_band))
+SELECT cfgs.cfg AS bands,
+       CAST(cfgs.rows_per_band AS INT) AS rows_per_band,
+       CAST(nt.n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(coalesce(nc.n_candidate_pairs, 0) AS BIGINT)
+         AS n_candidate_pairs,
+       CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       CASE WHEN nt.n_true_pairs = 0 THEN 1.0
+            ELSE round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE)
+                       / nt.n_true_pairs, 6) END AS recall,
+       CASE WHEN coalesce(nc.n_candidate_pairs, 0) = 0 THEN 1.0
+            ELSE round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE)
+                       / nc.n_candidate_pairs, 6) END AS precision
+FROM cfgs
+LEFT JOIN nc USING (cfg)
+LEFT JOIN nh USING (cfg)
+CROSS JOIN nt
+ORDER BY bands DESC
+"""
+
+
 # --- incremental connected-components maintenance ---------------------------
 
 CC_CUT_NUM, CC_CUT_DEN = 4, 5  # base corpus = doc_id <= max_id * 4/5
@@ -1646,6 +1842,7 @@ QUERIES = {
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "dedup_simhash_hamming64": (q_simhash_hamming64, _simham64_sql()),
     "dedup_cc_incremental": (q_cc_incremental, _DUP_CLUSTERS_SQL),
+    "dedup_lsh_banding_sweep": (q_lsh_banding_sweep, _lsh_sweep_sql()),
     "dedup_fingerprint_count": (q_dedup_fingerprint_count, _DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _JACCARD_SQL),
     "dedup_ngram_containment": (q_ngram_containment_pairs, _CONTAINMENT_SQL),

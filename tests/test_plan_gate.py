@@ -26,7 +26,10 @@ SF_DIR = "/root/testdata/sf0.001"
 _BNLJ_ALLOWED = frozenset(
     {
         "customer_spend_deciles",
+        "dedup_lsh_banding_sweep",
+        "graph_community_modularity",
         "graph_provenance_rank",
+        "text_ccnet_buckets",
         "graph_triangle_stats",
         "idle_rich_customers",
         "major_revenue_parts",

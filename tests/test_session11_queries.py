@@ -812,3 +812,31 @@ def test_span_lang_runs_reference(spark, docs):
     assert {"arabic", "french"} <= langs_seen
     runs_per_doc = Counter(r[0] for r in got)
     assert max(runs_per_doc.values()) > 3
+
+
+# --- dedup_lsh_banding_sweep ---------------------------------------------------
+
+
+def test_lsh_sweep_nesting(spark):
+    """Candidate sets nest along the sweep — a (b, r) match implies a
+    (2b, r/2) match on the same signature — so candidate and hit
+    counts must be monotone in the band count, and the many-band end
+    must dominate recall while the one-band end dominates precision
+    or ties."""
+    from ocr_intern_spark.operators.dedup import q_lsh_banding_sweep
+
+    rows = {
+        r["bands"]: r for r in q_lsh_banding_sweep(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {8, 4, 2, 1}
+    for hi, lo in ((8, 4), (4, 2), (2, 1)):
+        assert rows[hi]["n_candidate_pairs"] >= rows[lo]["n_candidate_pairs"]
+        assert rows[hi]["n_hits"] >= rows[lo]["n_hits"]
+        assert rows[hi]["recall"] >= rows[lo]["recall"]
+    assert rows[1]["precision"] >= rows[8]["precision"]
+    assert rows[8]["n_true_pairs"] > 0
+    # the sweep must actually spread: the extremes differ somewhere
+    assert (
+        rows[8]["n_candidate_pairs"] != rows[1]["n_candidate_pairs"]
+        or rows[8]["recall"] != rows[1]["recall"]
+    )
