@@ -367,6 +367,8 @@ _DEFERRED: list[str] = [
     "text_ccnet_buckets",
     "extract_span_lang_runs",
     "dedup_lsh_banding_sweep",
+    "multimodal_image_tile_plan",
+    "text_pack_efficiency_report",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.
