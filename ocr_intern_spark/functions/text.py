@@ -950,6 +950,111 @@ FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
 """
 
 
+# --- packing efficiency report ------------------------------------------------
+
+PACK_SWEEP = (64, 128, 256)  # candidate sequence budgets
+
+
+def q_pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-budget TUNING TABLE for the packing stage: for each
+    candidate budget L, the corpus-wide pack count plus the two waste
+    terms the trainer cares about — OVERFLOW tokens (a doc straddles
+    the quota boundary and the pack exceeds L: truncated or spilled
+    at train time) and UNDERFILL tokens (pack shorter than L: padding
+    burned). Together they price each L; q_pack_sequences packs at
+    the chosen one. Same tuning-table family as the IVF recall curve
+    and the LSH banding sweep.
+
+    Scale shape: the source-partitioned running sum is computed ONCE
+    (it is L-independent); the three budgets are projections over the
+    same windowed frame — one keyed exchange total, and all waste
+    terms are exact integers."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = d.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    cum = toks.withColumn(
+        "prev", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    frames = []
+    for L in PACK_SWEEP:
+        packs = (
+            cum.select(
+                F.lit(L).alias("seq_len"),
+                "source",
+                F.floor(F.col("prev") / F.lit(L)).alias("pack_id"),
+                "n_tokens",
+            )
+            .groupBy("seq_len", "source", "pack_id")
+            .agg(F.sum("n_tokens").alias("pack_tokens"))
+        )
+        frames.append(packs)
+    all_packs = frames[0]
+    for fr in frames[1:]:
+        all_packs = all_packs.unionByName(fr)
+    return (
+        all_packs.groupBy("seq_len")
+        .agg(
+            F.count("*").cast("long").alias("n_packs"),
+            F.sum("pack_tokens").cast("long").alias("total_tokens"),
+            F.sum(
+                F.greatest(F.col("pack_tokens") - F.col("seq_len"), F.lit(0))
+            )
+            .cast("long")
+            .alias("overflow_tokens"),
+            F.sum(
+                F.greatest(F.col("seq_len") - F.col("pack_tokens"), F.lit(0))
+            )
+            .cast("long")
+            .alias("underfill_tokens"),
+        )
+        .orderBy("seq_len")
+    )
+
+
+def _pack_efficiency_sql() -> str:
+    per_l = " UNION ALL ".join(
+        f"""
+  SELECT {L} AS seq_len, source,
+         CAST(floor(prev / {L}.0) AS BIGINT) AS pack_id,
+         n_tokens
+  FROM cum"""
+        for L in PACK_SWEEP
+    )
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens
+           AS prev
+  FROM toks
+),
+assigned AS ({per_l}),
+packs AS (
+  SELECT seq_len, source, pack_id, sum(n_tokens) AS pack_tokens
+  FROM assigned GROUP BY seq_len, source, pack_id
+)
+SELECT seq_len,
+       count(*) AS n_packs,
+       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(greatest(pack_tokens - seq_len, 0)) AS BIGINT)
+         AS overflow_tokens,
+       CAST(sum(greatest(seq_len - pack_tokens, 0)) AS BIGINT)
+         AS underfill_tokens
+FROM packs
+GROUP BY seq_len
+ORDER BY seq_len
+"""
+
+
 # --- stratified per-source sampling ------------------------------------------
 
 STRATUM_K = 5
@@ -2397,4 +2502,8 @@ QUERIES = {
     "text_winnow_fingerprints": (q_winnow_fingerprints, _WINNOW_FPS_SQL),
     "text_winnow_shared_pairs": (q_winnow_shared_pairs, _WINNOW_PAIRS_SQL),
     "text_ccnet_buckets": (q_ccnet_buckets, _CCNET_BUCKETS_SQL),
+    "text_pack_efficiency_report": (
+        q_pack_efficiency_report,
+        _pack_efficiency_sql(),
+    ),
 }

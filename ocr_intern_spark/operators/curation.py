@@ -1318,6 +1318,123 @@ ORDER BY media_id, chunk_idx
 """
 
 
+# --- image tiling plan ---------------------------------------------------------
+
+TILE_PX = 224   # ViT-style tile size
+TILE_STRIDE = 192  # 32 px overlap between neighboring tiles
+
+
+def q_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D image TILING plan — the vision sibling of the audio
+    chunking plan: per synthesized image asset (width/height derived
+    deterministically from doc_id, portrait and landscape both
+    present), the grid of TILE_PX×TILE_PX crops at TILE_STRIDE that a
+    high-resolution ViT ingest feeds the encoder, with edge tiles
+    clamped to the image and flagged. rows = 1 + ceil(max(0, h −
+    TILE)/STRIDE), same for cols — the sliding-window count formula
+    in both dimensions.
+
+    Scale shape: one metadata-column scan → a narrow 2-D sequence
+    explode (transform × flatten); the pixel payload never enters the
+    plan. Decode/crop itself stays behind the multimodal module's
+    injectable-codec seam."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = (F.lit(512) + (F.col("doc_id") * 13) % F.lit(1537)).cast("int")
+    h = (F.lit(384) + (F.col("doc_id") * 29) % F.lit(1153)).cast("int")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        w.alias("width"),
+        h.alias("height"),
+    )
+    n_rows = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.col("height") - TILE_PX, F.lit(0))
+            / F.lit(TILE_STRIDE)
+        )
+    ).cast("int")
+    n_cols = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.col("width") - TILE_PX, F.lit(0))
+            / F.lit(TILE_STRIDE)
+        )
+    ).cast("int")
+    tiles = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_rows - 1),
+            lambda r: F.transform(
+                F.sequence(F.lit(0), n_cols - 1),
+                lambda c: F.struct(
+                    r.cast("int").alias("tile_row"),
+                    c.cast("int").alias("tile_col"),
+                    (c * TILE_STRIDE).cast("int").alias("x0"),
+                    (r * TILE_STRIDE).cast("int").alias("y0"),
+                    F.least(
+                        c * TILE_STRIDE + TILE_PX, F.col("width")
+                    ).cast("int").alias("x1"),
+                    F.least(
+                        r * TILE_STRIDE + TILE_PX, F.col("height")
+                    ).cast("int").alias("y1"),
+                ),
+            ),
+        )
+    )
+    return (
+        media.select(
+            "media_id", "width", "height", F.explode(tiles).alias("t")
+        )
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.col("t.tile_row").alias("tile_row"),
+            F.col("t.tile_col").alias("tile_col"),
+            F.col("t.x0").alias("x0"),
+            F.col("t.y0").alias("y0"),
+            F.col("t.x1").alias("x1"),
+            F.col("t.y1").alias("y1"),
+            (
+                (F.col("t.x1") - F.col("t.x0") < TILE_PX)
+                | (F.col("t.y1") - F.col("t.y0") < TILE_PX)
+            ).alias("is_edge"),
+        )
+        .orderBy("media_id", "tile_row", "tile_col")
+    )
+
+
+_IMAGE_TILE_SQL = f"""
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(512 + (doc_id * 13) % 1537 AS INT) AS width,
+         CAST(384 + (doc_id * 29) % 1153 AS INT) AS height
+  FROM documents
+),
+grid AS (
+  SELECT media_id, width, height,
+         CAST(r.i AS INT) AS tile_row, CAST(c.i AS INT) AS tile_col
+  FROM media,
+       LATERAL (SELECT unnest(range(
+         1 + CAST(ceil(greatest(height - {TILE_PX}, 0)
+                       / {TILE_STRIDE}.0) AS BIGINT))) AS i) r,
+       LATERAL (SELECT unnest(range(
+         1 + CAST(ceil(greatest(width - {TILE_PX}, 0)
+                       / {TILE_STRIDE}.0) AS BIGINT))) AS i) c
+)
+SELECT media_id, width, height, tile_row, tile_col,
+       CAST(tile_col * {TILE_STRIDE} AS INT) AS x0,
+       CAST(tile_row * {TILE_STRIDE} AS INT) AS y0,
+       CAST(least(tile_col * {TILE_STRIDE} + {TILE_PX}, width) AS INT) AS x1,
+       CAST(least(tile_row * {TILE_STRIDE} + {TILE_PX}, height) AS INT) AS y1,
+       (least(tile_col * {TILE_STRIDE} + {TILE_PX}, width)
+          - tile_col * {TILE_STRIDE} < {TILE_PX})
+       OR (least(tile_row * {TILE_STRIDE} + {TILE_PX}, height)
+          - tile_row * {TILE_STRIDE} < {TILE_PX}) AS is_edge
+FROM grid
+ORDER BY media_id, tile_row, tile_col
+"""
+
+
 # --- community modularity ----------------------------------------------------
 
 
@@ -2688,4 +2805,5 @@ QUERIES = {
         _modularity_sql(),
     ),
     "multimodal_audio_chunk_plan": (q_audio_chunk_plan, _AUDIO_CHUNK_SQL),
+    "multimodal_image_tile_plan": (q_image_tile_plan, _IMAGE_TILE_SQL),
 }

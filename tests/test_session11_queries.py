@@ -840,3 +840,101 @@ def test_lsh_sweep_nesting(spark):
         rows[8]["n_candidate_pairs"] != rows[1]["n_candidate_pairs"]
         or rows[8]["recall"] != rows[1]["recall"]
     )
+
+
+# --- multimodal_image_tile_plan -------------------------------------------------
+
+
+def test_image_tile_plan_contract(spark):
+    """2-D sliding-window contract per asset: row/col grids step by
+    STRIDE, interior tiles span exactly TILE px, edge tiles clamp to
+    the image and are flagged, the grid covers the full image with no
+    gaps, and both portrait and landscape assets appear."""
+    from ocr_intern_spark.operators.curation import (
+        TILE_PX,
+        TILE_STRIDE,
+        q_image_tile_plan,
+    )
+
+    rows = q_image_tile_plan(spark, SF_DIR).collect()
+    by_media = defaultdict(list)
+    for r in rows:
+        by_media[r["media_id"]].append(r)
+    assert len(by_media) == 500
+    saw_portrait = saw_landscape = False
+    for media, tiles in by_media.items():
+        w, h = tiles[0]["width"], tiles[0]["height"]
+        saw_portrait |= h > w
+        saw_landscape |= w > h
+        n_rows = 1 + -(-max(h - TILE_PX, 0) // TILE_STRIDE)
+        n_cols = 1 + -(-max(w - TILE_PX, 0) // TILE_STRIDE)
+        assert len(tiles) == n_rows * n_cols
+        for t in tiles:
+            assert t["x0"] == t["tile_col"] * TILE_STRIDE
+            assert t["y0"] == t["tile_row"] * TILE_STRIDE
+            assert t["x1"] == min(t["x0"] + TILE_PX, w)
+            assert t["y1"] == min(t["y0"] + TILE_PX, h)
+            assert t["is_edge"] == (
+                t["x1"] - t["x0"] < TILE_PX or t["y1"] - t["y0"] < TILE_PX
+            )
+        assert max(t["x1"] for t in tiles) == w
+        assert max(t["y1"] for t in tiles) == h
+    assert saw_portrait and saw_landscape
+
+
+# --- text_pack_efficiency_report -------------------------------------------------
+
+
+def test_pack_efficiency_reference(spark, docs):
+    """Full recompute of the three-budget report from the raw texts,
+    plus the economics non-vacuity: underfill waste must strictly
+    shrink as the budget shrinks (smaller packs pad less)."""
+    import pyarrow.parquet as pqt
+
+    from ocr_intern_spark.functions.text import (
+        PACK_SWEEP,
+        q_pack_efficiency_report,
+    )
+
+    t = pqt.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    recs = sorted(
+        zip(
+            t.column("source").to_pylist(),
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+        )
+    )
+    expect = {}
+    for L in PACK_SWEEP:
+        packs = Counter()
+        cum = Counter()
+        for src, d, txt in recs:
+            n = len(txt.strip().split()) if txt.strip() else 0
+            packs[(src, cum[src] // L)] += n
+            cum[src] += n
+        n_packs = len(packs)
+        total = sum(packs.values())
+        over = sum(max(v - L, 0) for v in packs.values())
+        under = sum(max(L - v, 0) for v in packs.values())
+        expect[L] = (n_packs, total, over, under)
+    got = {
+        r["seq_len"]: (
+            r["n_packs"],
+            r["total_tokens"],
+            r["overflow_tokens"],
+            r["underfill_tokens"],
+        )
+        for r in q_pack_efficiency_report(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # invariants (monotone underfill is NOT one — boundary docs shift):
+    # token totals are budget-independent, pack counts shrink with the
+    # budget, and both waste terms are non-trivial somewhere
+    totals = {got[L][1] for L in got}
+    assert len(totals) == 1
+    packs = [got[L][0] for L in sorted(got)]
+    assert packs == sorted(packs, reverse=True) and packs[0] > packs[-1]
+    assert any(got[L][2] > 0 for L in got)
+    assert any(got[L][3] > 0 for L in got)
