@@ -369,6 +369,8 @@ _DEFERRED: list[str] = [
     "dedup_lsh_banding_sweep",
     "multimodal_image_tile_plan",
     "text_pack_efficiency_report",
+    "events_quality_expectations",
+    "events_props_schema_drift",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -2883,6 +2883,204 @@ ORDER BY user_id, k
 """
 
 
+# --- data-quality expectation suite --------------------------------------------
+
+DQ_VALUE_MAX = 1_000_000  # cents ceiling for the range check
+
+
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style DATA-QUALITY expectation suite over the events
+    table — the ingest gate a production pipeline runs before a
+    partition is published: completeness (no NULL user/type/ts),
+    uniqueness (event_id is a key), range (value cents within
+    bounds), referential sanity (every type in the known set), and
+    freshness (max ts within the corpus window). One row per check
+    with the measured metric (canonical digit string) and the pass
+    boolean — the driver hash therefore FAILS if data quality drifts,
+    the same trick as the sketch-accuracy contract.
+
+    Scale shape: every metric is a map-side-combinable aggregate over
+    ONE scan (conditional counts, min/max, one exact distinct on the
+    key column); no joins, no windows."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "null_user"
+        ),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)).alias(
+            "null_type"
+        ),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("null_ts"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.min(F.floor(F.col("value") * 100).cast("long")).alias("min_cents"),
+        F.max(F.floor(F.col("value") * 100).cast("long")).alias("max_cents"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("unknown_types"),
+        F.datediff(F.max("ts"), F.min("ts")).alias("span_days"),
+    )
+    checks = [
+        ("complete_user_id", F.col("null_user"), F.col("null_user") == 0),
+        ("complete_event_type", F.col("null_type"), F.col("null_type") == 0),
+        ("complete_ts", F.col("null_ts"), F.col("null_ts") == 0),
+        (
+            "unique_event_id",
+            F.col("n_rows") - F.col("n_ids"),
+            F.col("n_ids") == F.col("n_rows"),
+        ),
+        (
+            "value_cents_nonnegative",
+            F.col("min_cents"),
+            F.col("min_cents") >= 0,
+        ),
+        (
+            "value_cents_below_max",
+            F.col("max_cents"),
+            F.col("max_cents") <= DQ_VALUE_MAX,
+        ),
+        (
+            "event_type_in_domain",
+            F.col("unknown_types"),
+            F.col("unknown_types") == 0,
+        ),
+        (
+            "freshness_span_days",
+            F.col("span_days"),
+            F.col("span_days") <= 366,
+        ),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                metric.cast("string").alias("metric"),
+                passed.alias("passed"),
+            )
+            for name, metric, passed in checks
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("c"))
+        .select("c.check", "c.metric", "c.passed")
+        .orderBy("check")
+    )
+
+
+_DQ_SQL = f"""
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_type,
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+         count(DISTINCT event_id) AS n_ids,
+         min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+         max(CAST(floor(value * 100) AS BIGINT)) AS max_cents,
+         sum(CASE WHEN event_type NOT IN
+               ('click', 'view', 'purchase', 'signup', 'error')
+             THEN 1 ELSE 0 END) AS unknown_types,
+         date_diff('day', min(ts), max(ts)) AS span_days
+  FROM events
+)
+SELECT "check", metric, passed FROM (
+  SELECT 'complete_user_id' AS "check", CAST(null_user AS VARCHAR) AS metric,
+         null_user = 0 AS passed FROM agg
+  UNION ALL
+  SELECT 'complete_event_type', CAST(null_type AS VARCHAR),
+         null_type = 0 FROM agg
+  UNION ALL
+  SELECT 'complete_ts', CAST(null_ts AS VARCHAR), null_ts = 0 FROM agg
+  UNION ALL
+  SELECT 'unique_event_id', CAST(n_rows - n_ids AS VARCHAR),
+         n_ids = n_rows FROM agg
+  UNION ALL
+  SELECT 'value_cents_nonnegative', CAST(min_cents AS VARCHAR),
+         min_cents >= 0 FROM agg
+  UNION ALL
+  SELECT 'value_cents_below_max', CAST(max_cents AS VARCHAR),
+         max_cents <= {DQ_VALUE_MAX} FROM agg
+  UNION ALL
+  SELECT 'event_type_in_domain', CAST(unknown_types AS VARCHAR),
+         unknown_types = 0 FROM agg
+  UNION ALL
+  SELECT 'freshness_span_days', CAST(span_days AS VARCHAR),
+         span_days <= 366 FROM agg
+)
+ORDER BY "check"
+"""
+
+
+# --- semi-structured schema-drift report -----------------------------------------
+
+
+def q_props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-DRIFT report over the semi-structured props column —
+    the governance view that catches producers adding or retiring
+    JSON fields without coordination: per key, the first/last day it
+    appeared, days present, and event count. The corpus's props carry
+    one stable key, so drift is INJECTED deterministically (the
+    repo's homogeneous-corpus convention): an 'src' key on even days
+    and a deprecated 'exp' key during the first 10 days — so the
+    report provably shows one stable, one periodic, and one retired
+    key at every sf.
+
+    Scale shape: augment → json_object_keys → narrow explode → ONE
+    (key) hash aggregate with min/max/distinct-day partials; the
+    declared-parse lesson of q_events_json_props applies (no
+    inference pass)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    aug = F.concat(
+        F.lit('{"k": '),
+        F.from_json(F.col("props"), "k INT")["k"].cast("string"),
+        F.when(day % 2 == 0, F.lit(', "src": 1')).otherwise(F.lit("")),
+        F.when(day <= 10, F.lit(', "exp": 1')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    keys = ev.select(
+        F.to_date("ts").alias("d"),
+        F.explode(F.json_object_keys(aug)).alias("key"),
+    )
+    return (
+        keys.groupBy("key")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
+            F.countDistinct("d").alias("n_days"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("key")
+    )
+
+
+_SCHEMA_DRIFT_SQL = """
+WITH aug AS (
+  SELECT CAST(ts AS DATE) AS d,
+         '{"k": ' || CAST(json_extract(props, '$.k') AS INT)
+         || CASE WHEN day(ts) % 2 = 0 THEN ', "src": 1' ELSE '' END
+         || CASE WHEN day(ts) <= 10 THEN ', "exp": 1' ELSE '' END
+         || '}' AS props_aug
+  FROM events
+),
+keys AS (
+  SELECT d, unnest(json_keys(props_aug)) AS key FROM aug
+)
+SELECT key,
+       strftime(min(d), '%Y-%m-%d') AS first_day,
+       strftime(max(d), '%Y-%m-%d') AS last_day,
+       count(DISTINCT d) AS n_days,
+       count(*) AS n_events
+FROM keys
+GROUP BY key
+ORDER BY key
+"""
+
+
 # --- salted hot-key aggregation, driver-hashed --------------------------------
 
 SALT_N = 32
@@ -3018,4 +3216,6 @@ QUERIES = {
     ),
     "events_merge_upsert": (q_events_merge_upsert, _MERGE_UPSERT_SQL),
     "events_salted_type_totals": (q_salted_type_totals, _SALTED_TOTALS_SQL),
+    "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
+    "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),
 }

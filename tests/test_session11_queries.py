@@ -938,3 +938,52 @@ def test_pack_efficiency_reference(spark, docs):
     assert packs == sorted(packs, reverse=True) and packs[0] > packs[-1]
     assert any(got[L][2] > 0 for L in got)
     assert any(got[L][3] > 0 for L in got)
+
+
+# --- events_quality_expectations / events_props_schema_drift --------------------
+
+
+def test_quality_expectations_all_pass(spark):
+    """The generated corpus must pass the whole expectation suite
+    (it is the clean-ingest fixture), and every metric must be the
+    stdlib-recomputed value."""
+    import pyarrow.parquet as pqt
+
+    from ocr_intern_spark.operators.analytics import q_quality_expectations
+
+    rows = {
+        r["check"]: (r["metric"], r["passed"])
+        for r in q_quality_expectations(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 8
+    assert all(p for _, p in rows.values()), rows
+    ev = pqt.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    assert rows["unique_event_id"][0] == "0"
+    assert rows["value_cents_nonnegative"][0] == str(
+        min(math.floor(e["value"] * 100) for e in ev)
+    )
+    assert rows["freshness_span_days"][0] == str(
+        (max(e["ts"] for e in ev).date() - min(e["ts"] for e in ev).date()).days
+    )
+
+
+def test_schema_drift_shapes(spark):
+    """The injected drift must be visible: 'k' stable (every day),
+    'exp' retired (last_day <= day 10), 'src' periodic (~half the
+    days), with exact day arithmetic against the raw events."""
+    import pyarrow.parquet as pqt
+
+    from ocr_intern_spark.operators.analytics import q_props_schema_drift
+
+    rows = {
+        r["key"]: r for r in q_props_schema_drift(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"k", "src", "exp"}
+    ev = pqt.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    days = {e["ts"].date() for e in ev}
+    assert rows["k"]["n_days"] == len(days)
+    assert rows["exp"]["last_day"] <= max(
+        d for d in (str(x) for x in days) if int(d[8:10]) <= 10
+    )
+    assert rows["src"]["n_days"] == len({d for d in days if d.day % 2 == 0})
+    assert rows["k"]["n_events"] == len(ev)
