@@ -371,6 +371,8 @@ _DEFERRED: list[str] = [
     "text_pack_efficiency_report",
     "events_quality_expectations",
     "events_props_schema_drift",
+    "events_activity_bitmap",
+    "stream_static_enrich",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

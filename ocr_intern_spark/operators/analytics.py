@@ -2883,6 +2883,90 @@ ORDER BY user_id, k
 """
 
 
+# --- per-user activity bitmap ---------------------------------------------------
+
+
+def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user day-of-month ACTIVITY BITMAP — the engagement-vector
+    encoding (roaring-bitmap class) feature stores keep per entity:
+    bit d-1 set iff the user acted on day d, packed into ONE BIGINT
+    (the corpus spans one month; a production table keys the bitmap
+    by month). Emits the mask plus the three features models actually
+    consume: active-day count (popcount), longest daily streak, and
+    days since last activity within the month.
+
+    The streak comes from gaps-and-islands on the distinct day frame
+    (run key = d − row_number within user) — every window frame is
+    ≤ 31 rows per user by construction.
+
+    Scale shape: the (user, day) distinct is a map-side-combinable
+    aggregate (the mask partial — sum of distinct powers of two — is
+    a bitwise OR in disguise); streak windows partition by user over
+    month-bounded frames; features are pure projections."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", (F.dayofmonth("ts") - 1).alias("d")
+    ).distinct()
+    run = F.col("d") - F.row_number().over(
+        Window.partitionBy("user_id").orderBy("d")
+    )
+    streaks = (
+        days.select("user_id", "d", run.alias("run"))
+        .groupBy("user_id", "run")
+        .agg(F.count("*").alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").cast("int").alias("longest_streak"))
+    )
+    mask = days.groupBy("user_id").agg(
+        F.sum(F.pow(F.lit(2.0), F.col("d")).cast("long")).alias("mask"),
+        F.max("d").alias("last_d"),
+    )
+    return (
+        mask.join(streaks, "user_id")
+        .select(
+            "user_id",
+            "mask",
+            F.bit_count("mask").cast("int").alias("active_days"),
+            "longest_streak",
+            (F.lit(30) - F.col("last_d")).cast("int").alias(
+                "days_since_last"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _activity_bitmap_sql() -> str:
+    return """
+WITH days AS (
+  SELECT DISTINCT user_id, day(ts) - 1 AS d FROM events
+),
+streaks AS (
+  SELECT user_id, CAST(max(len) AS INT) AS longest_streak FROM (
+    SELECT user_id, run, count(*) AS len FROM (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS run
+      FROM days
+    ) GROUP BY user_id, run
+  ) GROUP BY user_id
+),
+masks AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(pow(2.0, d)) AS BIGINT)) AS BIGINT) AS mask,
+         max(d) AS last_d
+  FROM days GROUP BY user_id
+)
+SELECT user_id, mask,
+       CAST(bit_count(mask) AS INT) AS active_days,
+       longest_streak,
+       CAST(30 - last_d AS INT) AS days_since_last
+FROM masks JOIN streaks USING (user_id)
+ORDER BY user_id
+"""
+
+
 # --- data-quality expectation suite --------------------------------------------
 
 DQ_VALUE_MAX = 1_000_000  # cents ceiling for the range check
@@ -3218,4 +3302,5 @@ QUERIES = {
     "events_salted_type_totals": (q_salted_type_totals, _SALTED_TOTALS_SQL),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),
+    "events_activity_bitmap": (q_activity_bitmap, _activity_bitmap_sql()),
 }

@@ -747,8 +747,97 @@ ORDER BY user_id, click_id, purchase_id
 """
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join, driver-hashed — the last join
+    class in the Structured Streaming surface (stream-stream is
+    q_stream_stream_join): the event stream joins a STATIC user-
+    profile dimension (spend tier from lifetime purchase cents,
+    derived once from the batch table) and aggregates per (tier,
+    event_type) in complete mode across 8 real micro-batches.
+
+    The static side is read ONCE at planning and broadcast to every
+    micro-batch — the canonical ingest-enrichment shape (stream ⋈
+    slowly-changing dim snapshot); state is the |tiers × types|
+    aggregate frame, bounded by construction. Left join keeps
+    profile-less users as tier 'none' so the enrichment can't drop
+    events silently (the footgun this query exists to pin).
+
+    Determinism: complete-mode aggregation is micro-batch-order
+    independent; the dim is a pure function of the batch table; sums
+    emit as digit strings (the dsir lesson)."""
+    tmp = tempfile.mkdtemp(prefix="sq_enrich_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        _stage(spark, sf_dir, "events", in_dir)
+        schema = spark.read.parquet(in_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        ev_static = spark.read.parquet(f"{sf_dir}/events.parquet")
+        profiles = (
+            ev_static.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                    "cents"
+                )
+            )
+            .select(
+                "user_id",
+                F.when(F.col("cents") >= 100_000, F.lit("gold"))
+                .when(F.col("cents") >= 10_000, F.lit("silver"))
+                .otherwise(F.lit("bronze"))
+                .alias("tier"),
+            )
+        )
+        joined = stream.join(F.broadcast(profiles), "user_id", "left")
+        agg = joined.groupBy(
+            F.coalesce("tier", F.lit("none")).alias("tier"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("string")
+            .alias("value_cents"),
+        )
+        out = _run_to_memory_complete(agg, os.path.join(tmp, "ckpt"))
+        rows = [
+            (r.tier, r.event_type, r.n_events, r.value_cents)
+            for r in out.collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "tier string, event_type string, n_events bigint, "
+            "value_cents string",
+        ).orderBy("tier", "event_type")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STREAM_ENRICH_SQL = """
+WITH profiles AS (
+  SELECT user_id,
+         CASE WHEN sum(CAST(floor(value * 100) AS BIGINT)) >= 100000
+              THEN 'gold'
+              WHEN sum(CAST(floor(value * 100) AS BIGINT)) >= 10000
+              THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(p.tier, 'none') AS tier, e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS VARCHAR)
+         AS value_cents
+FROM events e LEFT JOIN profiles p USING (user_id)
+GROUP BY 1, 2
+ORDER BY tier, event_type
+"""
+
+
 QUERIES = {
     "stream_events_summary": (q_stream_events_summary, _STREAM_EVENTS_SUMMARY_SQL),
+    "stream_static_enrich": (q_stream_static_enrich, _STREAM_ENRICH_SQL),
     "stream_stream_join": (q_stream_stream_join, _STREAM_SSJ_SQL),
     "stream_session_window": (
         q_stream_session_window,
