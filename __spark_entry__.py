@@ -373,6 +373,8 @@ _DEFERRED: list[str] = [
     "events_props_schema_drift",
     "events_activity_bitmap",
     "stream_static_enrich",
+    "table_partition_skew_report",
+    "graph_degree_assortativity",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

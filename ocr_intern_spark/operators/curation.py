@@ -1227,6 +1227,116 @@ SELECT doc_id, label FROM l{LPA_ROUNDS} ORDER BY doc_id
 """
 
 
+# --- degree assortativity ------------------------------------------------------
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the gram-sharing graph —
+    do high-degree documents connect to each other (duplicate-farm
+    cliques, r > 0) or to low-degree satellites (hub-and-spoke
+    scrapers, r < 0)? Completes the graph-health panel beside the
+    triangle census and modularity.
+
+    r is the Pearson correlation of endpoint degrees over the 2m
+    ordered edge pairs: r = (M·S_jk − S_j²) / (M·S_jj − S_j²). Every
+    statistic is an EXACT integer; the numerator and denominator are
+    emitted as decimal(38,0) DIGIT STRINGS (M·S_jk brushes int64 at
+    sf0.1 and the engines disagree on negative integer-division
+    semantics — truncate vs floor — so the division is left to the
+    reader, the honest canonical form).
+
+    Scale shape: canonical edges once (inverted-index class), one
+    degree aggregate, two deg join-backs, ONE total-sum aggregate —
+    O(|E|) flat."""
+    d = _docs(spark, sf_dir)
+    g = _grams(d)
+    first = g.groupBy("g").agg(F.min("doc_id").alias("src"))
+    de = (
+        g.join(first, "g")
+        .where(F.col("doc_id") != F.col("src"))
+        .select(F.col("doc_id").alias("x"), F.col("src").alias("y"))
+        .distinct()
+    )
+    edges = de.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+    ordered = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = (
+        ordered.groupBy("a").agg(F.count("*").alias("deg"))
+    )
+    pairs = (
+        ordered.join(deg.withColumnRenamed("a", "a_"), F.col("a") == F.col("a_"))
+        .withColumnRenamed("deg", "dj")
+        .drop("a_")
+        .join(deg.withColumnRenamed("a", "b_").withColumnRenamed("deg", "dk"),
+              F.col("b") == F.col("b_"))
+        .drop("b_")
+    )
+    sums = pairs.agg(
+        F.count("*").cast("long").alias("m_ordered"),
+        F.sum(F.col("dj") * F.col("dk")).cast("long").alias("s_jk"),
+        F.sum("dj").cast("long").alias("s_j"),
+        F.sum(F.col("dj") * F.col("dj")).cast("long").alias("s_jj"),
+    )
+    num = (
+        F.col("m_ordered").cast("decimal(38,0)")
+        * F.col("s_jk").cast("decimal(38,0)")
+        - F.col("s_j").cast("decimal(38,0)")
+        * F.col("s_j").cast("decimal(38,0)")
+    )
+    den = (
+        F.col("m_ordered").cast("decimal(38,0)")
+        * F.col("s_jj").cast("decimal(38,0)")
+        - F.col("s_j").cast("decimal(38,0)")
+        * F.col("s_j").cast("decimal(38,0)")
+    )
+    return sums.select(
+        "m_ordered",
+        "s_jk",
+        "s_j",
+        "s_jj",
+        num.cast("string").alias("r_num"),
+        den.cast("string").alias("r_den"),
+    )
+
+
+def _assortativity_sql() -> str:
+    return f"""
+WITH g AS ({_grams_sql()}),
+first_occ AS (SELECT g, min(doc_id) AS src FROM g GROUP BY g),
+de AS (
+  SELECT DISTINCT doc_id AS x, src AS y
+  FROM g JOIN first_occ USING (g) WHERE doc_id != src
+),
+edges AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM de),
+ordered AS (
+  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+),
+deg AS (SELECT a, count(*) AS deg FROM ordered GROUP BY a),
+pairs AS (
+  SELECT dj.deg AS dj, dk.deg AS dk
+  FROM ordered o
+  JOIN deg dj ON dj.a = o.a
+  JOIN deg dk ON dk.a = o.b
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_ordered,
+         CAST(sum(dj * dk) AS BIGINT) AS s_jk,
+         CAST(sum(dj) AS BIGINT) AS s_j,
+         CAST(sum(dj * dj) AS BIGINT) AS s_jj
+  FROM pairs
+)
+SELECT m_ordered, s_jk, s_j, s_jj,
+       CAST(CAST(m_ordered AS HUGEINT) * s_jk
+            - CAST(s_j AS HUGEINT) * s_j AS VARCHAR) AS r_num,
+       CAST(CAST(m_ordered AS HUGEINT) * s_jj
+            - CAST(s_j AS HUGEINT) * s_j AS VARCHAR) AS r_den
+FROM sums
+"""
+
+
 # --- audio chunking plan -----------------------------------------------------
 
 AUDIO_CHUNK_MS = 30_000  # Whisper-style 30 s windows
@@ -2806,4 +2916,8 @@ QUERIES = {
     ),
     "multimodal_audio_chunk_plan": (q_audio_chunk_plan, _AUDIO_CHUNK_SQL),
     "multimodal_image_tile_plan": (q_image_tile_plan, _IMAGE_TILE_SQL),
+    "graph_degree_assortativity": (
+        q_degree_assortativity,
+        _assortativity_sql(),
+    ),
 }

@@ -232,7 +232,74 @@ ORDER BY layout, yr
 """
 
 
+# --- partition skew report -----------------------------------------------------
+
+
+def q_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-health report over the table's partition column —
+    the metadata view that decides WHEN the skew machinery (salting,
+    AQE skew splits) is needed: per partition, file and byte totals
+    plus the byte share versus a uniform layout in integer parts-per-
+    million (share_ppm = bytes·10⁶ div total; uniform would put every
+    partition at 10⁶ div n_partitions). A partition whose skew_ppm —
+    share minus uniform — is strongly positive is the hot shard every
+    downstream keyed operation inherits.
+
+    Scale shape: one manifest-listing aggregate (metadata-plane, like
+    the compaction planner) + a 1-row total broadcast; all integer
+    arithmetic."""
+    f = _files(spark, sf_dir)
+    per = f.groupBy("part").agg(
+        F.count("*").alias("n_files"),
+        F.sum("size_bytes").cast("long").alias("part_bytes"),
+    )
+    tot = per.agg(
+        F.sum("part_bytes").cast("long").alias("total_bytes"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "n_files",
+            "part_bytes",
+            F.expr("part_bytes * 1000000 div total_bytes").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "part_bytes * 1000000 div total_bytes"
+                " - 1000000 div n_parts"
+            ).alias("skew_ppm"),
+        )
+        .orderBy("part")
+    )
+
+
+_PARTITION_SKEW_SQL = """
+WITH per AS (
+  SELECT source AS part, count(*) AS n_files,
+         CAST(sum(n_chars) AS BIGINT) AS part_bytes
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(part_bytes) AS BIGINT) AS total_bytes,
+         count(*) AS n_parts
+  FROM per
+)
+SELECT part, n_files, part_bytes,
+       CAST(part_bytes * 1000000 // total_bytes AS BIGINT) AS share_ppm,
+       CAST(part_bytes * 1000000 // total_bytes
+            - 1000000 // n_parts AS BIGINT) AS skew_ppm
+FROM per CROSS JOIN tot
+ORDER BY part
+"""
+
+
 QUERIES = {
     "table_compaction_plan": (q_compaction_plan, _COMPACTION_SQL),
     "table_zonemap_prune_stats": (q_zonemap_prune_stats, _ZONEMAP_SQL),
+    "table_partition_skew_report": (
+        q_partition_skew_report,
+        _PARTITION_SKEW_SQL,
+    ),
 }

@@ -37,6 +37,7 @@ _BNLJ_ALLOWED = frozenset(
         "sim_binary_quant_recall",
         "sim_ivf_recall_curve",
         "sim_matryoshka_recall",
+        "table_partition_skew_report",
         "table_zonemap_prune_stats",
         "sim_embedding_outliers",
         "sim_hard_negatives",

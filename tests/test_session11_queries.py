@@ -1056,3 +1056,82 @@ def test_stream_static_enrich_reference(spark):
     assert got == {k: tuple(v) for k, v in expect.items()}
     # non-vacuity: the tiering actually separates users
     assert len({t for t, _ in got}) >= 2
+
+
+# --- table_partition_skew_report / graph_degree_assortativity --------------------
+
+
+def test_partition_skew_reference(spark, files):
+    from ocr_intern_spark.operators.maintenance import (
+        q_partition_skew_report,
+    )
+
+    per = defaultdict(lambda: [0, 0])
+    for _, part, size in files:
+        per[part][0] += 1
+        per[part][1] += size
+    total = sum(b for _, b in per.values())
+    n = len(per)
+    expect = {
+        p: (
+            c,
+            b,
+            b * 1_000_000 // total,
+            b * 1_000_000 // total - 1_000_000 // n,
+        )
+        for p, (c, b) in per.items()
+    }
+    got = {
+        r["part"]: (
+            r["n_files"],
+            r["part_bytes"],
+            r["share_ppm"],
+            r["skew_ppm"],
+        )
+        for r in q_partition_skew_report(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert any(v[3] > 0 for v in got.values())
+    assert any(v[3] < 0 for v in got.values())
+
+
+def test_assortativity_reference(spark, docs):
+    """Exact recompute of the Newman sums over the canonical edge
+    list; r itself must land in [-1, 1] when divided."""
+    from fractions import Fraction
+
+    from ocr_intern_spark.operators.curation import q_degree_assortativity
+
+    grams = {}
+    for d, t in docs:
+        toks = t.strip().lower().split()
+        grams[d] = (
+            {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+            if len(toks) >= 8
+            else set()
+        )
+    first = {}
+    for d in sorted(grams):
+        for g in grams[d]:
+            first.setdefault(g, d)
+    de = {
+        (d, first[g]) for d, gs in grams.items() for g in gs if first[g] != d
+    }
+    canon = {(min(a, b), max(a, b)) for a, b in de}
+    ordered = list(canon) + [(b, a) for a, b in canon]
+    deg = Counter(a for a, _ in ordered)
+    m = len(ordered)
+    s_jk = sum(deg[a] * deg[b] for a, b in ordered)
+    s_j = sum(deg[a] for a, _ in ordered)
+    s_jj = sum(deg[a] ** 2 for a, _ in ordered)
+    row = q_degree_assortativity(spark, SF_DIR).collect()[0]
+    assert (row["m_ordered"], row["s_jk"], row["s_j"], row["s_jj"]) == (
+        m,
+        s_jk,
+        s_j,
+        s_jj,
+    )
+    assert int(row["r_num"]) == m * s_jk - s_j * s_j
+    assert int(row["r_den"]) == m * s_jj - s_j * s_j
+    r = Fraction(int(row["r_num"]), int(row["r_den"]))
+    assert -1 <= r <= 1 and r != 0
