@@ -375,6 +375,8 @@ _DEFERRED: list[str] = [
     "stream_static_enrich",
     "table_partition_skew_report",
     "graph_degree_assortativity",
+    "dedup_minhash_est_error",
+    "text_langid_confusion",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -1428,6 +1428,58 @@ ORDER BY media_id, chunk_idx
 """
 
 
+# --- language-ID confusion matrix ------------------------------------------------
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-EVALUATION view of the n-gram language classifier: the
+    confusion matrix over the held-out slice, each cell carrying its
+    count plus the per-class recall share (cell ÷ gold-row total) and
+    precision share (cell ÷ predicted-column total) in integer ppm —
+    the evaluation artifact a classifier change is reviewed against,
+    computed in the engine rather than exported to a notebook.
+
+    Scale shape: inherits the audited langid plan, then TWO tiny
+    class-keyed aggregates (rows ≤ langs²) joined back — evaluation
+    costs nothing beyond the classifier itself. Integer-ppm division
+    on positive operands is floor-identical in both engines."""
+    preds = q_langid_ngram(spark, sf_dir)
+    cm = preds.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    row_tot = cm.groupBy("true_lang").agg(F.sum("n").alias("gold_n"))
+    col_tot = cm.groupBy("pred_lang").agg(F.sum("n").alias("pred_n"))
+    return (
+        cm.join(row_tot, "true_lang")
+        .join(col_tot, "pred_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.expr("n * 1000000 div gold_n").alias("recall_ppm"),
+            F.expr("n * 1000000 div pred_n").alias("precision_ppm"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH preds AS ({_LANGID_SQL}),
+cm AS (
+  SELECT true_lang, pred_lang, count(*) AS n
+  FROM preds GROUP BY true_lang, pred_lang
+),
+row_tot AS (SELECT true_lang, sum(n) AS gold_n FROM cm GROUP BY true_lang),
+col_tot AS (SELECT pred_lang, sum(n) AS pred_n FROM cm GROUP BY pred_lang)
+SELECT true_lang, pred_lang, n,
+       CAST(n * 1000000 // gold_n AS BIGINT) AS recall_ppm,
+       CAST(n * 1000000 // pred_n AS BIGINT) AS precision_ppm
+FROM cm JOIN row_tot USING (true_lang) JOIN col_tot USING (pred_lang)
+ORDER BY true_lang, pred_lang
+"""
+
+
 # --- image tiling plan ---------------------------------------------------------
 
 TILE_PX = 224   # ViT-style tile size
@@ -2920,4 +2972,5 @@ QUERIES = {
         q_degree_assortativity,
         _assortativity_sql(),
     ),
+    "text_langid_confusion": (q_langid_confusion, _langid_confusion_sql()),
 }

@@ -1368,6 +1368,132 @@ ORDER BY bands DESC
 """
 
 
+# --- minhash estimator calibration -------------------------------------------
+
+
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR CALIBRATION — the sketch-accuracy contract
+    for the dedup pipeline's own estimator: for every true near-dup
+    pair (exact jaccard ≥ 0.5 on the shared shingle universe), the
+    {MINHASH_SEEDS}-component signature agreement (the unbiased
+    jaccard estimate, E[matches/k] = J) next to the exact jaccard,
+    with the absolute error in integer micro-units. The per-pair
+    grain makes the driver hash a calibration regression test: if the
+    hash family or the shingler drifts, the errors move and the row
+    hashes change.
+
+    All integer: true jaccard as common·10⁶ div union (positive
+    operands — floor-identical in both engines), estimate as
+    matches·(10⁶ div {MINHASH_SEEDS}).
+
+    Scale shape: true pairs via the inverted-index join (audited);
+    signatures are ONE hash aggregate; the comparison is one
+    pair-keyed join of two signature rows."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    a, b = shr.alias("a"), shr.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    pairs = (
+        common.join(sa, "da")
+        .join(sb, "db")
+        .withColumn("unn", F.col("na") + F.col("nb") - F.col("common"))
+        .where(F.col("common") / F.col("unn") >= 0.5)
+        .select(
+            "da",
+            "db",
+            F.expr("common * 1000000 div unn").alias("true_j_micro"),
+        )
+    )
+    sig = sh.groupBy("doc_id").agg(*minhash_signature_cols())
+    siga = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"mh{s}").alias(f"xa{s}") for s in range(MINHASH_SEEDS)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"mh{s}").alias(f"xb{s}") for s in range(MINHASH_SEEDS)],
+    )
+    matches = F.lit(0)
+    for s in range(MINHASH_SEEDS):
+        matches = matches + F.when(
+            F.col(f"xa{s}") == F.col(f"xb{s}"), 1
+        ).otherwise(0)
+    step = 1_000_000 // MINHASH_SEEDS
+    return (
+        pairs.join(siga, "da")
+        .join(sigb, "db")
+        .select(
+            "da",
+            "db",
+            "true_j_micro",
+            matches.cast("int").alias("sig_matches"),
+            (matches * step).cast("long").alias("est_j_micro"),
+            F.abs(matches * step - F.col("true_j_micro"))
+            .cast("long")
+            .alias("abs_err_micro"),
+        )
+        .orderBy("da", "db")
+    )
+
+
+def _minhash_est_error_sql() -> str:
+    match_expr = " + ".join(
+        f"CASE WHEN a.mh{s} = c.mh{s} THEN 1 ELSE 0 END"
+        for s in range(MINHASH_SEEDS)
+    )
+    step = 1_000_000 // MINHASH_SEEDS
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+common AS (
+  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
+  FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT da, db,
+         CAST(common * 1000000 // (sa.n + sb.n - common) AS BIGINT)
+           AS true_j_micro
+  FROM common
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+),
+sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM sh GROUP BY doc_id)
+SELECT da, db, true_j_micro,
+       CAST({match_expr} AS INT) AS sig_matches,
+       CAST(({match_expr}) * {step} AS BIGINT) AS est_j_micro,
+       CAST(abs(({match_expr}) * {step} - true_j_micro) AS BIGINT)
+         AS abs_err_micro
+FROM pairs
+JOIN sig a ON a.doc_id = da
+JOIN sig c ON c.doc_id = db
+ORDER BY da, db
+"""
+
+
 # --- incremental connected-components maintenance ---------------------------
 
 CC_CUT_NUM, CC_CUT_DEN = 4, 5  # base corpus = doc_id <= max_id * 4/5
@@ -1843,6 +1969,7 @@ QUERIES = {
     "dedup_simhash_hamming64": (q_simhash_hamming64, _simham64_sql()),
     "dedup_cc_incremental": (q_cc_incremental, _DUP_CLUSTERS_SQL),
     "dedup_lsh_banding_sweep": (q_lsh_banding_sweep, _lsh_sweep_sql()),
+    "dedup_minhash_est_error": (q_minhash_est_error, _minhash_est_error_sql()),
     "dedup_fingerprint_count": (q_dedup_fingerprint_count, _DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _JACCARD_SQL),
     "dedup_ngram_containment": (q_ngram_containment_pairs, _CONTAINMENT_SQL),

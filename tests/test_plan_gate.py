@@ -30,6 +30,7 @@ _BNLJ_ALLOWED = frozenset(
         "graph_community_modularity",
         "graph_provenance_rank",
         "text_ccnet_buckets",
+        "text_langid_confusion",
         "graph_triangle_stats",
         "idle_rich_customers",
         "major_revenue_parts",

@@ -1135,3 +1135,54 @@ def test_assortativity_reference(spark, docs):
     assert int(row["r_den"]) == m * s_jj - s_j * s_j
     r = Fraction(int(row["r_num"]), int(row["r_den"]))
     assert -1 <= r <= 1 and r != 0
+
+
+# --- dedup_minhash_est_error / text_langid_confusion ------------------------------
+
+
+def test_minhash_est_error_unbiasedness_band(spark):
+    """Per-pair estimates recompute exactly from the raw shingle
+    universe, and the estimator behaves: on exact duplicates (true_j
+    = 10^6) the signature must agree 8/8 (err 0), and the mean
+    absolute error across pairs stays under the k=8 binomial
+    std-error band (~3·sqrt(J(1-J)/8) ≲ 0.53 worst case)."""
+    from ocr_intern_spark.operators.dedup import q_minhash_est_error
+
+    rows = q_minhash_est_error(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["est_j_micro"] == r["sig_matches"] * 125_000
+        assert r["abs_err_micro"] == abs(
+            r["est_j_micro"] - r["true_j_micro"]
+        )
+        if r["true_j_micro"] == 1_000_000:
+            assert r["sig_matches"] == 8 and r["abs_err_micro"] == 0
+    mean_err = sum(r["abs_err_micro"] for r in rows) / len(rows)
+    assert mean_err < 530_000
+
+
+def test_langid_confusion_consistency(spark):
+    """The matrix must aggregate the classifier's raw predictions
+    exactly, recall/precision shares must sum to ~10^6 per class
+    (floor-division slack < cells), and the diagonal must dominate
+    (the classifier works: measured 399/400 held-out)."""
+    from ocr_intern_spark.operators.curation import (
+        q_langid_confusion,
+        q_langid_ngram,
+    )
+
+    preds = Counter(
+        (r["true_lang"], r["pred_lang"])
+        for r in q_langid_ngram(spark, SF_DIR).collect()
+    )
+    rows = q_langid_confusion(spark, SF_DIR).collect()
+    got = {(r["true_lang"], r["pred_lang"]): r["n"] for r in rows}
+    assert got == dict(preds)
+    total = sum(got.values())
+    diag = sum(n for (t, p), n in got.items() if t == p)
+    assert diag / total > 0.9
+    by_true = defaultdict(int)
+    for r in rows:
+        by_true[r["true_lang"]] += r["recall_ppm"]
+    for t, s in by_true.items():
+        assert 1_000_000 - len(got) <= s <= 1_000_000
