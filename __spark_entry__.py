@@ -377,6 +377,7 @@ _DEFERRED: list[str] = [
     "graph_degree_assortativity",
     "dedup_minhash_est_error",
     "text_langid_confusion",
+    "text_bm25_eval",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

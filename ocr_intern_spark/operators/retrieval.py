@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,8 +387,207 @@ ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
 """
 
 
+def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-EVALUATION metrics for the BM25 retriever — the
+    retrieval sibling of the language-ID confusion matrix: with
+    relevance defined as conjunctive containment (a doc holding ALL
+    query terms), one row of exact-integer metrics: hits@5/10/20,
+    precision@20 and recall@20 in ppm, the first relevant rank, and
+    MRR in micro-units. Positive-operand integer division only —
+    floor-identical in both engines; the one float (the BM25 score)
+    is the already-rounded-to-6 retrieval score, compared but never
+    aggregated.
+
+    first_rank avoids ANY corpus-wide window: the best relevant doc
+    is a combinable max(struct(score, −doc_id)), and its rank is
+    1 + count{docs ordered strictly before it} — two 1-row broadcast
+    scalars, the MMR/TWAP bounded class.
+
+    Scale shape: inherits the zero-shuffle BM25 scoring pass; the
+    metrics add one TakeOrdered(20), two 1-row aggregates, and
+    conditional counts."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+
+    def _tf(term: str):
+        return F.size(F.filter(F.col("toks"), lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_QUERY)]
+    per_doc = base.select("doc_id", "dl", *tf_cols)
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+
+    def contrib(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        dff = F.col(f"df{i}").cast("double")
+        idf = F.log(1.0 + (F.col("n") - dff + 0.5) / (dff + 0.5))
+        norm = tf + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * (F.col("dl") / F.col("avgdl"))
+        )
+        return F.round(idf * ((tf * (BM25_K1 + 1.0)) / norm), 9)
+
+    score = F.round(sum(contrib(i) for i in range(len(BM25_QUERY))), 6)
+    rel = None
+    for i in range(len(BM25_QUERY)):
+        c = F.col(f"tf{i}") > 0
+        rel = c if rel is None else rel & c
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"), rel.alias("rel"))
+        .where(F.col("score") > 0)
+        .cache()  # reused: top-k, best-relevant scalar, rank count
+    )
+    topk = (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "rel",
+            F.row_number()
+            # bounded-window: frame is the BM25_TOPK-row limit above
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("rk"),
+        )
+    )
+    hits = topk.agg(
+        F.sum(F.when(F.col("rel") & (F.col("rk") <= 5), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_5"),
+        F.sum(F.when(F.col("rel") & (F.col("rk") <= 10), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_10"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_20"),
+    )
+    best = scored.where("rel").agg(
+        F.count("*").cast("long").alias("n_relevant"),
+        F.max(F.struct("score", (-F.col("doc_id")).alias("nid"))).alias(
+            "bk"
+        ),
+    )
+    ranked = scored.crossJoin(F.broadcast(best)).agg(
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    (F.col("score") > F.col("bk.score"))
+                    | (
+                        (F.col("score") == F.col("bk.score"))
+                        & (F.col("doc_id") < -F.col("bk.nid"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("first_rank")
+    )
+    return (
+        hits.crossJoin(F.broadcast(best.select("n_relevant")))
+        .crossJoin(F.broadcast(ranked))
+        .select(
+            "n_relevant",
+            "hits_5",
+            "hits_10",
+            "hits_20",
+            F.expr(f"hits_20 * 1000000 div {BM25_TOPK}").alias("p20_ppm"),
+            F.expr("hits_20 * 1000000 div n_relevant").alias(
+                "recall20_ppm"
+            ),
+            "first_rank",
+            F.expr("1000000 div first_rank").alias("mrr_micro"),
+        )
+    )
+
+
+def _bm25_eval_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    contribs = " + ".join(
+        f"round(ln(1.0 + (n - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0})"
+        f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * (dl / avgdl)))), 9)"
+        for i in range(len(BM25_QUERY))
+    )
+    rel = " AND ".join(f"tf{i} > 0" for i in range(len(BM25_QUERY)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> length(w) > 0) AS toks
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM base
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id, round({contribs}, 6) AS score, ({rel}) AS rel
+  FROM per_doc CROSS JOIN stats
+  WHERE round({contribs}, 6) > 0
+),
+topk AS (
+  SELECT rel, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+),
+hits AS (
+  SELECT CAST(sum(CASE WHEN rel AND rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits_5,
+         CAST(sum(CASE WHEN rel AND rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits_10,
+         CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits_20
+  FROM topk
+),
+best AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_relevant,
+         (SELECT score FROM scored WHERE rel
+          ORDER BY score DESC, doc_id LIMIT 1) AS bscore,
+         (SELECT doc_id FROM scored WHERE rel
+          ORDER BY score DESC, doc_id LIMIT 1) AS bid
+  FROM scored WHERE rel
+),
+ranked AS (
+  SELECT CAST(1 + sum(CASE WHEN s.score > b.bscore
+                            OR (s.score = b.bscore AND s.doc_id < b.bid)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS first_rank
+  FROM scored s CROSS JOIN best b
+)
+SELECT n_relevant, hits_5, hits_10, hits_20,
+       CAST(hits_20 * 1000000 // {BM25_TOPK} AS BIGINT) AS p20_ppm,
+       CAST(hits_20 * 1000000 // n_relevant AS BIGINT) AS recall20_ppm,
+       first_rank,
+       CAST(1000000 // first_rank AS BIGINT) AS mrr_micro
+FROM hits CROSS JOIN best CROSS JOIN ranked
+"""
+
+
 QUERIES = {
     "text_bm25_search": (q_bm25_search, _bm25_sql()),
+    "text_bm25_eval": (q_bm25_eval, _bm25_eval_sql()),
     "text_pmi_collocations": (q_pmi_collocations, _PMI_SQL),
     "text_rrf_fusion": (q_rrf_fusion, _rrf_sql()),
 }

@@ -52,6 +52,7 @@ _BNLJ_ALLOWED = frozenset(
         "sim_semdedup_prune",
         "text_allpairs_cosine",
         "text_bigram_logprob",
+        "text_bm25_eval",
         "text_bm25_search",
         "text_bpe_apply_fertility",
         "text_bpe_learn_merges",

@@ -1186,3 +1186,59 @@ def test_langid_confusion_consistency(spark):
         by_true[r["true_lang"]] += r["recall_ppm"]
     for t, s in by_true.items():
         assert 1_000_000 - len(got) <= s <= 1_000_000
+
+
+# --- text_bm25_eval ------------------------------------------------------------
+
+
+def test_bm25_eval_reference(spark, docs):
+    """Stdlib recompute of the full metric row (BM25 scores included)
+    plus sanity: the retriever must beat random — the first relevant
+    doc lands in the top 20."""
+    from ocr_intern_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOPK,
+        q_bm25_eval,
+    )
+
+    per = []
+    for d, t in docs:
+        toks = [w for w in t.strip().lower().split() if w]
+        per.append((d, len(toks), [toks.count(q) for q in BM25_QUERY]))
+    n = len(per)
+    avgdl = sum(dl for _, dl, _ in per) / n
+    dfs = [
+        sum(1 for _, _, tfs in per if tfs[i] > 0)
+        for i in range(len(BM25_QUERY))
+    ]
+    scored = []
+    for d, dl, tfs in per:
+        s = 0.0
+        for i, tf in enumerate(tfs):
+            idf = math.log(1.0 + (n - dfs[i] + 0.5) / (dfs[i] + 0.5))
+            norm = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
+            s += round(idf * ((tf * (BM25_K1 + 1.0)) / norm), 9)
+        s = round(s, 6)
+        if s > 0:
+            scored.append((d, s, all(tf > 0 for tf in tfs)))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    top = scored[:BM25_TOPK]
+    n_rel = sum(1 for _, _, r in scored if r)
+    h5 = sum(1 for _, _, r in top[:5] if r)
+    h10 = sum(1 for _, _, r in top[:10] if r)
+    h20 = sum(1 for _, _, r in top if r)
+    first = next(i + 1 for i, (_, _, r) in enumerate(scored) if r)
+    row = q_bm25_eval(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_relevant"],
+        row["hits_5"],
+        row["hits_10"],
+        row["hits_20"],
+        row["first_rank"],
+    ) == (n_rel, h5, h10, h20, first)
+    assert row["p20_ppm"] == h20 * 1_000_000 // BM25_TOPK
+    assert row["recall20_ppm"] == h20 * 1_000_000 // n_rel
+    assert row["mrr_micro"] == 1_000_000 // first
+    assert n_rel > 0 and first <= BM25_TOPK
