@@ -199,6 +199,74 @@ def _q_doc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", F.round("mean_conf", 6).alias("mean_conf"))
 
 
+def _per_doc_span_fp(df: DataFrame, n_alias: str, fp_alias: str) -> DataFrame:
+    """Per-doc order-sensitive span fingerprint: md5 over the ord-sorted
+    (kind, text) sequence, \\x1f within a span, \\x1e between spans —
+    byte-identical to the DuckDB `string_agg(kind || chr(31) || text,
+    chr(30) ORDER BY ord)` form in _SPAN_REGRESSION_SQL."""
+    canon = F.transform(
+        F.array_sort(F.collect_list(F.struct("ord", "kind", "text"))),
+        lambda s: F.concat_ws("\x1f", s["kind"], s["text"]),
+    )
+    return df.groupBy("doc_id").agg(
+        F.count("*").alias(n_alias),
+        F.md5(F.concat_ws("\x1e", canon)).alias(fp_alias),
+    )
+
+
+def _q_span_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing span-sequence regression gate, driver-hashed: run the
+    LIVE flagship pipeline (media OCR included) and compare its span
+    sequence per document against the committed pure-Python-oracle
+    golden (tools/make_goldens.py), emitting one row per golden doc
+    with both sides' span count + order-sensitive fingerprint and a
+    span_match verdict. The DuckDB oracle computes the golden-vs-golden
+    version of the same rows, so the driver hash is green IFF the live
+    pipeline's per-doc span sequences — the north rule's (kind, text,
+    order) equality — still equal the golden EXACTLY. Any future drift
+    in the extraction path fails the driver loudly, per document,
+    instead of waiting for the pytest suite.
+
+    Scale shape: the flagship plan unchanged (one Arrow stage + one
+    re-assembly exchange), then two per-doc hash aggregates and one
+    doc_id-keyed join; the golden side is metadata-sized. The corpus
+    key (n_docs, text_chars) is a 1-row broadcast — the bounded
+    scalar-join class. At sfs with no committed golden slice both
+    engines emit 0 rows (golden LEFT JOIN live), so the gate degrades
+    closed, never spuriously red."""
+    live = _per_doc_span_fp(_q_extract_full(spark, sf_dir), "n_spans", "fp")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = docs.agg(
+        F.count("*").alias("_nd"),
+        F.sum(F.length("text")).cast("long").alias("_tc"),
+    )
+    golden = (
+        spark.read.parquet(f"{_GOLDEN_DIR}/extract_full_pipeline.parquet")
+        .join(
+            F.broadcast(key),
+            (F.col("n_docs") == F.col("_nd"))
+            & (F.col("text_chars") == F.col("_tc")),
+        )
+        .select("doc_id", "ord", "kind", "text")
+    )
+    g = _per_doc_span_fp(golden, "golden_n_spans", "golden_fp")
+    return (
+        g.join(live, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            "fp",
+            "golden_n_spans",
+            "golden_fp",
+            (
+                F.col("n_spans").eqNullSafe(F.col("golden_n_spans"))
+                & F.col("fp").eqNullSafe(F.col("golden_fp"))
+            ).alias("span_match"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # The correctness driver checks the FIRST 50 entries of queries() per
 # round, so ordering is rotated each round to give every name a driver
 # row. Round-4 window (VERDICT r3 "Next round" #1-#3, in order):
@@ -378,6 +446,9 @@ _DEFERRED: list[str] = [
     "dedup_minhash_est_error",
     "text_langid_confusion",
     "text_bm25_eval",
+    # session-12 additions — registered after the window filled;
+    # oracles verified hash-exact locally at ×3 sfs this session:
+    "extract_span_regression",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.
@@ -463,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["export_fanout"] = _q_export_fanout
     all_q["extract_doc_confidence"] = _q_doc_confidence
     all_q["source_interleaved_scan"] = _q_source_interleaved_scan
+    all_q["extract_span_regression"] = _q_span_regression
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _FRONT:
@@ -539,6 +611,25 @@ def _golden_sql(name: str) -> str:
     )
 
 
+# Golden-vs-golden form of _q_span_regression: the oracle emits what
+# the Spark side emits when the live pipeline still equals the golden,
+# so the driver hash IS the per-doc span-sequence regression verdict.
+# Fingerprint form (string_agg ordered by ord, chr(31)/chr(30)
+# separators) is byte-identical to _per_doc_span_fp's.
+_SPAN_REGRESSION_SQL = f"""
+WITH g AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         md5(string_agg(kind || chr(31) || text, chr(30) ORDER BY ord)) AS fp
+  FROM '{_GOLDEN_DIR}/extract_full_pipeline.parquet'
+  WHERE {_GOLDEN_KEY}
+  GROUP BY doc_id
+)
+SELECT doc_id, n AS n_spans, fp, n AS golden_n_spans, fp AS golden_fp,
+       true AS span_match
+FROM g ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
@@ -547,4 +638,5 @@ def oracle_sql() -> dict[str, str]:
                 out[name] = sql
     for name in _GOLDEN_COLS:
         out[name] = _golden_sql(name)
+    out["extract_span_regression"] = _SPAN_REGRESSION_SQL
     return out
