@@ -449,6 +449,8 @@ _DEFERRED: list[str] = [
     # session-12 additions — registered after the window filled;
     # oracles verified hash-exact locally at ×3 sfs this session:
     "extract_span_regression",
+    "table_snapshot_expiry_plan",
+    "table_column_stats",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -295,6 +295,245 @@ ORDER BY part
 """
 
 
+# --- snapshot-expiry planner --------------------------------------------------
+
+RETAIN_LAST = 5    # Iceberg expire_snapshots retain-last: newest N always kept
+MAX_AGE_DAYS = 14  # ...and anything younger than this vs the newest snapshot
+
+
+def _t_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry plan (Iceberg `expire_snapshots` semantics):
+    keep the newest RETAIN_LAST snapshots plus any snapshot younger
+    than MAX_AGE_DAYS relative to the table's newest snapshot; expire
+    the rest, reporting the running reclaimable bytes over the expired
+    prefix in commit order. The snapshot log is synthesized
+    deterministically from the events table (one snapshot per ingest
+    day; files = that day's events, bytes = that day's value-cents) —
+    a realistic commit cadence without external data.
+
+    Scale shape: METADATA-plane — the input is one row per snapshot
+    (a table's snapshot log is 10^3-10^5 rows at any data scale), so
+    the two unpartitioned windows below rank a bounded frame, never
+    the data. Byte totals are emitted as canonical digit strings (the
+    dsir lesson: cross-engine >9-significant-digit rendering)."""
+    snaps = (
+        _t_events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("snap_day"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("_bytes"),
+        )
+    )
+    # bounded-window: frame = the snapshot log (one row per ingest day)
+    w_new = Window.orderBy(F.desc("snap_day"))
+    ranked = snaps.select(
+        "snap_day",
+        "n_files",
+        "_bytes",
+        F.row_number().over(w_new).cast("int").alias("recency_rank"),
+        F.datediff(F.max("snap_day").over(w_new.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )), F.col("snap_day")).cast("int").alias("age_days"),
+    )
+    expire = (F.col("recency_rank") > RETAIN_LAST) & (
+        F.col("age_days") > MAX_AGE_DAYS
+    )
+    # bounded-window: running reclaim over the same snapshot-log frame
+    w_old = Window.orderBy(F.asc("snap_day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ranked.select(
+        "snap_day",
+        "n_files",
+        "recency_rank",
+        "age_days",
+        expire.alias("expire"),
+        F.when(expire, F.col("_bytes")).otherwise(F.lit(0)).alias("_rec"),
+        F.col("_bytes").cast("string").alias("bytes_added"),
+    )
+    return flagged.select(
+        F.col("snap_day").cast("string").alias("snap_day"),
+        "n_files",
+        "bytes_added",
+        "recency_rank",
+        "age_days",
+        "expire",
+        F.sum("_rec").over(w_old).cast("string").alias("reclaim_cum"),
+    ).orderBy("snap_day")
+
+
+_SNAPSHOT_EXPIRY_SQL = f"""
+WITH snaps AS (
+  SELECT CAST(ts AS DATE) AS snap_day, count(*) AS n_files,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS _bytes
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT snap_day, n_files, _bytes,
+         CAST(row_number() OVER (ORDER BY snap_day DESC) AS INT)
+           AS recency_rank,
+         CAST(date_diff('day', snap_day, max(snap_day) OVER ()) AS INT)
+           AS age_days
+  FROM snaps
+),
+flagged AS (
+  SELECT *,
+         (recency_rank > {RETAIN_LAST} AND age_days > {MAX_AGE_DAYS})
+           AS expire
+  FROM ranked
+)
+SELECT CAST(snap_day AS VARCHAR) AS snap_day, n_files,
+       CAST(_bytes AS VARCHAR) AS bytes_added, recency_rank, age_days,
+       expire,
+       CAST(sum(CASE WHEN expire THEN _bytes ELSE 0 END) OVER (
+           ORDER BY snap_day ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS VARCHAR) AS reclaim_cum
+FROM flagged
+ORDER BY snap_day
+"""
+
+
+# --- ANALYZE-style column statistics -------------------------------------------
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style per-column statistics for the events table
+    — the cost-based-optimizer input view (rows, nulls, exact NDV,
+    canonical min/max, milli-average byte length). One row per column,
+    every metric emitted in a cross-engine-canonical form: ids and
+    epoch-micros as digit strings, doubles as floor-cents digit
+    strings, strings raw (both engines compare VARCHAR with binary
+    collation).
+
+    Scale shape: ONE pass over the table — the multi-distinct
+    aggregate compiles to Catalyst's Expand (k× row multiplication
+    inside the map task, k = distinct-counted columns) feeding a
+    single hash-aggregate exchange; per-column rows come from
+    unpivoting the 1-row aggregate, never from k scans. At 100 TB
+    you'd swap exact NDV for approx_count_distinct and keep the same
+    single-pass shape (the sketch-accuracy contract is pinned by
+    events_sketch_accuracy)."""
+    e = _t_events(spark, sf_dir)
+    epoch = F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+
+    def us(c):  # NTZ → exact integer microseconds, zone-free
+        return ((c - epoch).cast("decimal(20,6)") * 1_000_000).cast(
+            "long"
+        ).cast("string")
+
+    agg = e.agg(
+        F.count("*").alias("n_rows"),
+        # event_id
+        F.count("event_id").alias("id_nn"),
+        F.countDistinct("event_id").alias("id_nd"),
+        F.min("event_id").cast("string").alias("id_min"),
+        F.max("event_id").cast("string").alias("id_max"),
+        # ts
+        F.count("ts").alias("ts_nn"),
+        F.countDistinct("ts").alias("ts_nd"),
+        us(F.min("ts")).alias("ts_min"),
+        us(F.max("ts")).alias("ts_max"),
+        # user_id
+        F.count("user_id").alias("uid_nn"),
+        F.countDistinct("user_id").alias("uid_nd"),
+        F.min("user_id").cast("string").alias("uid_min"),
+        F.max("user_id").cast("string").alias("uid_max"),
+        # event_type
+        F.count("event_type").alias("et_nn"),
+        F.countDistinct("event_type").alias("et_nd"),
+        F.min("event_type").alias("et_min"),
+        F.max("event_type").alias("et_max"),
+        # integer DIV on both engines — double-divide-then-cast rounds
+        # in DuckDB but truncates in Spark (the session-8 trap)
+        F.expr(
+            "CAST((sum(length(event_type)) * 1000) DIV count(event_type)"
+            " AS BIGINT)"
+        ).alias("et_len_milli"),
+        # value (floor-cents canonical form)
+        F.count("value").alias("v_nn"),
+        F.countDistinct("value").alias("v_nd"),
+        F.floor(F.min("value") * 100).cast("long").cast("string")
+        .alias("v_min"),
+        F.floor(F.max("value") * 100).cast("long").cast("string")
+        .alias("v_max"),
+        # props
+        F.count("props").alias("p_nn"),
+        F.countDistinct("props").alias("p_nd"),
+        F.min("props").alias("p_min"),
+        F.max("props").alias("p_max"),
+        F.expr(
+            "CAST((sum(length(props)) * 1000) DIV count(props) AS BIGINT)"
+        ).alias("p_len_milli"),
+    )
+    row = agg.select(
+        F.expr(
+            "stack(6, "
+            "'event_id',  id_nn,  id_nd,  id_min,  id_max,  CAST(NULL AS BIGINT), "
+            "'ts',        ts_nn,  ts_nd,  ts_min,  ts_max,  CAST(NULL AS BIGINT), "
+            "'user_id',   uid_nn, uid_nd, uid_min, uid_max, CAST(NULL AS BIGINT), "
+            "'event_type',et_nn,  et_nd,  et_min,  et_max,  et_len_milli, "
+            "'value',     v_nn,   v_nd,   v_min,   v_max,   CAST(NULL AS BIGINT), "
+            "'props',     p_nn,   p_nd,   p_min,   p_max,   p_len_milli"
+            ") AS (column_name, n_notnull, n_distinct, min_val, max_val, avg_len_milli)"
+        ),
+        F.col("n_rows"),
+    )
+    return row.select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_notnull")).cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+        "avg_len_milli",
+    ).orderBy("column_name")
+
+
+_COLUMN_STATS_SQL = """
+WITH n AS (SELECT count(*) AS n_rows FROM events)
+SELECT 'event_id' AS column_name, n_rows,
+       n_rows - count(event_id) AS n_null,
+       count(DISTINCT event_id) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_val,
+       CAST(max(event_id) AS VARCHAR) AS max_val,
+       CAST(NULL AS BIGINT) AS avg_len_milli
+FROM events, n GROUP BY n_rows
+UNION ALL
+SELECT 'ts', n_rows, n_rows - count(ts), count(DISTINCT ts),
+       CAST(epoch_us(min(ts)) AS VARCHAR),
+       CAST(epoch_us(max(ts)) AS VARCHAR), CAST(NULL AS BIGINT)
+FROM events, n GROUP BY n_rows
+UNION ALL
+SELECT 'user_id', n_rows, n_rows - count(user_id),
+       count(DISTINCT user_id),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+       CAST(NULL AS BIGINT)
+FROM events, n GROUP BY n_rows
+UNION ALL
+SELECT 'event_type', n_rows, n_rows - count(event_type),
+       count(DISTINCT event_type), min(event_type), max(event_type),
+       CAST((sum(length(event_type)) * 1000) // count(event_type) AS BIGINT)
+FROM events, n GROUP BY n_rows
+UNION ALL
+SELECT 'value', n_rows, n_rows - count(value), count(DISTINCT value),
+       CAST(CAST(floor(min(value) * 100) AS BIGINT) AS VARCHAR),
+       CAST(CAST(floor(max(value) * 100) AS BIGINT) AS VARCHAR),
+       CAST(NULL AS BIGINT)
+FROM events, n GROUP BY n_rows
+UNION ALL
+SELECT 'props', n_rows, n_rows - count(props), count(DISTINCT props),
+       min(props), max(props),
+       CAST((sum(length(props)) * 1000) // count(props) AS BIGINT)
+FROM events, n GROUP BY n_rows
+ORDER BY column_name
+"""
+
+
 QUERIES = {
     "table_compaction_plan": (q_compaction_plan, _COMPACTION_SQL),
     "table_zonemap_prune_stats": (q_zonemap_prune_stats, _ZONEMAP_SQL),
@@ -302,4 +541,9 @@ QUERIES = {
         q_partition_skew_report,
         _PARTITION_SKEW_SQL,
     ),
+    "table_snapshot_expiry_plan": (
+        q_snapshot_expiry_plan,
+        _SNAPSHOT_EXPIRY_SQL,
+    ),
+    "table_column_stats": (q_column_stats, _COLUMN_STATS_SQL),
 }

@@ -3,6 +3,7 @@ reference is an independent stdlib recompute (hashlib/collections),
 never a re-run of the Spark code."""
 
 import hashlib
+import math
 from collections import defaultdict
 
 import pyarrow.parquet as pq
@@ -89,6 +90,171 @@ def test_span_regression_nonvacuous():
     n_docs, _ = _golden_key()
     assert len(ref) == n_docs
     assert max(n for n, _ in ref.values()) >= 4
+
+
+# --- table_snapshot_expiry_plan -----------------------------------------------
+
+
+def _events():
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    return list(
+        zip(
+            t.column("event_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("user_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+            t.column("value").to_pylist(),
+            t.column("props").to_pylist(),
+        )
+    )
+
+
+def _expiry_reference(events):
+    from ocr_intern_spark.operators.maintenance import (
+        MAX_AGE_DAYS,
+        RETAIN_LAST,
+    )
+
+    per_day = defaultdict(lambda: [0, 0])
+    for _eid, ts, _u, _t, value, _p in events:
+        d = ts.date()
+        per_day[d][0] += 1
+        per_day[d][1] += math.floor(value * 100)
+    days = sorted(per_day)
+    newest = days[-1]
+    rows = []
+    reclaim = 0
+    for d in days:
+        rank = sum(1 for o in days if o > d) + 1
+        age = (newest - d).days
+        expire = rank > RETAIN_LAST and age > MAX_AGE_DAYS
+        if expire:
+            reclaim += per_day[d][1]
+        rows.append(
+            (
+                str(d),
+                per_day[d][0],
+                str(per_day[d][1]),
+                rank,
+                age,
+                expire,
+                str(reclaim),
+            )
+        )
+    return rows
+
+
+def test_snapshot_expiry_plan_exact(spark):
+    from ocr_intern_spark.operators.maintenance import q_snapshot_expiry_plan
+
+    got = [
+        (
+            r["snap_day"],
+            r["n_files"],
+            r["bytes_added"],
+            r["recency_rank"],
+            r["age_days"],
+            r["expire"],
+            r["reclaim_cum"],
+        )
+        for r in q_snapshot_expiry_plan(spark, SF_DIR).collect()
+    ]
+    assert got == _expiry_reference(_events())
+
+
+def test_snapshot_expiry_both_actions_present(spark):
+    """Non-vacuity: the synthesized 30-day log has expired AND kept
+    snapshots, and the kept set includes both retention reasons
+    (recency-rank keeps ≠ age keeps)."""
+    from ocr_intern_spark.operators.maintenance import (
+        MAX_AGE_DAYS,
+        RETAIN_LAST,
+        q_snapshot_expiry_plan,
+    )
+
+    rows = q_snapshot_expiry_plan(spark, SF_DIR).collect()
+    expired = [r for r in rows if r["expire"]]
+    kept = [r for r in rows if not r["expire"]]
+    assert expired and kept
+    assert any(r["recency_rank"] <= RETAIN_LAST for r in kept)
+    assert any(
+        r["recency_rank"] > RETAIN_LAST and r["age_days"] <= MAX_AGE_DAYS
+        for r in kept
+    )
+
+
+# --- table_column_stats --------------------------------------------------------
+
+
+def _column_stats_reference(events):
+    cols = {
+        "event_id": [e[0] for e in events],
+        "ts": [e[1] for e in events],
+        "user_id": [e[2] for e in events],
+        "event_type": [e[3] for e in events],
+        "value": [e[4] for e in events],
+        "props": [e[5] for e in events],
+    }
+    n_rows = len(events)
+    out = {}
+    for name, vals in cols.items():
+        nn = [v for v in vals if v is not None]
+        nd = len(set(nn))
+        if name == "ts":
+            # NTZ micros — pin the epoch conversion to UTC so the
+            # reference never depends on the host timezone
+            from datetime import timezone
+
+            def _us(dt):
+                return str(
+                    int(
+                        dt.replace(tzinfo=timezone.utc).timestamp()
+                        * 1_000_000
+                    )
+                )
+
+            mn, mx = _us(min(nn)), _us(max(nn))
+            ln = None
+        elif name == "value":
+            mn = str(math.floor(min(nn) * 100))
+            mx = str(math.floor(max(nn) * 100))
+            ln = None
+        elif name in ("event_type", "props"):
+            mn, mx = min(nn), max(nn)
+            ln = sum(len(v) for v in nn) * 1000 // len(nn)
+        else:
+            mn, mx = str(min(nn)), str(max(nn))
+            ln = None
+        out[name] = (n_rows, n_rows - len(nn), nd, mn, mx, ln)
+    return out
+
+
+def test_column_stats_exact(spark):
+    from ocr_intern_spark.operators.maintenance import q_column_stats
+
+    ref = _column_stats_reference(_events())
+    got = {
+        r["column_name"]: (
+            r["n_rows"],
+            r["n_null"],
+            r["n_distinct"],
+            r["min_val"],
+            r["max_val"],
+            r["avg_len_milli"],
+        )
+        for r in q_column_stats(spark, SF_DIR).collect()
+    }
+    assert got == ref
+
+
+def test_column_stats_single_pass_plan(spark):
+    """The multi-distinct aggregate is ONE pass: an Expand feeding a
+    single keyed aggregation exchange — never one scan per column."""
+    from ocr_intern_spark.operators.maintenance import q_column_stats
+
+    plan = _plan(q_column_stats(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
 
 
 def test_span_regression_degrades_closed_without_golden(spark, tmp_path):
