@@ -451,6 +451,7 @@ _DEFERRED: list[str] = [
     "extract_span_regression",
     "table_snapshot_expiry_plan",
     "table_column_stats",
+    "text_cdc_chunks",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

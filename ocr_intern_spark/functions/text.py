@@ -2471,8 +2471,138 @@ ORDER BY doc_id
 """
 
 
+# --- content-defined chunking (CDC) -------------------------------------------
+
+CDC_MOD = 16      # expected chunk length in words (gear-hash cut rate)
+CDC_CUT = 0       # boundary residue: cut after w when h(w) ≡ CDC_CUT
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking at word grain (the rolling-hash cut
+    rule behind dedup stores à la LBFS/restic, applied to text): a
+    chunk boundary falls AFTER word i when the FNV-1a-64 of the
+    2-word window (w_{i-1} ‖ ' ' ‖ w_i) ≡ CDC_CUT (mod CDC_MOD), so
+    expected chunk length is CDC_MOD words and — unlike the
+    fixed-size q_chunk_documents — inserting a word shifts only the
+    chunk it lands in: every chunk whose window content is unchanged
+    keeps its fingerprint, which is what makes chunk-grain dedup
+    robust to prefix edits. (The window must roll over ≥2 words: the
+    corpus wordlist is only ~31 types, and a 1-word cut rule fires on
+    a fixed subset of types — or, as measured here, on none.) Output
+    is the corpus chunk-dedup view: one row per distinct chunk
+    fingerprint with occurrence/doc counts and the first holder.
+
+    Scale shape: token explode is map-side; the boundary flag needs
+    only lag(1) inside the per-doc window; chunk ids come from a
+    PER-DOC running sum (window partitioned by doc_id — never a
+    global frame); then two hash aggregates, (doc, chunk) → fp and
+    fp → counts, both map-side combinable. The md5-of-joined-words
+    chunk fingerprint never ships more than one chunk's words through
+    a shuffle."""
+    from ocr_intern_spark.functions.hashing import fnv1a64_spark
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).where(F.length(F.trim(F.col("text"))) > 0)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    w_seq = Window.partitionBy("doc_id").orderBy("pos")
+    pair = F.concat_ws(" ", F.lag("w").over(w_seq), F.col("w"))
+    bnd = toks.withColumn(
+        "_pair", F.when(F.lag("w").over(w_seq).isNotNull(), pair)
+    ).withColumn(
+        "_b",
+        (
+            F.expr(f"pmod({fnv1a64_spark('_pair')}, {CDC_MOD})") == CDC_CUT
+        ).cast("long"),
+    ).fillna({"_b": 0})
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = bnd.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.coalesce(F.sum("_b").over(w_doc), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = ch.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("fp"),
+    )
+    return (
+        chunks.groupBy("fp")
+        .agg(
+            F.min("n_words").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("fp")
+    )
+
+
+def _cdc_sql() -> str:
+    from ocr_intern_spark.functions.hashing import fnv1a64_duckdb
+
+    h = fnv1a64_duckdb("_pair")
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS w
+  FROM base, LATERAL (SELECT unnest(range(0, len(toks))) AS i)
+),
+paired AS (
+  SELECT doc_id, pos, w,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || w AS _pair
+  FROM tok
+),
+bnd AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN _pair IS NOT NULL
+                   AND (({h}) % {CDC_MOD} + {CDC_MOD}) % {CDC_MOD} = {CDC_CUT}
+              THEN 1 ELSE 0 END AS b
+  FROM paired
+),
+ch AS (
+  SELECT doc_id, pos, w,
+         coalesce(sum(b) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS chunk_id
+  FROM bnd
+),
+chunks AS (
+  SELECT doc_id, chunk_id, count(*) AS n_words,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+  FROM ch GROUP BY doc_id, chunk_id
+)
+SELECT fp, CAST(min(n_words) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM chunks GROUP BY fp ORDER BY fp
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
+    "text_cdc_chunks": (q_cdc_chunks, _cdc_sql()),
     "text_readability_fk": (q_readability_fk, _FK_SQL),
     "text_allpairs_cosine": (q_allpairs_cosine, _ALLPAIRS_SQL),
     "text_gopher_quality_flags": (q_gopher_quality_flags, _GOPHER_QUALITY_SQL),

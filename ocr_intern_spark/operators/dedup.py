@@ -582,40 +582,14 @@ FROM counts
 #   lo = x & m32; hi = (x>>32) & m32           (x = h XOR c)
 #   A  = lo*435 (≤2^41);  mid = (lo*256 + hi*435 + (A>>32)&m32) & m32
 #   h' = signed(mid)*2^32 + (A & m32)
-_FNV_OFFSET = -3750763034362895579  # 14695981039346656037 - 2^64
-_M32, _B32, _HALF = 4294967295, 4294967296, 2147483648
-
-
-def _fnv_step(xor: str) -> str:
-    mid = (
-        f"((({xor}) & {_M32}) * 256 + ((({xor}) >> 32) & {_M32}) * 435"
-        f" + ((((({xor}) & {_M32}) * 435) >> 32) & {_M32})) & {_M32}"
-    )
-    return (
-        f"CAST((CASE WHEN {mid} >= {_HALF} THEN ({mid}) - {_B32} "
-        f"ELSE {mid} END) * {_B32} + (((({xor}) & {_M32}) * 435) & {_M32})"
-        f" AS BIGINT)"
-    )
-
-
-def fnv1a64_spark(expr: str) -> str:
-    """Spark SQL FNV-1a-64 of a non-empty string expression (BIGINT)."""
-    return (
-        f"aggregate(transform(split({expr}, ''), ch -> ascii(ch)), "
-        f"CAST({_FNV_OFFSET} AS BIGINT), (h, c) -> {_fnv_step('(h ^ c)')})"
-    )
-
-
-def fnv1a64_duckdb(expr: str) -> str:
-    """DuckDB SQL FNV-1a-64 of the same string expression — identical
-    output to fnv1a64_spark (list_reduce has no init param, so the
-    offset basis is prepended to the codepoint list)."""
-    return (
-        f"list_reduce(list_prepend(CAST({_FNV_OFFSET} AS BIGINT), "
-        f"list_transform(string_split({expr}, ''), "
-        f"ch -> CAST(unicode(ch) AS BIGINT))), "
-        f"(h, c) -> {_fnv_step('xor(h, c)')})"
-    )
+# builders live in functions/hashing.py (neutral module — text.py
+# needs them too and dedup imports text); re-exported here for the
+# existing call sites and tests
+from ocr_intern_spark.functions.hashing import (  # noqa: E402
+    FNV_OFFSET as _FNV_OFFSET,
+    fnv1a64_duckdb,
+    fnv1a64_spark,
+)
 
 
 def q_minhash_portable64(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -257,6 +257,113 @@ def test_column_stats_single_pass_plan(spark):
     assert "Expand" in plan
 
 
+# --- text_cdc_chunks ------------------------------------------------------------
+
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 0x100000001B3
+_MASK = (1 << 64) - 1
+
+
+def _fnv64_u(s: str) -> int:
+    h = _FNV_OFFSET
+    for ch in s:
+        h = ((h ^ ord(ch)) * _FNV_PRIME) & _MASK
+    return h
+
+
+def _cdc_chunks_of(words):
+    """Pure-Python CDC: cut AFTER word i when fnv64(w[i-1] + ' ' + w[i])
+    ≡ CDC_CUT mod CDC_MOD. Returns the list of chunk word-lists."""
+    from ocr_intern_spark.functions.text import CDC_CUT, CDC_MOD
+
+    chunks, cur = [], []
+    for i, w in enumerate(words):
+        cur.append(w)
+        if i > 0 and _fnv64_u(words[i - 1] + " " + w) % CDC_MOD == CDC_CUT:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def _cdc_reference(docs):
+    stats = {}
+    for doc_id, text in docs:
+        t = text.strip().lower()
+        if not t:
+            continue
+        for chunk in _cdc_chunks_of(t.split()):
+            fp = hashlib.md5(" ".join(chunk).encode()).hexdigest()
+            n_words, n_occ, n_docs_set, first = stats.get(
+                fp, (len(chunk), 0, set(), doc_id)
+            )
+            stats[fp] = (
+                min(n_words, len(chunk)),
+                n_occ + 1,
+                n_docs_set | {doc_id},
+                min(first, doc_id),
+            )
+    return {
+        fp: (nw, no, len(nd), fd) for fp, (nw, no, nd, fd) in stats.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return list(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+
+
+def test_cdc_chunks_exact(spark, docs):
+    from ocr_intern_spark.functions.text import q_cdc_chunks
+
+    ref = _cdc_reference(docs)
+    got = {
+        r["fp"]: (r["n_words"], r["n_occ"], r["n_docs"], r["first_doc"])
+        for r in q_cdc_chunks(spark, SF_DIR).collect()
+    }
+    assert got == ref
+
+
+def test_cdc_chunks_nonvacuous(docs):
+    """The corpus's duplicated documents surface as shared chunk
+    fingerprints — the dedup signal the operator exists for."""
+    ref = _cdc_reference(docs)
+    assert any(no > 1 for _nw, no, _nd, _fd in ref.values())
+    assert any(nd > 1 for _nw, _no, nd, _fd in ref.values())
+
+
+def test_cdc_insertion_shifts_only_local_chunks():
+    """The content-defined property fixed-size chunking lacks: after a
+    single-word insertion, every chunk strictly beyond the edited one
+    keeps its fingerprint (the 2-word window re-synchronizes at the
+    next unchanged boundary)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(31)]
+    words = [rng.choice(vocab) for _ in range(400)]
+    edited = words[:1] + ["zzz"] + words[1:]  # insert near the front
+    a = ["\x1f".join(c) for c in _cdc_chunks_of(words)]
+    b = ["\x1f".join(c) for c in _cdc_chunks_of(edited)]
+    assert a != b
+    # all chunks after the first boundary following the edit survive
+    k = next(
+        i for i in range(1, len(a) + 1) if a[-i] != b[-i] or i == len(a)
+    )
+    surviving = k - 1
+    assert surviving >= len(a) - 3  # only the edited neighborhood moved
+    # and a fixed-size chunker would have shifted EVERY chunk:
+    fixed_a = [words[i : i + 16] for i in range(0, len(words), 16)]
+    fixed_b = [edited[i : i + 16] for i in range(0, len(edited), 16)]
+    assert all(x != y for x, y in zip(fixed_a, fixed_b))
+
+
 def test_span_regression_degrades_closed_without_golden(spark, tmp_path):
     """At a corpus whose (n_docs, text_chars) key has no committed
     golden slice the gate emits 0 rows — matching the oracle's 0 —
