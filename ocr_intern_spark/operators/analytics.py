@@ -3224,6 +3224,90 @@ ORDER BY event_type
 """
 
 
+def q_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-PROOF join shape, driver-hashed — the join-side
+    counterpart of q_salted_type_totals: fact (events, ~5 hot
+    event_type values — at 10^12 rows a plain shuffle join funnels
+    20% of the corpus through each of 5 reducers) ⋈ dim (per-type
+    cost table) via the replicate-salt rewrite: the dim side is
+    EXPLODED ×SALT_N with a salt column, the fact side salts each row
+    content-derivedly (xxhash64 over the full row — bit-stable under
+    partial stage retry, the SPARK-23207 discipline), and the join
+    runs on (event_type, _salt) so every hot key spreads over SALT_N
+    reducers. The oracle is the textbook UNSALTED join + aggregate,
+    so the driver hash CERTIFIES salted ≡ plain (the LSH-swap proof
+    pattern applied to join skew).
+
+    The merge hint pins the shape under test: a shuffle join, not a
+    broadcast (at this dim size Catalyst would broadcast and no salt
+    would be needed — the cert must exercise the plan you'd run when
+    the dim side is too big to broadcast or AQE skew-split is
+    unavailable, e.g. a bucketed fact table). Money stays in
+    floor-cents BIGINT × milli-cost integers; the weighted sum is
+    emitted as a digit string (the dsir lesson)."""
+    from ocr_intern_spark.functions.hashing import fnv1a64_spark
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "cost_milli",
+            F.expr(f"pmod({fnv1a64_spark('event_type')}, 1000)"),
+        )
+    )
+    dim_salted = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    fact = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64(*ev.columns), F.lit(SALT_N))
+    )
+    joined = fact.hint("merge").join(
+        dim_salted, ["event_type", "_salt"]
+    )
+    return (
+        joined.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("long")
+                * F.col("cost_milli")
+            )
+            .cast("string")
+            .alias("weighted_cents_milli"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n_events",
+            "weighted_cents_milli",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _salted_dim_join_sql() -> str:
+    from ocr_intern_spark.functions.hashing import fnv1a64_duckdb
+
+    h = fnv1a64_duckdb("event_type")
+    return f"""
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         (({h}) % 1000 + 1000) % 1000 AS cost_milli
+  FROM events
+)
+SELECT e.event_type, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT) * d.cost_milli)
+            AS VARCHAR) AS weighted_cents_milli
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type, CAST(e.ts AS DATE)
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -3300,6 +3384,7 @@ QUERIES = {
     ),
     "events_merge_upsert": (q_events_merge_upsert, _MERGE_UPSERT_SQL),
     "events_salted_type_totals": (q_salted_type_totals, _SALTED_TOTALS_SQL),
+    "events_salted_dim_join": (q_salted_dim_join, _salted_dim_join_sql()),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),
     "events_activity_bitmap": (q_activity_bitmap, _activity_bitmap_sql()),
