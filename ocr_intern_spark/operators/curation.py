@@ -442,6 +442,69 @@ ORDER BY media_id, frame_idx
 """
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup through the REAL multimodal aHash
+    stage (operators/multimodal.image_ahash: hash-repartitioned
+    mapInPandas over wide payload rows → 64-bit integer code), then a
+    plain hash-aggregate on the code: clusters of size ≥ 2 with a
+    representative and the sorted member list.
+
+    Certification (the LSH-swap proof pattern): the media payload is
+    synthesized as the first 64 chars of each document (477 distinct
+    prefixes over 500 docs — planted duplicate groups at every sf),
+    and aHash is a deterministic function of payload, so equal
+    payloads MUST collide. The oracle groups by the prefix itself;
+    hash equality therefore proves (a) the distributed decode→hash
+    stage preserved content exactly and (b) zero aHash collisions
+    among distinct payloads on this corpus — the grouping by an
+    8-byte code is output-identical to grouping by content.
+
+    Scale shape: at 10^12 images the group-by runs on the BIGINT code
+    (map-side combinable, never touches payload bytes); near-dup
+    extends by banding the code into 4×16-bit keys (pigeonhole covers
+    Hamming ≤ 3) exactly like the MinHash-LSH path. The fake codec
+    stands in for Pillow behind the MediaCodec seam — the Spark-side
+    plumbing is the production plan."""
+    from ocr_intern_spark.operators.multimodal import (
+        ChainedFakeCodec,
+        image_ahash,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"),
+    )
+    # the chained fake: full-entropy pixels so the 64-bit code is
+    # collision-free on the corpus (the tiled fake measurably is not)
+    hashed = image_ahash(media, codec=ChainedFakeCodec())
+    return (
+        hashed.select(F.col("media_id").cast("long").alias("doc"), "ahash")
+        .groupBy("ahash")
+        .agg(
+            F.min("doc").alias("rep_doc"),
+            F.count("*").alias("n_copies"),
+            F.array_join(
+                F.array_sort(F.collect_list("doc")), ","
+            ).alias("members"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select("rep_doc", "n_copies", "members")
+        .orderBy("rep_doc")
+    )
+
+
+_PHASH_DEDUP_SQL = """
+SELECT min(doc_id) AS rep_doc,
+       count(*) AS n_copies,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM documents
+GROUP BY substr(text, 1, 64)
+HAVING count(*) >= 2
+ORDER BY rep_doc
+"""
+
+
 MIX_HASH_HEX = 6  # md5-prefix width for the resample draw (24 bits)
 
 
@@ -2951,6 +3014,7 @@ QUERIES = {
     "text_source_mix_weights": (q_source_mix_weights, _MIX_SQL),
     "multimodal_interleaved_pack": (q_interleaved_pack, _INTERLEAVED_SQL),
     "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
+    "multimodal_phash_dedup": (q_phash_dedup, _PHASH_DEDUP_SQL),
     "text_langid_ngram": (q_langid_ngram, _LANGID_SQL),
     "text_line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
     "text_source_cap": (q_source_cap, _SOURCE_CAP_SQL),

@@ -45,6 +45,8 @@ FEATURES_DDL = (
 
 FRAMES_DDL = "media_id string, frame_idx int, frame_sha string"
 
+AHASH_DDL = "media_id string, ahash long"
+
 
 class MediaCodec:
     """Codec interface. Production: Pillow/ffmpeg. Tests: the fake."""
@@ -79,6 +81,29 @@ class DeterministicFakeCodec(MediaCodec):
         return [
             hashlib.md5((payload or b"") + bytes([i])).digest() for i in range(n)
         ]
+
+
+class ChainedFakeCodec(DeterministicFakeCodec):
+    """Fake codec with FULL-entropy pixels: the pixel stream is a
+    sha256 counter chain (block i = sha256(payload ‖ le32(i))), never
+    a repeated digest. DeterministicFakeCodec tiles ONE 32-byte
+    digest across the array, which collapses a 64-bit perceptual
+    hash to ~23 effective bits (measured: 2 aHash collisions among
+    4,764 distinct payloads) — fine for dataflow pins, fatal for a
+    dedup whose certificate is 'distinct content ⇒ distinct code'.
+    Use this fake wherever the TEST depends on hash entropy."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        p = payload or b""
+        side = 8 + hashlib.md5(p).digest()[0] % 8
+        need = side * side * 3
+        blocks = []
+        for i in range((need + 31) // 32):
+            blocks.append(
+                hashlib.sha256(p + i.to_bytes(4, "little")).digest()
+            )
+        raw = np.frombuffer(b"".join(blocks), dtype=np.uint8)[:need]
+        return raw.reshape(side, side, 3)
 
 
 def image_features(
@@ -150,6 +175,66 @@ def sample_video_frames(
         "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
     ).repartition(p, F.hash("media_id"))
     return wide.mapInPandas(stage, schema=FRAMES_DDL)
+
+
+def image_ahash(
+    media: DataFrame,
+    codec: MediaCodec | None = None,
+    grid: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) stage: decode → integer
+    grayscale → ``grid×grid`` mean-pool → threshold each cell against
+    the global mean → one 64-bit code per image.
+
+    ALL arithmetic is integer (the repo's float-portability
+    discipline): grayscale is the channel SUM (not mean), and the
+    threshold compare is the cross-multiplication
+    ``cell_sum · total_pixels > total_sum · cell_pixels`` so no
+    division ever runs — cells of unequal pixel count (side not a
+    multiple of ``grid``) still compare exactly. The code is the
+    uint64 bit-string viewed as a signed BIGINT (Spark has no
+    unsigned type).
+
+    Scale shape: same as the other media stages — wide payload rows
+    repartition by ``hash(media_id)`` before one Arrow-batched
+    ``mapInPandas`` pass; downstream grouping/banding runs on the
+    8-byte code, never the payload. Near-dup at scale: split the code
+    into 4×16-bit bands and self-join on any equal band — pigeonhole
+    guarantees every pair at Hamming distance ≤ 3 shares a band."""
+    codec = codec or DeterministicFakeCodec()
+    p = partitions or media.sparkSession.sparkContext.defaultParallelism
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, codes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = codec.decode_image(
+                    bytes(payload) if payload is not None else b""
+                )
+                gray = img.astype(np.int64).sum(axis=2)
+                h, w = gray.shape
+                total_sum = int(gray.sum())
+                total_px = h * w
+                ys = np.linspace(0, h, grid + 1, dtype=int)
+                xs = np.linspace(0, w, grid + 1, dtype=int)
+                code = 0
+                for i in range(grid):
+                    for j in range(grid):
+                        cell = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+                        bit = int(
+                            int(cell.sum()) * total_px
+                            > total_sum * cell.size
+                        )
+                        code = (code << 1) | bit
+                ids.append(mid)
+                codes.append(np.uint64(code).astype(np.int64))
+            yield pd.DataFrame({"media_id": ids, "ahash": codes})
+
+    wide = media.select("media_id", "payload").repartition(
+        p, F.hash("media_id")
+    )
+    return wide.mapInPandas(stage, schema=AHASH_DDL)
 
 
 def filter_by_meta(media: DataFrame, mime_prefix: str, min_pixels: int = 0) -> DataFrame:
