@@ -454,6 +454,7 @@ _DEFERRED: list[str] = [
     "text_cdc_chunks",
     "events_salted_dim_join",
     "multimodal_phash_dedup",
+    "pareto_customers",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

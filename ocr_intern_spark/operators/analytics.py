@@ -3308,6 +3308,65 @@ ORDER BY event_type, day
 """
 
 
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: customers on the 2-D pareto front of (total
+    spend, account balance) — nobody both spends ≥ and holds ≥ with
+    one strict. The engine path is skew.pareto_front (per-x group max
+    → range-partitioned two-pass strict running max → semi-join), so
+    NO unbounded window and no all-pairs compare ever runs; the
+    oracle is the textbook quadratic NOT EXISTS dominance predicate —
+    hash equality certifies the decomposition, the same proof shape
+    as the salted-agg and LSH-swap certificates.
+
+    Money is floor-cents BIGINT on both engines (IEEE double ×100 →
+    floor is bit-identical cross-engine; never round()). Scale: at
+    10^12 orders pass 1 is a map-side-combinable agg; the skyline
+    pass runs on the distinct-spend frame, range-partitioned, with
+    only a P-row summary crossing the driver-broadcast boundary."""
+    from ocr_intern_spark.operators.skew import pareto_front
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .alias("spend_cents")
+        )
+    )
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+        .join(spend, "c_custkey")
+        .select("c_custkey", "spend_cents", "bal_cents")
+    )
+    return pareto_front(pts, "spend_cents", "bal_cents").orderBy("c_custkey")
+
+
+_PARETO_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+pts AS (
+  SELECT c.c_custkey, s.spend_cents,
+         CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer c JOIN spend s USING (c_custkey)
+)
+SELECT c_custkey, spend_cents, bal_cents
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.spend_cents >= p.spend_cents AND q.bal_cents >= p.bal_cents
+    AND (q.spend_cents > p.spend_cents OR q.bal_cents > p.bal_cents)
+)
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -3385,6 +3444,7 @@ QUERIES = {
     "events_merge_upsert": (q_events_merge_upsert, _MERGE_UPSERT_SQL),
     "events_salted_type_totals": (q_salted_type_totals, _SALTED_TOTALS_SQL),
     "events_salted_dim_join": (q_salted_dim_join, _salted_dim_join_sql()),
+    "pareto_customers": (q_pareto_customers, _PARETO_SQL),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),
     "events_activity_bitmap": (q_activity_bitmap, _activity_bitmap_sql()),

@@ -138,3 +138,73 @@ def global_rank(
         .withColumn(rank_name, (F.col("_off") + local).cast("long"))
         .drop("_pid", "_off")
     )
+
+
+def pareto_front(
+    df: DataFrame,
+    x: str,
+    y: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """2-D skyline (maximize BOTH columns) without a global window:
+    rows not dominated by any other row (dominated = other has
+    ``x' ≥ x`` and ``y' ≥ y`` with at least one strict).
+
+    The textbook single-node skyline sorts by x desc and keeps rows
+    that raise the running max of y — a sequential scan, i.e. the
+    same single-reducer `Window.orderBy(...)` class global_rank
+    exists to avoid. Distributed shape (two-pass, TeraSort-style,
+    mirroring global_rank):
+
+      1. per-x group max of y (one map-side-combinable exchange) —
+         the skyline only ever contains a group's max-y row(s);
+      2. range-partition the DISTINCT-x frame by x desc, then the
+         strict running max M(x) = max{ y' : x' > x } decomposes as
+         max(earlier-partition maxes — a `partitions`-row broadcast
+         frame, prefix via a bounded window — and the partition-LOCAL
+         preceding-rows window, whose frame is ~|distinct x| / P);
+      3. keep groups with gmax > M(x) (ties inside a group all
+         survive: equal points do not dominate each other), then a
+         semi-join back to the input picks the surviving rows.
+
+    The order must make x distinct per group key (it is: pass 1
+    grouped on x), so preceding-rows = strictly-greater-x exactly.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    gmax = df.groupBy(x).agg(F.max(y).alias("_gmax"))
+    parted = (
+        gmax.repartitionByRange(p, F.desc(x))
+        .sortWithinPartitions(F.desc(x))
+        .withColumn("_pid", F.spark_partition_id())
+        # materialized between passes for the same reason as
+        # global_rank: _pid must mean ONE physical partitioning
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pmax = parted.groupBy("_pid").agg(F.max("_gmax").alias("_pm"))
+    # bounded-window: frame is exactly `partitions` rows (config, not data)
+    pref = pmax.select(
+        "_pid",
+        F.max("_pm")
+        .over(
+            Window.orderBy("_pid").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("_prefmax"),
+    )
+    run = F.max("_gmax").over(
+        Window.partitionBy("_pid")
+        .orderBy(F.desc(x))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = (
+        parted.join(F.broadcast(pref), "_pid")
+        .withColumn("_runmax", run)
+        .withColumn("_m", F.greatest(F.col("_prefmax"), F.col("_runmax")))
+        .where(F.col("_m").isNull() | (F.col("_gmax") > F.col("_m")))
+        .select(x, F.col("_gmax").alias(y))
+    )
+    return df.join(kept, [x, y], "left_semi")

@@ -133,3 +133,46 @@ def test_two_branch_union_ranks_stay_dense(spark):
         .collect()
     }
     assert got == {"a": (20000, 20000, 20000), "b": (20000, 20000, 20000)}
+
+
+def _brute_skyline(pts):
+    out = []
+    for p in pts:
+        dom = any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in pts
+        )
+        if not dom:
+            out.append(p)
+    return sorted(out)
+
+
+def test_pareto_front_matches_brute_force_with_ties(spark):
+    from ocr_intern_spark.operators.skew import pareto_front
+
+    # adversarial frame: duplicate points (both must survive), x-ties
+    # with different y (only group max survives), staircase fronts
+    pts = [
+        (10, 1), (10, 5), (9, 5), (9, 6), (8, 6), (8, 6), (7, 7),
+        (7, 2), (6, 7), (5, 8), (5, 8), (4, 3), (3, 9), (3, 9),
+        (2, 1), (1, 10), (1, 4), (0, 0), (10, 5),
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    # partitions=5 forces the prefix-max path across range partitions
+    got = sorted(
+        (r["x"], r["y"])
+        for r in pareto_front(df, "x", "y", partitions=5).collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_pareto_front_single_point_and_all_dominated(spark):
+    from ocr_intern_spark.operators.skew import pareto_front
+
+    df = spark.createDataFrame([(1, 1)], "x long, y long")
+    assert [(r["x"], r["y"]) for r in pareto_front(df, "x", "y").collect()] == [(1, 1)]
+    chain = spark.createDataFrame(
+        [(i, i) for i in range(6)], "x long, y long"
+    )
+    # a monotone chain's skyline is its max point only
+    assert [(r["x"], r["y"]) for r in pareto_front(chain, "x", "y", partitions=3).collect()] == [(5, 5)]
