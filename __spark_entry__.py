@@ -455,6 +455,7 @@ _DEFERRED: list[str] = [
     "events_salted_dim_join",
     "multimodal_phash_dedup",
     "pareto_customers",
+    "sim_cluster_topterms",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

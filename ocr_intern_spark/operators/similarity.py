@@ -2107,6 +2107,113 @@ ORDER BY b.cell
 """
 
 
+TOPTERMS_K = 3  # distinctive terms per cluster
+
+
+def q_cluster_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster LABELING: after k-means/IVF assignment, name each cell
+    by its TOPTERMS_K most DISTINCTIVE tokens — the human-readable
+    step of every embedding-clustering pipeline (what you print next
+    to a SemDeDup or curriculum cluster). Distinctiveness is the
+    integer keyness ``tf_cell·total_tokens − tf_total·cell_tokens``
+    (sign of the PMI numerator minus expectation, cross-multiplied so
+    NO division or log crosses an aggregation — the margin-mining
+    arithmetic discipline), ties broken lexicographically.
+
+    Shares _ivf_centroids/_ivf_assign with the IVF index and SemDeDup
+    so the assignment can never drift from the other queries' cells.
+
+    Scale shape: assignment is the broadcast argmax; token counts are
+    two-level hash aggregates off ONE explode pass; the corpus total
+    is a 1-row broadcast; the final window ranks each cell's vocab —
+    partitioned by cell, and at 10^12 docs a per-cell vocab cut
+    (HAVING tf_cell ≥ m) bounds the frame before ranking."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    assigned = _ivf_assign(e, _ivf_centroids(e)).select("vec_id", "cell")
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .join(assigned, F.col("doc_id") == F.col("vec_id"))
+        .select("cell", "tok")
+    )
+    tfc = toks.groupBy("cell", "tok").agg(F.count(F.lit(1)).alias("tf_cell"))
+    tft = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_tot"))
+    celltot = toks.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_tokens"))
+    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    score = (
+        F.col("tf_cell") * F.col("total_tokens")
+        - F.col("tf_tot") * F.col("cell_tokens")
+    ).alias("score")
+    scored = (
+        tfc.join(tft, "tok")
+        .join(F.broadcast(celltot), "cell")
+        .crossJoin(F.broadcast(total))
+        .select("cell", "tok", score)
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPTERMS_K)
+        .select("cell", F.col("rk").cast("int").alias("rk"), "tok", "score")
+        .orderBy("cell", "rk")
+    )
+
+
+_TOPTERMS_SQL = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         {_COS_SQL.format(a="e.embedding", b="c.cvec")} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+raw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+toks AS (
+  SELECT b.cell, r.tok FROM raw r JOIN best b ON b.vec_id = r.doc_id
+),
+tfc AS (SELECT cell, tok, count(*) AS tf_cell FROM toks GROUP BY cell, tok),
+tft AS (SELECT tok, count(*) AS tf_tot FROM toks GROUP BY tok),
+celltot AS (SELECT cell, count(*) AS cell_tokens FROM toks GROUP BY cell),
+tot AS (SELECT count(*) AS total_tokens FROM toks)
+SELECT CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk, tok, score
+FROM (
+  SELECT c.cell, c.tok,
+         c.tf_cell * t.total_tokens - f.tf_tot * ct.cell_tokens AS score,
+         row_number() OVER (
+           PARTITION BY c.cell
+           ORDER BY c.tf_cell * t.total_tokens - f.tf_tot * ct.cell_tokens DESC,
+                    c.tok ASC
+         ) AS rk
+  FROM tfc c JOIN tft f USING (tok) JOIN celltot ct USING (cell)
+  CROSS JOIN tot t
+)
+WHERE rk <= {TOPTERMS_K}
+ORDER BY cell, rk
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_embedding_outliers": (q_embedding_outliers, _OUTLIER_SQL),
@@ -2114,6 +2221,7 @@ QUERIES = {
     "sim_hard_negatives": (q_hard_negatives, _HARD_NEG_SQL),
     "sim_pq_adc_recall": (q_pq_adc_recall, _PQ_RECALL_SQL),
     "sim_semdedup_prune": (q_semdedup_prune, _SEMDEDUP_SQL),
+    "sim_cluster_topterms": (q_cluster_topterms, _TOPTERMS_SQL),
     "sim_knn_join_topk": (q_knn_join_topk, _KNN_JOIN_SQL),
     "sim_int8_quant_recall": (q_int8_quant_recall, _INT8_RECALL_SQL),
     "sim_ann_lsh_buckets": (q_ann_lsh_buckets, _ann_lsh_sql()),
