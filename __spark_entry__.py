@@ -456,6 +456,7 @@ _DEFERRED: list[str] = [
     "multimodal_phash_dedup",
     "pareto_customers",
     "sim_cluster_topterms",
+    "stream_late_drop_audit",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

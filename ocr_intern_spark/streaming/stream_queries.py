@@ -835,6 +835,168 @@ ORDER BY tier, event_type
 """
 
 
+_LATE_DELAY_MOD = 37  # event_id % MOD == 0 rows arrive two files late
+
+
+def q_stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data ACCOUNTING, driver-hashed: inject deterministic
+    lateness (every ``event_id % 37 == 0`` row is shipped two files
+    after its time-slice), run the watermarked day-window aggregation
+    in append mode, and emit per micro-batch what Spark's own engine
+    metrics report — ``numInputRows`` and
+    ``numRowsDroppedByWatermark`` — certified against an independent
+    relational model of the watermark protocol.
+
+    The calibrated drop rule (measured, not assumed — calibrated at
+    two sfs where the two levels separate): (1) a ROW in batch k is
+    filtered iff its window end ≤ max(event time over batches ≤ k−2)
+    − delay — the data filter lags the progress-reported watermark
+    (itself lag-1) by one more batch; (2) the METRIC
+    ``numRowsDroppedByWatermark`` counts dropped POST-SHUFFLE partial
+    rows, i.e. distinct (window, event_type) groups among the
+    filtered rows (the map-side partial aggregation has already
+    collapsed them; one file per trigger ⇒ one map partition ⇒ one
+    partial per group). The oracle unrolls exactly that recurrence —
+    running max over per-batch maxima, lag 2, distinct-group count;
+    hash equality certifies the staging, the watermark protocol, and
+    the metric's real meaning. (≤ vs < is unobservable here:
+    watermarks carry sub-second offsets while window ends are
+    midnights, so equality never occurs. Filter and eviction share
+    the same lagged watermark, so a row surviving the filter always
+    lands in a not-yet-emitted window — append stays exactly-once per
+    key, confirmed by the absence of surplus keys in the sink.)
+
+    Why this matters at 100 TB: the drop counter is the SLO metric of
+    every production watermark trade (completeness vs state size) —
+    this query pins that the metric means what the runbook says it
+    means, batch by batch, not approximately."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="sq_late_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        rows = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("ts", "event_type", "value", "event_id")
+            .orderBy("ts", "event_id")
+            .collect()
+        )  # harness-side staging at test scale, not the operator path
+        n = len(rows)
+        per = (n + _N_FILES - 1) // _N_FILES
+        slices: list[list] = [[] for _ in range(_N_FILES)]
+        for i, r in enumerate(rows):
+            k = min(i // per, _N_FILES - 1)
+            if r.event_id % _LATE_DELAY_MOD == 0:
+                k = min(k + 2, _N_FILES - 1)
+            slices[k].append(r)
+        for k, chunk in enumerate(slices):
+            if not chunk:
+                continue
+            path = os.path.join(in_dir, f"part-{k:05d}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "ts": [r.ts for r in chunk],
+                        "event_type": [r.event_type for r in chunk],
+                        "value": [r.value for r in chunk],
+                        "event_id": [r.event_id for r in chunk],
+                    }
+                ),
+                path,
+            )
+            os.utime(path, (1700000000 + k * 60, 1700000000 + k * 60))
+
+        tz_key = "spark.sql.session.timeZone"
+        old_tz = spark.conf.get(tz_key, None)
+        spark.conf.set(tz_key, "UTC")
+        try:
+            stream = (
+                spark.readStream.schema(
+                    "ts timestamp, event_type string, value double, "
+                    "event_id bigint"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            agg = (
+                stream.withWatermark("ts", _WM_DELAY)
+                .groupBy(F.window("ts", _WM_WINDOW).alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+            )
+            name = f"sq_{uuid.uuid4().hex}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            audit = []
+            for p in q.recentProgress:
+                if p["numInputRows"] == 0:
+                    continue
+                so = p["stateOperators"][0]
+                audit.append(
+                    (
+                        len(audit),
+                        int(p["numInputRows"]),
+                        int(so["numRowsDroppedByWatermark"]),
+                    )
+                )
+            if len(audit) < _N_FILES:
+                raise RuntimeError(
+                    f"expected {_N_FILES} data micro-batches, got {len(audit)}"
+                )
+        finally:
+            if old_tz is None:
+                spark.conf.unset(tz_key)
+            else:
+                spark.conf.set(tz_key, old_tz)
+        return spark.createDataFrame(
+            audit, "batch int, n_input bigint, n_dropped_late bigint"
+        ).orderBy("batch")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STREAM_LATE_DROP_SQL = f"""
+WITH ordered AS (
+  SELECT ts, event_type, event_id,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM events
+),
+assigned AS (
+  SELECT ts, event_type,
+         CASE WHEN event_id % {_LATE_DELAY_MOD} = 0
+              THEN LEAST(LEAST(rn // ((n + {_N_FILES - 1}) // {_N_FILES}),
+                               {_N_FILES - 1}) + 2, {_N_FILES - 1})
+              ELSE LEAST(rn // ((n + {_N_FILES - 1}) // {_N_FILES}),
+                         {_N_FILES - 1}) END AS k
+  FROM ordered
+),
+batch_max AS (SELECT k, max(ts) AS mx FROM assigned GROUP BY k),
+wm AS (
+  SELECT k,
+         max(mx) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - INTERVAL 1 HOUR AS wm
+  FROM batch_max
+)
+SELECT CAST(a.k AS INT) AS batch,
+       count(*) AS n_input,
+       count(DISTINCT (date_trunc('day', a.ts), a.event_type))
+         FILTER (date_trunc('day', a.ts) + INTERVAL 1 DAY <= w.wm)
+         AS n_dropped_late
+FROM assigned a JOIN wm w USING (k)
+GROUP BY a.k ORDER BY batch
+"""
+
+
 QUERIES = {
     "stream_events_summary": (q_stream_events_summary, _STREAM_EVENTS_SUMMARY_SQL),
     "stream_static_enrich": (q_stream_static_enrich, _STREAM_ENRICH_SQL),
@@ -848,5 +1010,6 @@ QUERIES = {
         _STREAM_WINDOWED_APPEND_SQL,
     ),
     "stream_dedup_fingerprint": (q_stream_dedup_fingerprint, _STREAM_DEDUP_FP_SQL),
+    "stream_late_drop_audit": (q_stream_late_drop_audit, _STREAM_LATE_DROP_SQL),
     "stream_resume_checkpoint": (q_stream_resume_checkpoint, _STREAM_RESUME_SQL),
 }

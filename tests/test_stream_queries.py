@@ -188,3 +188,24 @@ def test_session_window_merges_across_micro_batches(spark):
         len(s),
     )
     assert key in got_rows
+
+
+def test_late_drop_audit_golden_and_laws(spark):
+    """The lateness audit at sf0.001, pinned to the independently
+    calibrated golden (lag-2 watermark filter, distinct-group drop
+    metric), plus its structural laws: warm-up batches drop nothing,
+    every post-warm-up batch drops (the injection is non-vacuous),
+    and inputs sum to the corpus."""
+    from ocr_intern_spark.streaming.stream_queries import (
+        q_stream_late_drop_audit,
+    )
+
+    rows = [
+        (r.batch, r.n_input, r.n_dropped_late)
+        for r in q_stream_late_drop_audit(spark, SF).collect()
+    ]
+    assert rows == [
+        (0, 121, 0), (1, 122, 0), (2, 125, 3), (3, 125, 3),
+        (4, 126, 3), (5, 124, 3), (6, 125, 3), (7, 132, 3),
+    ]
+    assert sum(r[1] for r in rows) == 1000
