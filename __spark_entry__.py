@@ -457,6 +457,8 @@ _DEFERRED: list[str] = [
     "pareto_customers",
     "sim_cluster_topterms",
     "stream_late_drop_audit",
+    "events_session_overlap",
+    "events_ivm_retract",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -3367,6 +3367,244 @@ ORDER BY c_custkey
 """
 
 
+_OVERLAP_GAP = "6 HOURS"  # error-burst session gap for the overlap join
+
+
+def q_events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join at scale: which user pairs had
+    error bursts (6-hour-gap sessions over error events) active at
+    the same time — the incident-correlation query every ops pipeline
+    runs, and the canonical join Spark has no native operator for.
+
+    Engine path (the bin-join): explode each session to the days it
+    covers, equi-join on the day bin (+ user< to orient pairs), apply
+    the exact strict-overlap predicate, then DEDUPE pairs that shared
+    several day bins — never a cross join. The oracle is the
+    textbook all-pairs inequality join (DuckDB plans it as an
+    IEJoin); hash equality certifies bin-join ≡ all-pairs, the
+    LSH-swap proof shape applied to interval joins. Correctness of
+    the binning: a (possibly point) overlap lies inside some calendar
+    day present in BOTH sessions' expansions, so no pair can be
+    missed; midnight-boundary touches land in the shared day.
+
+    Output is per user (n_pairs, n_partners, total overlap); the
+    overlap sum is exact integer MICROSECONDS emitted as a digit
+    string (it exceeds 9 significant digits — the dsir lesson). A
+    zero-length value is a strict containment touch of a point
+    session: counted as a pair, contributes 0 — same predicate both
+    engines. Scale: day bins bound the join fan-in to concurrent
+    sessions per day; at 10^12 events the bin narrows to the hour and
+    sessions pre-aggregate per (user, bin) — same shape."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    s = sessionize(ev, _OVERLAP_GAP).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+    )
+    binned = s.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.to_date("session_start"), F.to_date("session_end")
+            )
+        ).alias("day"),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    raw_pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.session_start") < F.col("b.session_end"))
+        & (F.col("b.session_start") < F.col("a.session_end")),
+    ).select(
+        F.col("a.user_id").alias("ua"),
+        F.col("a.session_id").alias("sa"),
+        F.col("b.user_id").alias("ub"),
+        F.col("b.session_id").alias("sb"),
+        F.least(F.col("a.session_end"), F.col("b.session_end")).alias("oe"),
+        F.greatest(
+            F.col("a.session_start"), F.col("b.session_start")
+        ).alias("os"),
+    )
+    ov_us = (
+        (F.col("oe") - F.col("os")).cast("decimal(20,6)") * 1_000_000
+    ).cast("long")
+    pairs = raw_pairs.distinct().select("ua", "ub", ov_us.alias("ov_us"))
+    both = pairs.select(
+        F.col("ua").alias("user_id"), F.col("ub").alias("partner"), "ov_us"
+    ).unionByName(
+        pairs.select(
+            F.col("ub").alias("user_id"), F.col("ua").alias("partner"), "ov_us"
+        )
+    )
+    return (
+        both.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("partner").alias("n_partners"),
+            F.sum("ov_us").cast("string").alias("overlap_us_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSION_OVERLAP_SQL = """
+WITH err AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM err
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id,
+         ts
+  FROM flagged
+),
+bounds AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY user_id, session_id
+),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS ov_us
+  FROM bounds a JOIN bounds b
+    ON a.user_id < b.user_id
+   AND a.s < b.e AND b.s < a.e
+),
+sym AS (
+  SELECT ua AS user_id, ub AS partner, ov_us FROM pairs
+  UNION ALL
+  SELECT ub AS user_id, ua AS partner, ov_us FROM pairs
+)
+SELECT user_id, count(*) AS n_pairs,
+       count(DISTINCT partner) AS n_partners,
+       CAST(sum(ov_us) AS VARCHAR) AS overlap_us_total
+FROM sym
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+_IVM_SPLIT_PCT = 80  # first 80% of the (ts, event_id) order is the base load
+_IVM_RETRACT_MOD = 41  # base rows with event_id % MOD == 0 get retracted
+
+
+def q_events_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS, certified
+    against full recomputation: the (day, event_type) aggregate is
+    first materialized over the base load (the first 80% of the
+    stream), then a delta batch arrives carrying both inserts (the
+    remaining 20%) and retractions (corrections withdrawing every
+    base row with ``event_id % 41 == 0`` — the Flink/Materialize
+    changelog model, op = ±1). The maintenance path NEVER rescans the
+    base: it aggregates the signed delta alone and outer-merges it
+    with the materialized aggregate, dropping keys whose count
+    reaches zero. The oracle recomputes the final multiset from
+    scratch; hash equality proves maintenance ≡ recompute, including
+    sum corrections on every touched key.
+
+    Scale: the whole point — at 10^12 base rows the delta-side cost
+    is O(|delta|) + a key-aligned merge join against the materialized
+    view, the same MERGE INTO shape events_merge_upsert pins. Sums
+    are floor-cents BIGINT; retraction subtracts the identical
+    integer it inserted, so no float residue can survive a
+    retraction (emitted as digit strings past 9 significant
+    digits)."""
+    from ocr_intern_spark.operators.skew import global_rank
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "event_id", "event_type", "value"
+    )
+    n = ev.count()  # scalar used only to cut base/delta; the driver
+    # equivalent at scale is the ingest offset, not a count job
+    cut = n * _IVM_SPLIT_PCT // 100
+    # base/delta carve via the DISTRIBUTED two-pass rank (production
+    # deltas arrive pre-labelled by the changelog; this rank is the
+    # test harness's stand-in and still never runs a global window)
+    labelled = global_rank(
+        ev, F.col("ts"), F.col("event_id"), rank_name="_r"
+    ).select(
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("_r") - 1).alias("rn"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    key = [F.to_date("ts").alias("day"), F.col("event_type")]
+    base = labelled.where(F.col("rn") < cut)
+    base_view = base.groupBy(*key).agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+    retract = base.where(F.col("event_id") % _IVM_RETRACT_MOD == 0).select(
+        *key,
+        F.lit(-1).alias("op"),
+        F.col("cents"),
+    )
+    insert = labelled.where(F.col("rn") >= cut).select(
+        *key, F.lit(1).alias("op"), F.col("cents")
+    )
+    delta = retract.unionByName(insert)
+    delta_agg = delta.groupBy("day", "event_type").agg(
+        F.sum("op").alias("dn"),
+        F.sum(F.col("op") * F.col("cents")).alias("dcents"),
+    )
+    merged = (
+        base_view.join(delta_agg, ["day", "event_type"], "full_outer")
+        .select(
+            "day",
+            "event_type",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("cents"), F.lit(0))
+                + F.coalesce(F.col("dcents"), F.lit(0))
+            ).alias("cents"),
+        )
+        .where(F.col("n") > 0)
+    )
+    return merged.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n",
+        F.col("cents").cast("string").alias("cents"),
+    ).orderBy("day", "event_type")
+
+
+_IVM_RETRACT_SQL = f"""
+WITH ordered AS (
+  SELECT ts, event_id, event_type, value,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM events
+),
+final AS (  -- the surviving multiset: base minus retractions, plus delta
+  SELECT ts, event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM ordered
+  WHERE rn >= n * {_IVM_SPLIT_PCT} // 100
+     OR event_id % {_IVM_RETRACT_MOD} != 0
+)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       count(*) AS n, CAST(sum(cents) AS VARCHAR) AS cents
+FROM final
+GROUP BY CAST(ts AS DATE), event_type
+ORDER BY day, event_type
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -3445,6 +3683,8 @@ QUERIES = {
     "events_salted_type_totals": (q_salted_type_totals, _SALTED_TOTALS_SQL),
     "events_salted_dim_join": (q_salted_dim_join, _salted_dim_join_sql()),
     "pareto_customers": (q_pareto_customers, _PARETO_SQL),
+    "events_session_overlap": (q_events_session_overlap, _SESSION_OVERLAP_SQL),
+    "events_ivm_retract": (q_events_ivm_retract, _IVM_RETRACT_SQL),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),
     "events_activity_bitmap": (q_activity_bitmap, _activity_bitmap_sql()),

@@ -102,3 +102,111 @@ def test_cluster_topterms_registry_plan(spark):
     rows = df.collect()
     assert len(rows) == 24  # 8 cells × top-3
     assert all(r["rk"] in (1, 2, 3) for r in rows)
+
+
+# --- events_ivm_retract ------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (ts_str, event_id, event_type, value)"""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime.fromisoformat(ts), eid, et, v, 0)
+            for ts, eid, et, v in rows
+        ],
+        "ts timestamp_ntz, event_id long, event_type string, "
+        "value double, user_id long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_ivm_retract_vanishing_key(spark, tmp_path):
+    """A key whose base rows are ALL retracted (and gets no delta
+    insert) must vanish from the maintained view — the n→0 drop."""
+    from ocr_intern_spark.operators.analytics import q_events_ivm_retract
+
+    rows = [
+        # base (first 8 of 10 by (ts, event_id)):
+        ("2024-01-01T01:00:00", 41, "error", 1.0),   # retracted (%41)
+        ("2024-01-01T02:00:00", 82, "error", 2.0),   # retracted (%41)
+        ("2024-01-02T01:00:00", 1, "click", 3.0),
+        ("2024-01-02T02:00:00", 2, "click", 4.0),
+        ("2024-01-03T01:00:00", 3, "view", 5.0),
+        ("2024-01-03T02:00:00", 123, "view", 6.0),   # retracted (%41)
+        ("2024-01-04T01:00:00", 4, "click", 7.0),
+        ("2024-01-04T02:00:00", 5, "view", 8.0),
+        # delta inserts (last 2):
+        ("2024-01-05T01:00:00", 164, "click", 9.0),  # %41==0 but an
+        # insert — retraction applies to BASE rows only
+        ("2024-01-05T02:00:00", 6, "view", 10.0),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.day, r.event_type): (r.n, r.cents)
+        for r in q_events_ivm_retract(spark, sf_dir).collect()
+    }
+    assert ("2024-01-01", "error") not in got  # vanished key
+    assert got[("2024-01-03", "view")] == (1, "500")  # partial retract
+    assert got[("2024-01-05", "click")] == (1, "900")  # %41 insert kept
+    assert got[("2024-01-05", "view")] == (1, "1000")
+    assert got[("2024-01-02", "click")] == (2, "700")
+    assert got[("2024-01-04", "click")] == (1, "700")
+    assert got[("2024-01-04", "view")] == (1, "800")
+    assert len(got) == 6
+
+
+# --- events_session_overlap --------------------------------------------------
+
+
+def test_session_overlap_bin_dedup_and_edges(spark, tmp_path):
+    """Three planted facts: a pair sharing TWO day bins counts once;
+    a point session strictly inside another counts with 0 overlap; a
+    disjoint user pairs with nobody."""
+    from ocr_intern_spark.operators.analytics import (
+        q_events_session_overlap,
+    )
+
+    def ev(ts, eid, user):
+        return (ts, eid, "error", 1.0, user)
+
+    import datetime as dt
+
+    rows = [
+        # user 1: one session Jan 1 20:00 → Jan 2 01:00 (5h intra-gap
+        # < the 6h rule, so it MERGES and spans midnight)
+        ev("2024-01-01T20:00:00", 1, 1),
+        ev("2024-01-02T01:00:00", 2, 1),
+        # user 2: session Jan 1 22:00 → Jan 2 02:00 (overlaps u1 on
+        # BOTH day bins — must be counted exactly once, 3h overlap)
+        ev("2024-01-01T22:00:00", 3, 2),
+        ev("2024-01-02T02:00:00", 4, 2),
+        # user 3: point session strictly inside u1's AND u2's
+        ev("2024-01-02T00:30:00", 5, 3),
+        # user 4: far away, no overlaps
+        ev("2024-01-20T12:00:00", 6, 4),
+    ]
+    df = spark.createDataFrame(
+        [
+            (dt.datetime.fromisoformat(ts), eid, et, v, u)
+            for ts, eid, et, v, u in rows
+        ],
+        "ts timestamp_ntz, event_id long, event_type string, "
+        "value double, user_id long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.user_id: (r.n_pairs, r.n_partners, r.overlap_us_total)
+        for r in q_events_session_overlap(spark, str(tmp_path)).collect()
+    }
+    three_h = str(3 * 3600 * 1_000_000)
+    assert got[1] == (2, 2, three_h)       # u2 (3h) + u3 touch (0)
+    assert got[2] == (2, 2, three_h)       # u1 (3h) + u3 touch (0)
+    assert got[3] == (2, 2, "0")           # point containments, 0 us
+    assert 4 not in got                    # disjoint user absent
