@@ -459,6 +459,7 @@ _DEFERRED: list[str] = [
     "stream_late_drop_audit",
     "events_session_overlap",
     "events_ivm_retract",
+    "events_cms_heavy_hitters",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -14,7 +14,7 @@ Design-for-scale notes per query are inline; the shared rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -3605,6 +3605,101 @@ ORDER BY day, event_type
 """
 
 
+CMS_D = 4      # count-min depth (independent hash rows)
+CMS_W = 256    # count-min width (buckets per row)
+CMS_TOPK = 20  # heavy hitters reported
+
+
+def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, BIT-EXACTLY certified: the
+    sketch is built with md5-derived hash rows (portable across
+    engines, unlike xxhash-seeded library sketches), so the DuckDB
+    oracle reconstructs the identical d×w counter matrix and the
+    identical min-over-rows estimates — a sketch whose every counter
+    is cross-engine reproducible, not merely within tolerance (the
+    complement of events_sketch_accuracy's 5% HLL/KLL contract).
+
+    Emits the CMS_TOPK users by exact count with exact count, CMS
+    estimate, and the overestimate — the CMS error is one-sided, and
+    the unit test asserts exactly that law on every row.
+
+    Scale shape: the counter build is the mergeable-summary dataflow
+    — explode each row into d (row, bucket) cells and hash-aggregate;
+    map-side combine collapses each partition to ≤ d·w partial cells
+    (1,024 here), so shuffle volume is O(d·w·partitions) regardless
+    of corpus size. Estimation joins the distinct-key frame against
+    the BROADCAST 1,024-cell sketch. At 10^12 events you keep ONLY
+    the sketch side plus a candidate set (the exact side here is the
+    audit harness, as with the HLL contract)."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+
+    def bucket(row_i: Column, key: Column) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(row_i.cast("string"), F.lit(":"), key.cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long") % CMS_W
+
+    rows_i = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("i")
+    cells = ev.select("user_id", rows_i).select(
+        "i", bucket(F.col("i"), F.col("user_id")).alias("b")
+    )
+    sketch = cells.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select("user_id", rows_i).select(
+        "user_id", "i", bucket(F.col("i"), F.col("user_id")).alias("b")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("n_cms"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "n_exact",
+            "n_cms",
+            (F.col("n_cms") - F.col("n_exact")).alias("overestimate"),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+    )
+
+
+_CMS_SQL = f"""
+WITH cells AS (
+  SELECT i.i,
+         CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' ||
+                                  CAST(user_id AS VARCHAR)), 1, 6))
+              AS BIGINT) % {CMS_W} AS b
+  FROM events, unnest(range({CMS_D})) AS i(i)
+),
+sketch AS (SELECT i, b, count(*) AS cnt FROM cells GROUP BY i, b),
+exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id),
+probes AS (
+  SELECT user_id, i.i,
+         CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' ||
+                                  CAST(user_id AS VARCHAR)), 1, 6))
+              AS BIGINT) % {CMS_W} AS b
+  FROM exact, unnest(range({CMS_D})) AS i(i)
+),
+est AS (
+  SELECT p.user_id, min(s.cnt) AS n_cms
+  FROM probes p JOIN sketch s USING (i, b)
+  GROUP BY p.user_id
+)
+SELECT e.user_id, e.n_exact, m.n_cms, m.n_cms - e.n_exact AS overestimate
+FROM exact e JOIN est m USING (user_id)
+ORDER BY e.n_exact DESC, e.user_id ASC
+LIMIT {CMS_TOPK}
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -3685,6 +3780,7 @@ QUERIES = {
     "pareto_customers": (q_pareto_customers, _PARETO_SQL),
     "events_session_overlap": (q_events_session_overlap, _SESSION_OVERLAP_SQL),
     "events_ivm_retract": (q_events_ivm_retract, _IVM_RETRACT_SQL),
+    "events_cms_heavy_hitters": (q_events_cms_heavy_hitters, _CMS_SQL),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),
     "events_activity_bitmap": (q_activity_bitmap, _activity_bitmap_sql()),

@@ -210,3 +210,44 @@ def test_session_overlap_bin_dedup_and_edges(spark, tmp_path):
     assert got[2] == (2, 2, three_h)       # u1 (3h) + u3 touch (0)
     assert got[3] == (2, 2, "0")           # point containments, 0 us
     assert 4 not in got                    # disjoint user absent
+
+
+# --- events_cms_heavy_hitters ------------------------------------------------
+
+
+def test_cms_one_sided_error_and_reference(spark):
+    """CMS law: the estimate never undercounts (min over rows of
+    counters each ≥ the key's true count). Reference: rebuild the
+    sketch with hashlib/Counter and reproduce every estimate."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.analytics import (
+        CMS_D,
+        CMS_W,
+        q_events_cms_heavy_hitters,
+    )
+
+    got = q_events_cms_heavy_hitters(spark, "/root/testdata/sf0.001").collect()
+    assert got, "no heavy hitters emitted"
+    assert all(r.overestimate >= 0 for r in got)
+    assert all(r.n_cms == r.n_exact + r.overestimate for r in got)
+
+    users = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id"]
+    ).column("user_id").to_pylist()
+
+    def bucket(i, key):
+        h = hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:6]
+        return int(h, 16) % CMS_W
+
+    sketch = Counter()
+    for u in users:
+        for i in range(CMS_D):
+            sketch[(i, bucket(i, u))] += 1
+    exact = Counter(users)
+    for r in got:
+        est = min(sketch[(i, bucket(i, r.user_id))] for i in range(CMS_D))
+        assert (r.n_exact, r.n_cms) == (exact[r.user_id], est), r.user_id
