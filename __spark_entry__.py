@@ -460,6 +460,7 @@ _DEFERRED: list[str] = [
     "events_session_overlap",
     "events_ivm_retract",
     "events_cms_heavy_hitters",
+    "multimodal_caption_align",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

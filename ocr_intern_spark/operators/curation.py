@@ -494,6 +494,81 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAP_W = 4  # caption window: words kept on each side of the media unit
+
+
+def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption MINING over the interleaved unit stream — the step
+    that turns an interleaved text+media corpus into (image, caption)
+    training pairs: for each media placeholder, keep the CAP_W words
+    on each side as its before/after caption context (the adjacency
+    heuristic CLIP-style pair builders start from). Shares the
+    interleave rule with multimodal_interleaved_pack (media sits
+    after the first n//2 of the doc's first 24 words), so the two
+    queries can never disagree about where the media is.
+
+    Pure per-row ARRAY arithmetic — slice bounds computed from the
+    token count, no explode, no window, no shuffle at all: the plan
+    is scan → project, the cheapest possible shape for a 10^12-doc
+    pass (and the caption windows land in the same narrow stage as
+    any downstream quality filter). Emits token counts per side so
+    the empty-side edge (media at position 0 of a short doc) is
+    visible rather than silent."""
+    # read directly (not via _docs): its round-robin repartition would
+    # add a full exchange of the text payloads to a map-only plan
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 24)
+    n = F.size(toks)
+    m = (n / 2).cast("int")
+    s = F.greatest(F.lit(1), m - (CAP_W - 1))
+    before_len = m - s + 1
+    after_len = F.least(F.lit(CAP_W), n - m)
+    before = F.when(
+        m > 0, F.array_join(F.slice(toks, s, before_len), " ")
+    ).otherwise(F.lit(""))
+    after = F.when(
+        after_len > 0,
+        F.array_join(F.slice(toks, m + 1, after_len), " "),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        before.alias("caption_before"),
+        after.alias("caption_after"),
+        F.greatest(before_len, F.lit(0)).cast("int").alias("n_before"),
+        F.greatest(after_len, F.lit(0)).cast("int").alias("n_after"),
+    ).orderBy("doc_id")
+
+
+_CAPTION_ALIGN_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 24) AS toks
+  FROM documents
+),
+meas AS (
+  SELECT doc_id, toks, len(toks) AS n, len(toks) // 2 AS m FROM base
+)
+SELECT doc_id,
+       'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CASE WHEN m > 0
+            THEN array_to_string(
+                   list_slice(toks, GREATEST(1, m - {CAP_W - 1}), m), ' ')
+            ELSE '' END AS caption_before,
+       CASE WHEN n - m > 0
+            THEN array_to_string(
+                   list_slice(toks, m + 1, LEAST(n, m + {CAP_W})), ' ')
+            ELSE '' END AS caption_after,
+       CAST(GREATEST(m - GREATEST(1, m - {CAP_W - 1}) + 1, 0) AS INT)
+         AS n_before,
+       CAST(GREATEST(LEAST({CAP_W}, n - m), 0) AS INT) AS n_after
+FROM meas
+ORDER BY doc_id
+"""
+
+
 _PHASH_DEDUP_SQL = """
 SELECT min(doc_id) AS rep_doc,
        count(*) AS n_copies,
@@ -3015,6 +3090,7 @@ QUERIES = {
     "multimodal_interleaved_pack": (q_interleaved_pack, _INTERLEAVED_SQL),
     "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
     "multimodal_phash_dedup": (q_phash_dedup, _PHASH_DEDUP_SQL),
+    "multimodal_caption_align": (q_caption_align, _CAPTION_ALIGN_SQL),
     "text_langid_ngram": (q_langid_ngram, _LANGID_SQL),
     "text_line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
     "text_source_cap": (q_source_cap, _SOURCE_CAP_SQL),

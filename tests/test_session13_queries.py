@@ -251,3 +251,40 @@ def test_cms_one_sided_error_and_reference(spark):
     for r in got:
         est = min(sketch[(i, bucket(i, r.user_id))] for i in range(CMS_D))
         assert (r.n_exact, r.n_cms) == (exact[r.user_id], est), r.user_id
+
+
+# --- multimodal_caption_align ------------------------------------------------
+
+
+def test_caption_align_reference_and_plan(spark):
+    """Reference: recompute the caption windows with plain Python
+    slicing over the raw text; plan: scan → project only (no
+    Exchange — the whole query is a narrow map)."""
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.curation import CAP_W, q_caption_align
+
+    df = q_caption_align(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # orderBy plans one range exchange for presentation; nothing else
+    assert plan.count("Exchange") <= 1, plan
+
+    got = {r.doc_id: r for r in df.collect()}
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        toks = text.strip().split()[:24]
+        n = len(toks)
+        m = n // 2
+        before = " ".join(toks[max(0, m - CAP_W):m])
+        after = " ".join(toks[m:m + CAP_W])
+        r = got[doc_id]
+        assert r.caption_before == before, doc_id
+        assert r.caption_after == after, doc_id
+        assert r.n_before == len(toks[max(0, m - CAP_W):m])
+        assert r.n_after == len(toks[m:m + CAP_W])
+        assert r.media_ref == f"img://{doc_id}"
