@@ -3396,11 +3396,18 @@ def q_events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions per day; at 10^12 events the bin narrows to the hour and
     sessions pre-aggregate per (user, bin) — same shape."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
-    s = sessionize(ev, _OVERLAP_GAP).select(
-        "user_id",
-        "session_id",
-        "session_start",
-        "session_end",
+    # materialize the session-bounds frame: BOTH sides of the self-join
+    # consume it, and without the persist each alias re-runs the whole
+    # sessionize (two raw scans + two window passes instead of one)
+    s = (
+        sessionize(ev, _OVERLAP_GAP)
+        .select(
+            "user_id",
+            "session_id",
+            "session_start",
+            "session_end",
+        )
+        .persist()
     )
     binned = s.select(
         "user_id",

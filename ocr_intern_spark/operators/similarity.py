@@ -2123,11 +2123,14 @@ def q_cluster_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares _ivf_centroids/_ivf_assign with the IVF index and SemDeDup
     so the assignment can never drift from the other queries' cells.
 
-    Scale shape: assignment is the broadcast argmax; token counts are
-    two-level hash aggregates off ONE explode pass; the corpus total
-    is a 1-row broadcast; the final window ranks each cell's vocab —
-    partitioned by cell, and at 10^12 docs a per-cell vocab cut
-    (HAVING tf_cell ≥ m) bounds the frame before ranking."""
+    Scale shape: ONE corpus scan — the (cell, tok) counts are the
+    only token-grain aggregate, CACHED, and every other statistic
+    (per-token totals, per-cell totals, the corpus total) derives
+    from that collapsed vocab×cells frame, never from a re-scan; the
+    corpus total is a 1-row broadcast; the final window ranks each
+    cell's vocab — partitioned by cell, and at 10^12 docs a per-cell
+    vocab cut (HAVING tf_cell ≥ m) bounds the frame before
+    ranking."""
     from pyspark.sql.window import Window
 
     e = _emb(spark, sf_dir)
@@ -2143,10 +2146,14 @@ def q_cluster_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(assigned, F.col("doc_id") == F.col("vec_id"))
         .select("cell", "tok")
     )
-    tfc = toks.groupBy("cell", "tok").agg(F.count(F.lit(1)).alias("tf_cell"))
-    tft = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_tot"))
-    celltot = toks.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_tokens"))
-    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    tfc = (
+        toks.groupBy("cell", "tok")
+        .agg(F.count(F.lit(1)).alias("tf_cell"))
+        .persist()
+    )
+    tft = tfc.groupBy("tok").agg(F.sum("tf_cell").alias("tf_tot"))
+    celltot = tfc.groupBy("cell").agg(F.sum("tf_cell").alias("cell_tokens"))
+    total = celltot.agg(F.sum("cell_tokens").alias("total_tokens"))
     score = (
         F.col("tf_cell") * F.col("total_tokens")
         - F.col("tf_tot") * F.col("cell_tokens")
