@@ -461,6 +461,9 @@ _DEFERRED: list[str] = [
     "events_ivm_retract",
     "events_cms_heavy_hitters",
     "multimodal_caption_align",
+    "market_basket_pairs",
+    "events_user_growth",
+    "graph_link_predict",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

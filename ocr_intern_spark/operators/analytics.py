@@ -3707,6 +3707,162 @@ LIMIT {CMS_TOPK}
 """
 
 
+BASKET_CAP = 64   # orders with more distinct parts are dropped (skew cut)
+BASKET_MINSUP = 2  # minimum pair support reported
+BASKET_TOPK = 50
+
+
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the A-priori support/lift core):
+    frequent part PAIRS across order baskets with integer-exact lift.
+    lift_ppm = floor(support·n_orders·10⁶ / (c₁·c₂)) — the
+    ratio-of-counts in parts-per-million by integer division, so no
+    float ever crosses the ranking (the margin-mining arithmetic).
+
+    Scale shape: the pair generation is a SELF-JOIN ON THE BASKET KEY
+    — fan-out bounded by basket size squared, and the BASKET_CAP
+    filter drops degenerate mega-baskets BEFORE the join (the same
+    inverted-index DF cut the n-gram dedup uses: a 10⁴-item basket
+    would alone emit 10⁸ pairs). Pair counts and the two item-count
+    join-backs are map-side-combinable hash aggregates; n_orders is a
+    1-row broadcast. Top-K via TakeOrderedAndProject."""
+    basket = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sizes = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
+    kept = basket.join(
+        F.broadcast(sizes.where(F.col("sz") > BASKET_CAP)),
+        "l_orderkey",
+        "left_anti",
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= BASKET_MINSUP)
+    )
+    item = kept.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_orders = kept.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    scored = (
+        pairs.join(item.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1")), "p1")
+        .join(item.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2")), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.expr(
+                "CAST((support * n_orders * 1000000) DIV (c1 * c2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("support"), F.desc("lift_ppm"), "p1", "p2"
+    ).limit(BASKET_TOPK)
+
+
+_MARKET_BASKET_SQL = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+kept AS (
+  SELECT * FROM basket
+  WHERE l_orderkey NOT IN (
+    SELECT l_orderkey FROM basket
+    GROUP BY l_orderkey HAVING count(*) > {BASKET_CAP}
+  )
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+  FROM kept a JOIN kept b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {BASKET_MINSUP}
+),
+item AS (SELECT l_partkey, count(*) AS c FROM kept GROUP BY l_partkey),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM kept)
+SELECT p.p1, p.p2, p.support,
+       (p.support * t.n_orders * 1000000) // (i1.c * i2.c) AS lift_ppm
+FROM pairs p
+JOIN item i1 ON i1.l_partkey = p.p1
+JOIN item i2 ON i2.l_partkey = p.p2
+CROSS JOIN tot t
+ORDER BY p.support DESC, lift_ppm DESC, p.p1, p.p2
+LIMIT {BASKET_TOPK}
+"""
+
+
+def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / returning / cumulative users — the
+    growth-accounting staple. Exact sliding-distinct is the expensive
+    way; the FIRST-SEEN decomposition makes it three cheap
+    aggregates: new(day) = users whose min(day) is day, returning =
+    active − new, and cumulative distinct = prefix sum of new over
+    the day frame (run-to-date distinct count without any distinct
+    state beyond the per-user min).
+
+    Scale shape: one (user) aggregate for first days, one (day)
+    aggregate for actives, one (day) aggregate for news, a day-keyed
+    merge join, and a prefix window over the ≤31-row day frame —
+    nothing user-grain ever crosses a window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    act = ev.distinct()
+    active = act.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    first = act.groupBy("user_id").agg(F.min("day").alias("day"))
+    new = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    # bounded-window: frame is the calendar-day frame (≤31 rows here;
+    # 365·years at any scale), never user-grain
+    cum = F.sum("n_new").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        active.join(new, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            (F.col("n_active") - F.coalesce(F.col("n_new"), F.lit(0))).alias(
+                "n_returning"
+            ),
+            cum.alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+_USER_GROWTH_SQL = """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+active AS (SELECT day, count(*) AS n_active FROM act GROUP BY day),
+firsts AS (SELECT user_id, min(day) AS day FROM act GROUP BY user_id),
+news AS (SELECT day, count(*) AS n_new FROM firsts GROUP BY day)
+SELECT CAST(a.day AS VARCHAR) AS day, a.n_active,
+       COALESCE(n.n_new, 0) AS n_new,
+       a.n_active - COALESCE(n.n_new, 0) AS n_returning,
+       CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM active a LEFT JOIN news n USING (day)
+ORDER BY day
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -3788,6 +3944,8 @@ QUERIES = {
     "events_session_overlap": (q_events_session_overlap, _SESSION_OVERLAP_SQL),
     "events_ivm_retract": (q_events_ivm_retract, _IVM_RETRACT_SQL),
     "events_cms_heavy_hitters": (q_events_cms_heavy_hitters, _CMS_SQL),
+    "market_basket_pairs": (q_market_basket_pairs, _MARKET_BASKET_SQL),
+    "events_user_growth": (q_events_user_growth, _USER_GROWTH_SQL),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),
     "events_activity_bitmap": (q_activity_bitmap, _activity_bitmap_sql()),

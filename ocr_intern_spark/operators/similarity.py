@@ -2107,6 +2107,87 @@ ORDER BY b.cell
 """
 
 
+LP_TOPK = 50  # link-prediction candidates reported
+
+
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the kNN similarity graph
+    (shared edge definition with q_knn_join_topk / the BFS — one kNN,
+    three queries): candidate pairs are non-adjacent vertices sharing
+    ≥1 neighbor in the SYMMETRIZED graph, scored by common-neighbor
+    count with total-degree and id tie-breaks — all integers, so the
+    ranking is engine-portable without Adamic-Adar's logarithm.
+
+    Scale shape: the candidate generation is the TWO-HOP join
+    (edges ⋈ edges on the middle vertex, a < c) — fan-out bounded by
+    degree² per middle vertex (kNN degree is K + in-degree, bounded
+    in practice by the same DF cut the n-gram index uses for hub
+    vertices); existing edges leave via one anti-join; the degree
+    join-backs are tiny frames. Never an all-pairs product over
+    vertices."""
+    edges = q_knn_join_topk(spark, sf_dir).select("a", "b")
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = sym.alias("e1")
+    e2 = sym.alias("e2")
+    two_hop = (
+        e1.join(
+            e2,
+            (F.col("e1.b") == F.col("e2.a"))
+            & (F.col("e1.a") < F.col("e2.b")),
+        )
+        .groupBy(F.col("e1.a").alias("u"), F.col("e2.b").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = two_hop.join(
+        sym.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    deg = sym.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        cand.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+        .select("u", "v", "cn", (F.col("du") + F.col("dv")).alias("deg_sum"))
+        .orderBy(F.desc("cn"), F.asc("deg_sum"), "u", "v")
+        .limit(LP_TOPK)
+    )
+
+
+_LINK_PREDICT_SQL = f"""
+WITH {_KNN_CTE},
+edges AS (SELECT a, b FROM ranked WHERE rk <= {KNN_K}),
+sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+  )
+),
+two_hop AS (
+  SELECT e1.a AS u, e2.b AS v, count(*) AS cn
+  FROM sym e1 JOIN sym e2 ON e1.b = e2.a AND e1.a < e2.b
+  GROUP BY e1.a, e2.b
+),
+cand AS (
+  SELECT t.* FROM two_hop t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym s WHERE s.a = t.u AND s.b = t.v
+  )
+),
+deg AS (SELECT a AS n, count(*) AS deg FROM sym GROUP BY a)
+SELECT c.u, c.v, c.cn, d1.deg + d2.deg AS deg_sum
+FROM cand c JOIN deg d1 ON d1.n = c.u JOIN deg d2 ON d2.n = c.v
+ORDER BY c.cn DESC, deg_sum ASC, c.u, c.v
+LIMIT {LP_TOPK}
+"""
+
+
 TOPTERMS_K = 3  # distinctive terms per cluster
 
 
@@ -2229,6 +2310,7 @@ QUERIES = {
     "sim_pq_adc_recall": (q_pq_adc_recall, _PQ_RECALL_SQL),
     "sim_semdedup_prune": (q_semdedup_prune, _SEMDEDUP_SQL),
     "sim_cluster_topterms": (q_cluster_topterms, _TOPTERMS_SQL),
+    "graph_link_predict": (q_graph_link_predict, _LINK_PREDICT_SQL),
     "sim_knn_join_topk": (q_knn_join_topk, _KNN_JOIN_SQL),
     "sim_int8_quant_recall": (q_int8_quant_recall, _INT8_RECALL_SQL),
     "sim_ann_lsh_buckets": (q_ann_lsh_buckets, _ann_lsh_sql()),

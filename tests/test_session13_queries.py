@@ -288,3 +288,111 @@ def test_caption_align_reference_and_plan(spark):
         assert r.n_before == len(toks[max(0, m - CAP_W):m])
         assert r.n_after == len(toks[m:m + CAP_W])
         assert r.media_ref == f"img://{doc_id}"
+
+
+# --- market_basket_pairs -----------------------------------------------------
+
+
+def test_market_basket_reference(spark):
+    """Counter-based recompute of support and integer lift for every
+    emitted pair, plus the ranking laws."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.analytics import (
+        BASKET_CAP,
+        BASKET_MINSUP,
+        q_market_basket_pairs,
+    )
+
+    got = q_market_basket_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert got and all(r.p1 < r.p2 for r in got)
+    assert all(r.support >= BASKET_MINSUP for r in got)
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    )
+    baskets = {}
+    for o, p in zip(
+        tbl.column("l_orderkey").to_pylist(),
+        tbl.column("l_partkey").to_pylist(),
+    ):
+        baskets.setdefault(o, set()).add(p)
+    baskets = {o: s for o, s in baskets.items() if len(s) <= BASKET_CAP}
+    support = Counter()
+    item = Counter()
+    for s in baskets.values():
+        for p in s:
+            item[p] += 1
+        ss = sorted(s)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                support[(ss[i], ss[j])] += 1
+    n_orders = len(baskets)
+    for r in got:
+        assert support[(r.p1, r.p2)] == r.support, (r.p1, r.p2)
+        assert r.lift_ppm == (
+            r.support * n_orders * 1_000_000
+        ) // (item[r.p1] * item[r.p2])
+    # ranking law: sorted by (support desc, lift desc, p1, p2)
+    keys = [(-r.support, -r.lift_ppm, r.p1, r.p2) for r in got]
+    assert keys == sorted(keys)
+
+
+# --- events_user_growth ------------------------------------------------------
+
+
+def test_user_growth_laws_and_reference(spark):
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.analytics import q_events_user_growth
+
+    got = q_events_user_growth(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.n_active == r.n_new + r.n_returning for r in got)
+    assert all(r.n_returning >= 0 for r in got)
+    # cumulative is nondecreasing and ends at the total user count
+    cums = [r.cum_users for r in got]
+    assert cums == sorted(cums)
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts"]
+    )
+    users = set(tbl.column("user_id").to_pylist())
+    assert cums[-1] == len(users)
+    # day-1 law: everyone active on the first day is new
+    assert got[0].n_new == got[0].n_active and got[0].n_returning == 0
+
+
+# --- graph_link_predict ------------------------------------------------------
+
+
+def test_link_predict_reference(spark):
+    """Recompute common-neighbor counts from the collected kNN edge
+    list; assert no emitted pair is an existing (symmetrized) edge
+    and every count matches."""
+    from collections import defaultdict
+
+    from ocr_intern_spark.operators.similarity import (
+        q_graph_link_predict,
+        q_knn_join_topk,
+    )
+
+    edges = [
+        (r.a, r.b)
+        for r in q_knn_join_topk(spark, "/root/testdata/sf0.001")
+        .select("a", "b")
+        .collect()
+    ]
+    sym = set(edges) | {(b, a) for a, b in edges}
+    nbrs = defaultdict(set)
+    for a, b in sym:
+        nbrs[a].add(b)
+    got = q_graph_link_predict(spark, "/root/testdata/sf0.001").collect()
+    assert got
+    for r in got:
+        assert (r.u, r.v) not in sym, (r.u, r.v)
+        assert r.u < r.v
+        cn = len(nbrs[r.u] & nbrs[r.v])
+        assert cn == r.cn, (r.u, r.v)
+        assert r.deg_sum == len(nbrs[r.u]) + len(nbrs[r.v])
