@@ -464,6 +464,8 @@ _DEFERRED: list[str] = [
     "market_basket_pairs",
     "events_user_growth",
     "graph_link_predict",
+    "customer_k_anonymity",
+    "events_target_encode_loo",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -3863,6 +3863,122 @@ ORDER BY day
 """
 
 
+KANON_K = 5  # minimum safe quasi-identifier group size
+
+
+def q_customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier — the release-gate check privacy reviews run
+    before a table ships: every equivalence class with its size, a
+    violation flag (size < k), and the suppression cost (rows that
+    must be generalized or withheld to reach k). The final row set is
+    the class table itself, so the auditor sees WHICH cells leak, not
+    just how many.
+
+    Scale shape: one map-side-combinable aggregate over the
+    quasi-identifier — the class table is |nations × segments|
+    (bounded by domain, not rows); the audit costs one scan at any
+    table size."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            (F.col("class_size") < KANON_K).alias("violates_k"),
+            F.when(F.col("class_size") < KANON_K, F.col("class_size"))
+            .otherwise(F.lit(0))
+            .alias("rows_to_suppress"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+_KANON_SQL = f"""
+SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+       count(*) < {KANON_K} AS violates_k,
+       CASE WHEN count(*) < {KANON_K} THEN count(*) ELSE 0 END
+         AS rows_to_suppress
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def q_events_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE target encoding (leave-one-out at the user
+    grain): for each (user, event_type), the mean event value of ALL
+    OTHER users' events of that type — the feature a per-user model
+    may train on without seeing its own target (the classic
+    target-leak that K-fold/LOO encoding exists to prevent).
+
+    enc = (Σcents_type − Σcents_user,type) / (n_type − n_user,type),
+    computed as integer milli-cents by DIV — no float division
+    crosses the output. A user owning EVERY event of a type (the
+    division-by-zero fold) encodes as NULL-safe −1, mirrored in SQL
+    (DuckDB // raises on zero where Spark DIV nulls — the guard is
+    the portability fix, found at authoring time).
+
+    Scale shape: one (type) aggregate (broadcast — 5 rows) and one
+    (user, type) aggregate; the encode is a projection over their
+    join. Nothing row-grain survives; at 10^12 events this is two
+    map-side-combinable passes."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.sum("cents").alias("t_sum"), F.count(F.lit(1)).alias("t_n")
+    )
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.sum("cents").alias("u_sum"), F.count(F.lit(1)).alias("u_n")
+    )
+    return (
+        per_user.join(F.broadcast(per_type), "event_type")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("u_n").alias("n_own"),
+            F.when(
+                F.col("t_n") > F.col("u_n"),
+                F.expr(
+                    "CAST(((t_sum - u_sum) * 1000) DIV (t_n - u_n) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(-1))
+            .alias("enc_milli_cents"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+_TARGET_ENCODE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+per_type AS (
+  SELECT event_type, sum(cents) AS t_sum, count(*) AS t_n
+  FROM ev GROUP BY event_type
+),
+per_user AS (
+  SELECT user_id, event_type, sum(cents) AS u_sum, count(*) AS u_n
+  FROM ev GROUP BY user_id, event_type
+)
+SELECT u.user_id, u.event_type, u.u_n AS n_own,
+       CASE WHEN t.t_n > u.u_n
+            THEN (CAST(t.t_sum AS BIGINT) - CAST(u.u_sum AS BIGINT)) * 1000
+                 // (t.t_n - u.u_n)
+            ELSE -1 END AS enc_milli_cents
+FROM per_user u JOIN per_type t USING (event_type)
+ORDER BY u.user_id, u.event_type
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -3946,6 +4062,8 @@ QUERIES = {
     "events_cms_heavy_hitters": (q_events_cms_heavy_hitters, _CMS_SQL),
     "market_basket_pairs": (q_market_basket_pairs, _MARKET_BASKET_SQL),
     "events_user_growth": (q_events_user_growth, _USER_GROWTH_SQL),
+    "customer_k_anonymity": (q_customer_k_anonymity, _KANON_SQL),
+    "events_target_encode_loo": (q_events_target_encode_loo, _TARGET_ENCODE_SQL),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),
     "events_activity_bitmap": (q_activity_bitmap, _activity_bitmap_sql()),

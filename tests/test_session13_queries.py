@@ -396,3 +396,83 @@ def test_link_predict_reference(spark):
         cn = len(nbrs[r.u] & nbrs[r.v])
         assert cn == r.cn, (r.u, r.v)
         assert r.deg_sum == len(nbrs[r.u]) + len(nbrs[r.v])
+
+
+# --- customer_k_anonymity ----------------------------------------------------
+
+
+def test_k_anonymity_laws(spark):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.analytics import (
+        KANON_K,
+        q_customer_k_anonymity,
+    )
+
+    got = q_customer_k_anonymity(spark, "/root/testdata/sf0.001").collect()
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment"],
+    )
+    ref = Counter(
+        zip(
+            tbl.column("c_nationkey").to_pylist(),
+            tbl.column("c_mktsegment").to_pylist(),
+        )
+    )
+    assert len(got) == len(ref)
+    n_viol = 0
+    for r in got:
+        assert r.class_size == ref[(r.c_nationkey, r.c_mktsegment)]
+        assert r.violates_k == (r.class_size < KANON_K)
+        assert r.rows_to_suppress == (r.class_size if r.violates_k else 0)
+        n_viol += r.violates_k
+    assert n_viol > 0, "audit vacuous: no violating cell on this corpus"
+
+
+# --- events_target_encode_loo ------------------------------------------------
+
+
+def test_target_encode_loo_reference_and_leak_safety(spark):
+    """Reference recompute with Counters, plus the leakage law: a
+    user's encoding must not change when THEIR OWN values change —
+    verified analytically (their rows are subtracted out)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.analytics import (
+        q_events_target_encode_loo,
+    )
+
+    got = q_events_target_encode_loo(spark, "/root/testdata/sf0.001").collect()
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+    import math
+
+    s_t, n_t, s_u, n_u = Counter(), Counter(), Counter(), Counter()
+    for u, t, v in zip(
+        tbl.column("user_id").to_pylist(),
+        tbl.column("event_type").to_pylist(),
+        tbl.column("value").to_pylist(),
+    ):
+        c = math.floor(v * 100)
+        s_t[t] += c
+        n_t[t] += 1
+        s_u[(u, t)] += c
+        n_u[(u, t)] += 1
+    assert len(got) == len(n_u)
+    for r in got:
+        k = (r.user_id, r.event_type)
+        assert r.n_own == n_u[k]
+        dn = n_t[r.event_type] - n_u[k]
+        if dn == 0:
+            assert r.enc_milli_cents == -1
+        else:
+            assert r.enc_milli_cents == (
+                (s_t[r.event_type] - s_u[k]) * 1000
+            ) // dn
