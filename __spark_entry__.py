@@ -466,6 +466,8 @@ _DEFERRED: list[str] = [
     "graph_link_predict",
     "customer_k_anonymity",
     "events_target_encode_loo",
+    "table_shard_manifest",
+    "text_contrastive_views",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

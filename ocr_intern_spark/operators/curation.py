@@ -569,6 +569,71 @@ ORDER BY doc_id
 """
 
 
+CONTRASTIVE_BATCHES = 16  # in-batch-negative groups
+
+
+def q_contrastive_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair construction (SimCSE/CLIP-text style
+    pretraining prep): each document yields two complementary VIEWS —
+    the first and second halves of its leading 24 tokens — forming a
+    positive pair, and an md5-bucketed batch_id groups documents into
+    the in-batch-negative sets a contrastive loss trains against.
+    Hash bucketing (not round-robin) keeps assignment reproducible
+    and shuffle-free: batch membership is a pure function of doc_id,
+    so a re-run or a resume builds identical batches.
+
+    Docs too short to split (n < 2) are dropped — a single-token
+    positive pair is degenerate. Pure narrow projection otherwise:
+    scan → filter → project, the multimodal_caption_align plan shape.
+    At 10^12 docs the dataloader reads this output shard-aligned with
+    table_shard_manifest's cuts."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 24)
+    n = F.size(toks)
+    m = (n / 2).cast("int")
+    batch = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % CONTRASTIVE_BATCHES
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"), n.alias("n"), m.alias("m"))
+        .where(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            batch.alias("batch_id"),
+            F.array_join(F.slice(F.col("toks"), 1, F.col("m")), " ").alias(
+                "view_a"
+            ),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("m") + 1, F.col("n") - F.col("m")),
+                " ",
+            ).alias("view_b"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CONTRASTIVE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 24) AS toks
+  FROM documents
+),
+meas AS (
+  SELECT doc_id, toks, len(toks) AS n, len(toks) // 2 AS m FROM base
+  WHERE len(toks) >= 2
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+         % {CONTRASTIVE_BATCHES} AS batch_id,
+       array_to_string(list_slice(toks, 1, m), ' ') AS view_a,
+       array_to_string(list_slice(toks, m + 1, n), ' ') AS view_b
+FROM meas
+ORDER BY doc_id
+"""
+
+
 _PHASH_DEDUP_SQL = """
 SELECT min(doc_id) AS rep_doc,
        count(*) AS n_copies,
@@ -3091,6 +3156,7 @@ QUERIES = {
     "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
     "multimodal_phash_dedup": (q_phash_dedup, _PHASH_DEDUP_SQL),
     "multimodal_caption_align": (q_caption_align, _CAPTION_ALIGN_SQL),
+    "text_contrastive_views": (q_contrastive_views, _CONTRASTIVE_SQL),
     "text_langid_ngram": (q_langid_ngram, _LANGID_SQL),
     "text_line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
     "text_source_cap": (q_source_cap, _SOURCE_CAP_SQL),

@@ -534,6 +534,81 @@ ORDER BY column_name
 """
 
 
+SHARD_BYTES = 65536   # target training-shard payload
+MEDIA_EST_BASE = 4096  # per-doc media payload estimate (deterministic)
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style SHARD PACKING manifest: assign every document
+    (text bytes + its media payload estimate) to a training shard by
+    sequential cut — shard_id = floor(exclusive-prefix-bytes /
+    SHARD_BYTES) in doc_id order — and emit one manifest row per
+    shard (doc count, payload bytes, id range). This is the layout
+    job that turns a curated corpus into the shard files a dataloader
+    streams; the id-ordered sequential cut keeps shards reproducible
+    and restartable (a re-run assigns identical shards).
+
+    The prefix is skew.global_prefix_sum — the range-partitioned
+    two-pass scan primitive — so NO single-reducer window touches the
+    corpus; the manifest aggregate groups the 8-byte shard_id. At
+    10^12 docs this is exactly the TeraSort-shaped pass the CCNet
+    bucketing already runs, plus one bounded aggregate; the oracle is
+    the textbook single-window SQL, so hash equality certifies the
+    decomposition (the global_rank proof shape, applied to sums)."""
+    from ocr_intern_spark.operators.skew import global_prefix_sum
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (
+            F.col("n_chars").cast("long")
+            + F.lit(MEDIA_EST_BASE)
+            + F.col("doc_id") % 1024
+        ).alias("bytes"),
+    )
+    p = global_prefix_sum(d, "bytes", F.col("doc_id"), sum_name="pre")
+    return (
+        p.select(
+            "doc_id",
+            "bytes",
+            F.expr(f"CAST(pre DIV {SHARD_BYTES} AS BIGINT)").alias(
+                "shard_id"
+            ),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) + {MEDIA_EST_BASE} + doc_id % 1024 AS bytes
+  FROM documents
+),
+p AS (
+  SELECT doc_id, bytes,
+         COALESCE(CAST(sum(bytes) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS pre
+  FROM d
+)
+SELECT pre // {SHARD_BYTES} AS shard_id,
+       count(*) AS n_docs,
+       sum(bytes) AS shard_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM p
+GROUP BY pre // {SHARD_BYTES}
+ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "table_compaction_plan": (q_compaction_plan, _COMPACTION_SQL),
     "table_zonemap_prune_stats": (q_zonemap_prune_stats, _ZONEMAP_SQL),
@@ -546,4 +621,5 @@ QUERIES = {
         _SNAPSHOT_EXPIRY_SQL,
     ),
     "table_column_stats": (q_column_stats, _COLUMN_STATS_SQL),
+    "table_shard_manifest": (q_shard_manifest, _SHARD_MANIFEST_SQL),
 }

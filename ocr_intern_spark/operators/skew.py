@@ -208,3 +208,63 @@ def pareto_front(
         .select(x, F.col("_gmax").alias(y))
     )
     return df.join(kept, [x, y], "left_semi")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value: str,
+    *order: Column,
+    sum_name: str = "prefix_sum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact EXCLUSIVE global running sum of ``value`` under a total
+    order — the scan primitive behind sequential shard packing,
+    offset assignment and cumulative budgets — without the
+    single-reducer `Window.orderBy(...)` fallback (same motivation
+    and same two-pass range-partitioned shape as global_rank):
+
+      1. range-partition + sort on the order columns, MATERIALIZED so
+         both passes see one physical partitioning;
+      2. per-partition value sums → prefix offsets (a `partitions`-row
+         bounded frame);
+      3. prefix = partition offset + intra-partition exclusive
+         running sum (partition-local window).
+
+    The order must be total or tied rows get boundary-dependent
+    prefixes."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sums = parted.groupBy("_pid").agg(F.sum(value).alias("_m"))
+    # bounded-window: frame is exactly `partitions` rows (config, not data)
+    offsets = sums.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_m").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    local = F.coalesce(
+        F.sum(value).over(
+            Window.partitionBy("_pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .withColumn(sum_name, (F.col("_off") + local).cast("long"))
+        .drop("_pid", "_off")
+    )

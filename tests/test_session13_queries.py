@@ -476,3 +476,81 @@ def test_target_encode_loo_reference_and_leak_safety(spark):
             assert r.enc_milli_cents == (
                 (s_t[r.event_type] - s_u[k]) * 1000
             ) // dn
+
+
+# --- table_shard_manifest ----------------------------------------------------
+
+
+def test_shard_manifest_laws(spark):
+    """Shard laws: docs partition exactly into contiguous id ranges,
+    byte totals are conserved, every shard crosses the target except
+    possibly the last, and the prefix decomposition matches a serial
+    recompute."""
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.maintenance import (
+        MEDIA_EST_BASE,
+        SHARD_BYTES,
+        q_shard_manifest,
+    )
+
+    got = q_shard_manifest(spark, "/root/testdata/sf0.001").collect()
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "n_chars"],
+    )
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("n_chars").to_pylist())
+    )
+    ref = {}
+    pre = 0
+    for doc_id, n_chars in docs:
+        b = n_chars + MEDIA_EST_BASE + doc_id % 1024
+        sid = pre // SHARD_BYTES
+        n, s, lo, hi = ref.get(sid, (0, 0, doc_id, doc_id))
+        ref[sid] = (n + 1, s + b, min(lo, doc_id), max(hi, doc_id))
+        pre += b
+    assert len(got) == len(ref)
+    for r in got:
+        assert (r.n_docs, r.shard_bytes, r.first_doc, r.last_doc) == ref[
+            r.shard_id
+        ], r.shard_id
+    # contiguity: shard id ranges tile the corpus in order
+    rows = sorted(got, key=lambda r: r.shard_id)
+    for a, b in zip(rows, rows[1:]):
+        assert b.first_doc == a.last_doc + 1
+    assert sum(r.n_docs for r in got) == len(docs)
+
+
+# --- text_contrastive_views --------------------------------------------------
+
+
+def test_contrastive_views_partition_and_balance(spark):
+    """Views must partition the 24-token prefix (disjoint, covering,
+    order-preserving) and hash batching must hit every batch."""
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.curation import (
+        CONTRASTIVE_BATCHES,
+        q_contrastive_views,
+    )
+
+    got = {r.doc_id: r for r in q_contrastive_views(
+        spark, "/root/testdata/sf0.001").collect()}
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        toks = text.strip().split()[:24]
+        if len(toks) < 2:
+            assert doc_id not in got
+            continue
+        r = got[doc_id]
+        rejoined = (r.view_a + " " + r.view_b).split()
+        assert rejoined == toks, doc_id
+        assert len(r.view_a.split()) == len(toks) // 2
+    batches = {r.batch_id for r in got.values()}
+    assert batches == set(range(CONTRASTIVE_BATCHES))
