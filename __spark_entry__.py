@@ -468,6 +468,8 @@ _DEFERRED: list[str] = [
     "events_target_encode_loo",
     "table_shard_manifest",
     "text_contrastive_views",
+    "cohort_ltv_triangle",
+    "events_cusum_changepoints",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -3732,11 +3732,13 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
+    # persisted: FOUR consumers (both join sides, item counts, the
+    # order total) would otherwise each re-run the distinct + anti-join
     kept = basket.join(
         F.broadcast(sizes.where(F.col("sz") > BASKET_CAP)),
         "l_orderkey",
         "left_anti",
-    )
+    ).persist()
     a = kept.alias("a")
     b = kept.alias("b")
     pairs = (
@@ -3979,6 +3981,217 @@ ORDER BY u.user_id, u.event_type
 """
 
 
+def q_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order MONTH
+    (the acquisition cohort), revenue accumulated by months-since-
+    acquisition — the (cohort × age) matrix every growth team reads
+    cumulatively along each row. Months are exact calendar arithmetic
+    (months_between on truncated dates — integer-valued by
+    construction, so no float boundary), money is floor-cents BIGINT
+    emitted as digit strings, and the cumulative sum runs over each
+    cohort's ≤age-frame (bounded by the calendar, not by customers).
+
+    Scale shape: first-order month = one per-customer min aggregate;
+    the triangle = one (cohort, age) aggregate over the join-back;
+    the cumulative window partitions by cohort over the month frame.
+    Nothing order-grain crosses a window at any scale."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("om"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("om").alias("cohort"))
+    aged = o.join(first, "o_custkey").select(
+        "cohort",
+        F.months_between(F.col("om"), F.col("cohort"))
+        .cast("int")
+        .alias("age"),
+        "cents",
+    )
+    tri = aged.groupBy("cohort", "age").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    # bounded-window: frame is the months-since-acquisition axis
+    # (≤ calendar months spanned by the corpus), never customer-grain
+    cum = F.sum("rev_cents").over(
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return tri.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort"),
+        "age",
+        "n_orders",
+        F.col("rev_cents").cast("string").alias("rev_cents"),
+        cum.cast("string").alias("cum_rev_cents"),
+    ).orderBy("cohort", "age")
+
+
+_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS om,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+firsts AS (SELECT o_custkey, min(om) AS cohort FROM o GROUP BY o_custkey),
+aged AS (
+  SELECT f.cohort,
+         CAST(datediff('month', f.cohort, o.om) AS INT) AS age,
+         o.cents
+  FROM o JOIN firsts f USING (o_custkey)
+),
+tri AS (
+  SELECT cohort, age, count(*) AS n_orders, sum(cents) AS rev_cents
+  FROM aged GROUP BY cohort, age
+)
+SELECT strftime(cohort, '%Y-%m') AS cohort, age, n_orders,
+       CAST(rev_cents AS VARCHAR) AS rev_cents,
+       CAST(CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS VARCHAR) AS cum_rev_cents
+FROM tri
+ORDER BY cohort, age
+"""
+
+
+CUSUM_SLACK_DIV = 10  # per-day drift allowance = T/10 (scaled units)
+CUSUM_H_MULT = 1      # alarm threshold = T (one scaled daily mean)
+
+
+def q_events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over per-type daily event rates —
+    the sequential drift detector (Page's cumulative sum) that flags
+    sustained rate shifts a pointwise z-score misses. The recurrence
+    S_t = max(0, S_{t-1} + x_t·N − T − k) runs in SCALED INTEGER
+    units (multiplied through by the day count N, so the daily mean
+    T/N never becomes a float): allowance k = T/10, alarm when
+    S_t > T.
+
+    The recurrence is inherently sequential — but only WITHIN a
+    key's day series, which is calendar-bounded (≤31 rows here, 365/
+    year at any corpus size). So the engine shape is: dense gap-
+    filled daily counts (one aggregate + a broadcast day spine),
+    collect each type's series into a bounded array, and run the
+    fold INSIDE Catalyst via `F.aggregate` (no UDF, no driver loop),
+    then re-explode. The oracle is a recursive CTE unrolling the
+    same recurrence row by row — the iterative-algorithm proof shape
+    q_knn_bfs_hops established, applied to a stateful scan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+        )
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.sum("x").alias("t_total"), F.count(F.lit(1)).alias("n_days")
+    )
+    series = (
+        dense.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("day", "x"))
+            ).alias("arr")
+        )
+        .join(F.broadcast(stats), "event_type")
+    )
+    step = (
+        "greatest(CAST(0 AS BIGINT), acc.s + e.x * n_days - t_total "
+        f"- t_total DIV {CUSUM_SLACK_DIV})"
+    )
+    folded = series.select(
+        "event_type",
+        "t_total",
+        F.expr(
+            f"""aggregate(
+              arr,
+              struct(CAST(0 AS BIGINT) AS s,
+                     CAST(array() AS array<struct<day:date,x:bigint,c:bigint>>) AS out),
+              (acc, e) -> struct(
+                {step} AS s,
+                concat(acc.out,
+                       array(struct(e.day AS day, e.x AS x, {step} AS c))) AS out
+              ),
+              acc -> acc.out
+            )"""
+        ).alias("out"),
+    )
+    return (
+        folded.select(
+            "event_type", "t_total", F.explode("out").alias("o")
+        )
+        .select(
+            "event_type",
+            F.col("o.day").cast("string").alias("day"),
+            F.col("o.x").alias("x"),
+            F.col("o.c").alias("cusum_scaled"),
+            (F.col("o.c") > F.col("t_total") * CUSUM_H_MULT).alias("flagged"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_CUSUM_SQL = f"""
+WITH RECURSIVE bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+dense AS (
+  SELECT t.event_type, s.day, COALESCE(c.x, 0) AS x,
+         row_number() OVER (PARTITION BY t.event_type ORDER BY s.day) AS idx
+  FROM types t CROSS JOIN spine s
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = s.day
+),
+stats AS (
+  SELECT event_type, sum(x) AS t_total, count(*) AS n_days
+  FROM dense GROUP BY event_type
+),
+d AS (
+  SELECT dense.*, stats.t_total, stats.n_days
+  FROM dense JOIN stats USING (event_type)
+),
+rec AS (
+  SELECT event_type, idx, day, x, t_total, n_days,
+         GREATEST(CAST(0 AS BIGINT),
+                  x * n_days - t_total - t_total // {CUSUM_SLACK_DIV}) AS s
+  FROM d WHERE idx = 1
+  UNION ALL
+  SELECT d.event_type, d.idx, d.day, d.x, d.t_total, d.n_days,
+         GREATEST(CAST(0 AS BIGINT),
+                  r.s + d.x * d.n_days - d.t_total
+                  - d.t_total // {CUSUM_SLACK_DIV})
+  FROM d JOIN rec r ON r.event_type = d.event_type AND d.idx = r.idx + 1
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, x,
+       CAST(s AS BIGINT) AS cusum_scaled,
+       s > t_total * {CUSUM_H_MULT} AS flagged
+FROM rec
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -4063,6 +4276,8 @@ QUERIES = {
     "market_basket_pairs": (q_market_basket_pairs, _MARKET_BASKET_SQL),
     "events_user_growth": (q_events_user_growth, _USER_GROWTH_SQL),
     "customer_k_anonymity": (q_customer_k_anonymity, _KANON_SQL),
+    "cohort_ltv_triangle": (q_cohort_ltv_triangle, _COHORT_LTV_SQL),
+    "events_cusum_changepoints": (q_events_cusum_changepoints, _CUSUM_SQL),
     "events_target_encode_loo": (q_events_target_encode_loo, _TARGET_ENCODE_SQL),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),

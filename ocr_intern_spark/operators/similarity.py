@@ -2125,7 +2125,9 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices); existing edges leave via one anti-join; the degree
     join-backs are tiny frames. Never an all-pairs product over
     vertices."""
-    edges = q_knn_join_topk(spark, sf_dir).select("a", "b")
+    # persist the kNN edges BEFORE the union: both union branches
+    # consume them, and the pairwise scoring is the expensive stage
+    edges = q_knn_join_topk(spark, sf_dir).select("a", "b").persist()
     sym = (
         edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -554,3 +554,56 @@ def test_contrastive_views_partition_and_balance(spark):
         assert len(r.view_a.split()) == len(toks) // 2
     batches = {r.batch_id for r in got.values()}
     assert batches == set(range(CONTRASTIVE_BATCHES))
+
+
+# --- cohort LTV + CUSUM ------------------------------------------------------
+
+
+def test_cohort_ltv_laws(spark):
+    from ocr_intern_spark.operators.analytics import q_cohort_ltv_triangle
+
+    got = q_cohort_ltv_triangle(spark, "/root/testdata/sf0.001").collect()
+    assert got
+    by_cohort = {}
+    for r in got:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for rows in by_cohort.values():
+        # ages ascend, cumulative = running sum of rev, age 0 exists
+        # (a cohort's first month always has its own first orders)
+        assert rows[0].age == 0
+        run = 0
+        for r in rows:
+            run += int(r.rev_cents)
+            assert int(r.cum_rev_cents) == run
+
+
+def test_cusum_flags_planted_shift(spark, tmp_path):
+    """A type that doubles its rate mid-series must flag after the
+    shift; a stationary type must not flag — the changepoint
+    semantics pinned on a synthetic frame (the corpus is stationary,
+    so its flags are legitimately sparse)."""
+    from ocr_intern_spark.operators.analytics import (
+        q_events_cusum_changepoints,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 29):
+        # stationary type: 10/day
+        for i in range(10):
+            eid += 1
+            rows.append((f"2024-01-{d:02d}T01:{i:02d}:00", eid, "steady", 1.0))
+        # shifted type: 6/day for two weeks, then 18/day
+        n = 6 if d <= 14 else 18
+        for i in range(n):
+            eid += 1
+            rows.append((f"2024-01-{d:02d}T02:{i:02d}:00", eid, "shifty", 1.0))
+    sf_dir = _write_events(spark, tmp_path, rows)
+    got = q_events_cusum_changepoints(spark, sf_dir).collect()
+    flagged = {(r.event_type, r.day) for r in got if r.flagged}
+    assert all(t == "shifty" for t, _ in flagged), flagged
+    assert flagged, "no changepoint flagged on the planted shift"
+    # every flagged day is after the shift
+    assert all(day >= "2024-01-15" for _, day in flagged)
+    # cusum resets law: non-negative everywhere
+    assert all(r.cusum_scaled >= 0 for r in got)
