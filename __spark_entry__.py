@@ -470,6 +470,7 @@ _DEFERRED: list[str] = [
     "text_contrastive_views",
     "cohort_ltv_triangle",
     "events_cusum_changepoints",
+    "events_bitemporal_asof",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -494,6 +494,146 @@ ORDER BY p.event_id
 """
 
 
+BITEMP_EPOCHS = 5  # transaction-time epochs (ingest batches)
+BITEMP_VDAYS = ("2024-01-10", "2024-01-20", "2024-01-30")  # valid-asof cuts
+
+
+def q_events_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of reconstruction — "what did we believe at
+    transaction epoch E about each user's state as of valid day V":
+    per grid cell (E, V, user), the latest event by VALID time (ts,
+    with event_id tie-break) among rows that had ARRIVED by epoch E
+    (arrival = the global ingest order carved into BITEMP_EPOCHS
+    batches, the changelog stand-in the IVM query also uses). This is
+    the audit query a feature store answers for "was that training
+    row point-in-time correct AND built from data we actually had".
+
+    Engine shape — NO grid replication: one (user, epoch, vcut)
+    argmax collapses the corpus, the frame is densified against the
+    15-cell grid per user, and the 2-D nested-cut maximum (epoch' ≤
+    E, vday' ≤ V) falls out of TWO sequential bounded windows —
+    prefix-max along epochs within each vcut, then along vcuts — max
+    being idempotent makes the two 1-D passes compose into the 2-D
+    dominance max. The oracle is the textbook replicate-and-filter
+    aggregate (corpus × 15 cells); hash equality certifies the
+    decomposition, which is the shape that survives 10^12 rows (the
+    corpus is touched ONCE; everything after is user×15 grain)."""
+    from ocr_intern_spark.operators.skew import global_rank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_id", "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    n = ev.count()  # ingest-offset stand-in, as in events_ivm_retract
+    ranked = global_rank(ev, F.col("ts"), F.col("event_id"), rank_name="_r")
+    # all-INTEGER epoch carve: double-cast would round on DuckDB and
+    # truncate on Spark (the session-13 slice-arithmetic trap)
+    epoch = F.least(
+        F.expr(
+            f"CAST(((_r - 1) * {BITEMP_EPOCHS}) DIV {n} AS INT)"
+        )
+        + 1,
+        F.lit(BITEMP_EPOCHS),
+    )
+    vcut = None
+    day = F.to_date("ts")
+    for i, d in enumerate(BITEMP_VDAYS):
+        cond = day <= F.lit(d).cast("date")
+        vcut = F.when(cond, i) if vcut is None else vcut.when(cond, i)
+    vcut = vcut.otherwise(F.lit(len(BITEMP_VDAYS)))
+    cells = (
+        ranked.select(
+            "user_id",
+            epoch.alias("epoch"),
+            vcut.alias("vb"),
+            F.struct("ts", "event_id", "cents").alias("st"),
+        )
+        .where(F.col("vb") < len(BITEMP_VDAYS))  # rows past the last
+        # valid cut can never be visible at any grid cell
+        .groupBy("user_id", "epoch", "vb")
+        .agg(F.max("st").alias("st"))
+    )
+    users = cells.select("user_id").distinct()
+    grid = users.crossJoin(
+        F.broadcast(
+            spark.range(BITEMP_EPOCHS)
+            .select((F.col("id") + 1).cast("int").alias("epoch"))
+            .crossJoin(
+                spark.range(len(BITEMP_VDAYS)).select(
+                    F.col("id").cast("int").alias("vb")
+                )
+            )
+        )
+    )
+    dense = grid.join(cells, ["user_id", "epoch", "vb"], "left")
+    # bounded-window: both frames are the ≤EPOCHS·VDAYS cell grid per user
+    w_e = (
+        Window.partitionBy("user_id", "vb")
+        .orderBy("epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_v = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        dense.withColumn("m1", F.max("st").over(w_e))
+        .withColumn("m2", F.max("m1").over(w_v))
+        .where(F.col("m2").isNotNull())
+    )
+    vday_arr = F.array(*[F.lit(d) for d in BITEMP_VDAYS])
+    return out.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        F.element_at(vday_arr, F.col("vb") + 1).alias("valid_asof"),
+        "user_id",
+        F.col("m2.event_id").alias("latest_event_id"),
+        F.col("m2.cents").alias("latest_cents"),
+    ).orderBy("epoch", "valid_asof", "user_id")
+
+
+def _bitemporal_sql() -> str:
+    vdays = ", ".join(
+        f"(CAST('{d}' AS DATE), {i})" for i, d in enumerate(BITEMP_VDAYS)
+    )
+    return f"""
+WITH ranked AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY ts, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM events
+),
+labelled AS (
+  SELECT *,
+         LEAST(CAST(((rn - 1) * {BITEMP_EPOCHS}) // n AS INT) + 1,
+               {BITEMP_EPOCHS}) AS epoch
+  FROM ranked
+),
+grid_e AS (SELECT unnest(range(1, {BITEMP_EPOCHS + 1})) AS epoch),
+grid_v(vd, vb) AS (VALUES {vdays}),
+vis AS (
+  SELECT e.epoch, g.vd, g.vb, l.user_id, l.ts, l.event_id, l.cents
+  FROM labelled l
+  JOIN grid_e e ON l.epoch <= e.epoch
+  JOIN grid_v g ON CAST(l.ts AS DATE) <= g.vd
+),
+best AS (
+  SELECT epoch, vd, vb, user_id,
+         max(struct_pack(ts := ts, event_id := event_id,
+                         cents := cents)) AS st
+  FROM vis GROUP BY epoch, vd, vb, user_id
+)
+SELECT CAST(epoch AS INT) AS epoch,
+       strftime(vd, '%Y-%m-%d') AS valid_asof,
+       user_id,
+       st.event_id AS latest_event_id,
+       st.cents AS latest_cents
+FROM best
+ORDER BY epoch, valid_asof, user_id
+"""
+
+
 QUERIES = {
     "events_asof_plan": (q_events_asof_plan, _ASOF_SQL),
     "error_session_attribution": (q_error_session_attribution, _ERROR_ATTR_SQL),
@@ -506,4 +646,5 @@ QUERIES = {
         q_events_nearest_error_gap,
         _NEAREST_ERR_SQL,
     ),
+    "events_bitemporal_asof": (q_events_bitemporal_asof, _bitemporal_sql()),
 }

@@ -607,3 +607,65 @@ def test_cusum_flags_planted_shift(spark, tmp_path):
     assert all(day >= "2024-01-15" for _, day in flagged)
     # cusum resets law: non-negative everywhere
     assert all(r.cusum_scaled >= 0 for r in got)
+
+
+# --- events_bitemporal_asof --------------------------------------------------
+
+
+def test_bitemporal_reference(spark):
+    """Serial recompute: carve arrival epochs from the (ts, event_id)
+    order, then for every grid cell take the struct-max over rows
+    with epoch ≤ E and day ≤ V; assert every emitted cell matches and
+    the matrix is monotone along both axes."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.temporal import (
+        BITEMP_EPOCHS,
+        BITEMP_VDAYS,
+        q_events_bitemporal_asof,
+    )
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["ts", "event_id", "user_id", "value"],
+    )
+    rows = sorted(
+        zip(
+            tbl.column("ts").to_pylist(),
+            tbl.column("event_id").to_pylist(),
+            tbl.column("user_id").to_pylist(),
+            tbl.column("value").to_pylist(),
+        )
+    )
+    n = len(rows)
+    import math
+
+    ref = {}
+    for i, (ts, eid, uid, v) in enumerate(rows):
+        epoch = min(i * BITEMP_EPOCHS // n + 1, BITEMP_EPOCHS)
+        cents = math.floor(v * 100)
+        for e in range(epoch, BITEMP_EPOCHS + 1):
+            for vi, vd in enumerate(BITEMP_VDAYS):
+                if ts.date() <= dt.date.fromisoformat(vd):
+                    k = (e, vd, uid)
+                    cur = ref.get(k)
+                    cand = (ts, eid, cents)
+                    if cur is None or cand > cur:
+                        ref[k] = cand
+    got = q_events_bitemporal_asof(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == len(ref)
+    for r in got:
+        exp = ref[(r.epoch, r.valid_asof, r.user_id)]
+        assert (r.latest_event_id, r.latest_cents) == (exp[1], exp[2]), (
+            r.epoch, r.valid_asof, r.user_id,
+        )
+    # monotone along both axes: more knowledge never loses the max
+    cells = {
+        (r.epoch, r.valid_asof, r.user_id): r.latest_event_id for r in got
+    }
+    for (e, vd, u), eid in cells.items():
+        later = cells.get((e + 1, vd, u))
+        if later is not None:
+            assert ref[(e + 1, vd, u)] >= ref[(e, vd, u)]
