@@ -471,6 +471,8 @@ _DEFERRED: list[str] = [
     "cohort_ltv_triangle",
     "events_cusum_changepoints",
     "events_bitemporal_asof",
+    "multimodal_modality_balance",
+    "customer_rfm_segments",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -4192,6 +4192,119 @@ ORDER BY event_type, day
 """
 
 
+RFM_Q = 5  # quintiles per RFM axis
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the
+    marketing-analytics classic: each purchasing customer scored by
+    quintile on each axis and mapped to a named segment. Quintiles
+    are the integer carve q = (rank−1)·5 DIV n + 1 over TOTAL orders
+    (rank ties broken by custkey), so the cut is engine-portable —
+    no ntile, whose tie distribution differs.
+
+    The three ranks run on skew.global_rank over the CUSTOMER-grain
+    frame (one per axis — at 10^12 orders that frame is ~10^8 rows
+    and the two-pass range rank is exactly the deciles query's
+    shape); recency anchors to the corpus max date (a 1-row
+    broadcast), money in floor-cents BIGINT emitted as digit
+    strings."""
+    from ocr_intern_spark.operators.skew import global_rank
+
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_cents"
+            ),
+        )
+    )
+    anchor = _t(spark, sf_dir, "orders").agg(
+        F.max(F.to_date("o_orderdate")).alias("anchor")
+    )
+    base = per.crossJoin(F.broadcast(anchor)).select(
+        "c",
+        F.datediff("anchor", "last_day").cast("long").alias("recency_days"),
+        "n_orders",
+        "spend_cents",
+    ).persist()
+    n = base.count()
+
+    def quintile(df: DataFrame, *order: Column, name: str) -> DataFrame:
+        ranked = global_rank(df, *order, rank_name="_rk")
+        return ranked.select(
+            "c",
+            (
+                F.expr(f"CAST((_rk - 1) * {RFM_Q} DIV {n} AS INT)") + 1
+            ).alias(name),
+        )
+
+    rq = quintile(base, F.asc("recency_days"), F.asc("c"), name="r_q")
+    fq = quintile(base, F.desc("n_orders"), F.asc("c"), name="f_q")
+    mq = quintile(base, F.desc("spend_cents"), F.asc("c"), name="m_q")
+    seg = (
+        F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2), "champion")
+        .when((F.col("f_q") <= 2) & (F.col("m_q") <= 2), "loyal_lapsing")
+        .when(F.col("r_q") <= 2, "recent_light")
+        .when(F.col("r_q") >= 4, "hibernating")
+        .otherwise("mid")
+    )
+    return (
+        base.join(rq, "c").join(fq, "c").join(mq, "c")
+        .select(
+            F.col("c").alias("c_custkey"),
+            "recency_days",
+            "n_orders",
+            F.col("spend_cents").cast("string").alias("spend_cents"),
+            "r_q",
+            "f_q",
+            "m_q",
+            seg.alias("segment"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_RFM_SQL = f"""
+WITH per AS (
+  SELECT o_custkey AS c,
+         max(CAST(o_orderdate AS DATE)) AS last_day,
+         count(*) AS n_orders,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS a FROM orders),
+base AS (
+  SELECT c, datediff('day', last_day, a) AS recency_days,
+         n_orders, spend_cents, count(*) OVER () AS n
+  FROM per CROSS JOIN anchor
+),
+q AS (
+  SELECT c, recency_days, n_orders, spend_cents,
+         CAST((row_number() OVER (ORDER BY recency_days ASC, c ASC) - 1)
+              * {RFM_Q} // n AS INT) + 1 AS r_q,
+         CAST((row_number() OVER (ORDER BY n_orders DESC, c ASC) - 1)
+              * {RFM_Q} // n AS INT) + 1 AS f_q,
+         CAST((row_number() OVER (ORDER BY spend_cents DESC, c ASC) - 1)
+              * {RFM_Q} // n AS INT) + 1 AS m_q
+  FROM base
+)
+SELECT c AS c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       n_orders, CAST(spend_cents AS VARCHAR) AS spend_cents,
+       r_q, f_q, m_q,
+       CASE WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+            WHEN f_q <= 2 AND m_q <= 2 THEN 'loyal_lapsing'
+            WHEN r_q <= 2 THEN 'recent_light'
+            WHEN r_q >= 4 THEN 'hibernating'
+            ELSE 'mid' END AS segment
+FROM q
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -4278,6 +4391,7 @@ QUERIES = {
     "customer_k_anonymity": (q_customer_k_anonymity, _KANON_SQL),
     "cohort_ltv_triangle": (q_cohort_ltv_triangle, _COHORT_LTV_SQL),
     "events_cusum_changepoints": (q_events_cusum_changepoints, _CUSUM_SQL),
+    "customer_rfm_segments": (q_customer_rfm_segments, _RFM_SQL),
     "events_target_encode_loo": (q_events_target_encode_loo, _TARGET_ENCODE_SQL),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),

@@ -634,6 +634,59 @@ ORDER BY doc_id
 """
 
 
+def q_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality token-budget report for the interleaved corpus: per
+    source, text tokens vs media placeholder tokens (the same unit
+    costs multimodal_interleaved_pack charges) and the media share in
+    ppm — the dashboard number that decides whether an interleaved
+    pretraining mix is drifting text-heavy or image-heavy, and the
+    denominator mix-weight resampling acts on.
+
+    Shares are integer ppm by cross-multiplication (no float
+    division). One map-side-combinable aggregate over per-doc token
+    counts — scan-shaped at any corpus size."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_text = F.least(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(24)
+    )
+    per_src = (
+        d.select(
+            "source",
+            n_text.cast("long").alias("text_toks"),
+            F.lit(MEDIA_TOKEN_COST).cast("long").alias("media_toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("text_toks").alias("text_tokens"),
+            F.sum("media_toks").alias("media_tokens"),
+        )
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "text_tokens",
+        "media_tokens",
+        F.expr("CAST((media_tokens * 1000000) DIV (text_tokens + media_tokens) AS BIGINT)").alias(
+            "media_share_ppm"
+        ),
+    ).orderBy("source")
+
+
+_MODALITY_BALANCE_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       sum(LEAST(len(regexp_split_to_array(trim(text), '\\s+')), 24))
+         AS text_tokens,
+       count(*) * {MEDIA_TOKEN_COST} AS media_tokens,
+       (count(*) * {MEDIA_TOKEN_COST} * 1000000)
+         // (sum(LEAST(len(regexp_split_to_array(trim(text), '\\s+')), 24))
+             + count(*) * {MEDIA_TOKEN_COST}) AS media_share_ppm
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 _PHASH_DEDUP_SQL = """
 SELECT min(doc_id) AS rep_doc,
        count(*) AS n_copies,
@@ -3157,6 +3210,7 @@ QUERIES = {
     "multimodal_phash_dedup": (q_phash_dedup, _PHASH_DEDUP_SQL),
     "multimodal_caption_align": (q_caption_align, _CAPTION_ALIGN_SQL),
     "text_contrastive_views": (q_contrastive_views, _CONTRASTIVE_SQL),
+    "multimodal_modality_balance": (q_modality_balance, _MODALITY_BALANCE_SQL),
     "text_langid_ngram": (q_langid_ngram, _LANGID_SQL),
     "text_line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
     "text_source_cap": (q_source_cap, _SOURCE_CAP_SQL),

@@ -669,3 +669,43 @@ def test_bitemporal_reference(spark):
         later = cells.get((e + 1, vd, u))
         if later is not None:
             assert ref[(e + 1, vd, u)] >= ref[(e, vd, u)]
+
+
+# --- modality balance + RFM --------------------------------------------------
+
+
+def test_modality_balance_laws(spark):
+    from ocr_intern_spark.operators.curation import (
+        MEDIA_TOKEN_COST,
+        q_modality_balance,
+    )
+
+    got = q_modality_balance(spark, "/root/testdata/sf0.001").collect()
+    assert got
+    for r in got:
+        assert r.media_tokens == r.n_docs * MEDIA_TOKEN_COST
+        tot = r.text_tokens + r.media_tokens
+        assert r.media_share_ppm == r.media_tokens * 1_000_000 // tot
+        assert 0 < r.media_share_ppm < 1_000_000
+
+
+def test_rfm_quintile_laws(spark):
+    from collections import Counter
+
+    from ocr_intern_spark.operators.analytics import (
+        RFM_Q,
+        q_customer_rfm_segments,
+    )
+
+    got = q_customer_rfm_segments(spark, "/root/testdata/sf0.001").collect()
+    n = len(got)
+    for axis in ("r_q", "f_q", "m_q"):
+        counts = Counter(getattr(r, axis) for r in got)
+        assert set(counts) == set(range(1, RFM_Q + 1))
+        # integer carve: every quintile holds floor/ceil(n/5) members
+        assert max(counts.values()) - min(counts.values()) <= 1
+    # quintile 1 of recency really is the most recent fifth
+    r1_max = max(r.recency_days for r in got if r.r_q == 1)
+    r5_min = min(r.recency_days for r in got if r.r_q == RFM_Q)
+    assert r1_max <= r5_min
+    assert {r.segment for r in got} >= {"champion", "hibernating"}
