@@ -176,3 +176,45 @@ def test_pareto_front_single_point_and_all_dominated(spark):
     )
     # a monotone chain's skyline is its max point only
     assert [(r["x"], r["y"]) for r in pareto_front(chain, "x", "y", partitions=3).collect()] == [(5, 5)]
+
+
+def test_pareto_and_prefix_sum_properties(spark):
+    """Randomized (seeded) frames vs serial references: pareto_front
+    equals brute-force dominance and global_prefix_sum equals the
+    serial exclusive scan, across duplicate-heavy and skewed draws
+    and partition counts that force multi-partition paths."""
+    import random
+
+    from ocr_intern_spark.operators.skew import (
+        global_prefix_sum,
+        pareto_front,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1307)
+    for trial in range(4):
+        n = rng.choice([1, 7, 40, 200])
+        pts = [
+            (rng.randrange(10), rng.randrange(10)) for _ in range(n)
+        ]  # small domain => heavy ties/duplicates
+        df = spark.createDataFrame(pts, "x long, y long")
+        p = rng.choice([2, 3, 5])
+        got = sorted(
+            (r["x"], r["y"])
+            for r in pareto_front(df, "x", "y", partitions=p).collect()
+        )
+        assert got == _brute_skyline(pts), (trial, n, p)
+
+        vals = [(i, rng.randrange(100)) for i in range(n)]
+        rng.shuffle(vals)
+        vdf = spark.createDataFrame(vals, "k long, v long")
+        out = {
+            r["k"]: r["ps"]
+            for r in global_prefix_sum(
+                vdf, "v", F.asc("k"), sum_name="ps", partitions=p
+            ).collect()
+        }
+        acc = 0
+        for k, v in sorted(vals):
+            assert out[k] == acc, (trial, k)
+            acc += v
