@@ -473,6 +473,7 @@ _DEFERRED: list[str] = [
     "events_bitemporal_asof",
     "multimodal_modality_balance",
     "customer_rfm_segments",
+    "events_gini_concentration",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

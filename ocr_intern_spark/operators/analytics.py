@@ -4305,6 +4305,84 @@ ORDER BY c_custkey
 """
 
 
+def q_events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Gini) per event type, computed through
+    the GROUPED-AGG pandas UDF surface — the one Arrow boundary class
+    the engine had not yet certified (mapInPandas, cogroup and UDTF
+    all have parity pins; this closes the set). The UDF receives each
+    type's per-user count vector as one Arrow batch and returns the
+    scaled-integer Gini ``Σ(2i−n−1)·x₍ᵢ₎ · 10⁶ DIV (n·Σx)`` (sorted
+    ascending; coefficient blocks are tie-invariant, so the unordered
+    tie layout cannot change the sum and the metric is
+    engine-portable).
+
+    The oracle computes the SAME formula with rank windows — native
+    SQL all the way — so hash equality certifies the Python/Arrow
+    path against the pure-relational path: the swap certificate for
+    the boundary itself. Scale note: grouped-agg materializes a
+    group per batch (bounded by users-per-type); at 10^12 rows you
+    run the oracle's window formulation in Spark instead — this
+    query proves the two agree."""
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit functionType: this module's `from __future__ import
+    # annotations` stringifies type hints, which breaks hint-based
+    # pandas_udf inference (UNSUPPORTED_SIGNATURE)
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def gini_ppm(x):
+        import numpy as np
+
+        a = np.sort(x.to_numpy(np.int64))
+        n = len(a)
+        tot = int(a.sum())
+        if tot == 0:
+            return 0
+        num = int(((2 * np.arange(1, n + 1) - n - 1) * a).sum())
+        return num * 1_000_000 // (n * tot)
+
+    cnt = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .persist()  # two aggregates consume it (Spark refuses mixing
+        # a grouped-agg pandas UDF with native aggregates in one agg)
+    )
+    native = cnt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("n_events"),
+    )
+    gini = cnt.groupBy("event_type").agg(gini_ppm("x").alias("gini_ppm"))
+    return (
+        native.join(gini, "event_type")
+        .select("event_type", "n_users", "n_events", "gini_ppm")
+        .orderBy("event_type")
+    )
+
+
+_GINI_SQL = """
+WITH cnt AS (
+  SELECT event_type, user_id, count(*) AS x
+  FROM events GROUP BY event_type, user_id
+),
+rk AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, user_id) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(x) OVER (PARTITION BY event_type) AS tot
+  FROM cnt
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(tot) AS BIGINT) AS n_events,
+       CAST(sum((2 * i - n - 1) * x) * 1000000
+            // (max(n) * max(tot)) AS BIGINT) AS gini_ppm
+FROM rk
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -4392,6 +4470,7 @@ QUERIES = {
     "cohort_ltv_triangle": (q_cohort_ltv_triangle, _COHORT_LTV_SQL),
     "events_cusum_changepoints": (q_events_cusum_changepoints, _CUSUM_SQL),
     "customer_rfm_segments": (q_customer_rfm_segments, _RFM_SQL),
+    "events_gini_concentration": (q_events_gini_concentration, _GINI_SQL),
     "events_target_encode_loo": (q_events_target_encode_loo, _TARGET_ENCODE_SQL),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),

@@ -709,3 +709,41 @@ def test_rfm_quintile_laws(spark):
     r5_min = min(r.recency_days for r in got if r.r_q == RFM_Q)
     assert r1_max <= r5_min
     assert {r.segment for r in got} >= {"champion", "hibernating"}
+
+
+# --- events_gini_concentration -----------------------------------------------
+
+
+def test_gini_reference_and_bounds(spark):
+    """Reference recompute with plain Python; bounds law 0 ≤ g < 1;
+    uniform counts ⇒ Gini 0 on a synthetic frame."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.analytics import (
+        q_events_gini_concentration,
+    )
+
+    got = {r.event_type: r for r in q_events_gini_concentration(
+        spark, "/root/testdata/sf0.001").collect()}
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_type", "user_id"],
+    )
+    cnt = Counter(
+        zip(tbl.column("event_type").to_pylist(),
+            tbl.column("user_id").to_pylist())
+    )
+    by_type = {}
+    for (t, u), x in cnt.items():
+        by_type.setdefault(t, []).append(x)
+    assert set(got) == set(by_type)
+    for t, xs in by_type.items():
+        a = sorted(xs)
+        n, tot = len(a), sum(a)
+        num = sum((2 * i - n - 1) * v for i, v in enumerate(a, 1))
+        exp = num * 1_000_000 // (n * tot)
+        r = got[t]
+        assert (r.n_users, r.n_events, r.gini_ppm) == (n, tot, exp), t
+        assert 0 <= r.gini_ppm < 1_000_000
