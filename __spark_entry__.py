@@ -474,6 +474,7 @@ _DEFERRED: list[str] = [
     "multimodal_modality_balance",
     "customer_rfm_segments",
     "events_gini_concentration",
+    "text_rouge_neardup_audit",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -687,6 +687,130 @@ ORDER BY source
 """
 
 
+def q_rouge_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 overlap audit for near-duplicate candidate pairs: for
+    every prefix-64 collision pair (the same planted duplicate
+    structure multimodal_phash_dedup certifies), the unigram-multiset
+    overlap Σ_w min(cₐ(w), c_b(w)) and the integer F1 in ppm
+    (2·ov·10⁶ DIV (lenₐ+len_b)) — the quantitative "how duplicate is
+    this pair" score a dedup reviewer reads before tuning thresholds,
+    and the eval metric that grades fuzzy-dedup candidate quality
+    against textual ground truth.
+
+    Scale shape: the candidate pair frame is dedup-output-sized
+    (tiny vs corpus); member docs are SEMI-JOINED out of the corpus
+    before the token explode, so token counting touches only pair
+    members; the per-pair overlap is one (pair, token) hash aggregate
+    over the min of two counts. All integers."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", F.substring("text", 1, 64).alias("k")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("pa"), F.col("b.doc_id").alias("pb")
+    ).persist()
+    members = (
+        pairs.select(F.col("pa").alias("doc_id"))
+        .unionByName(pairs.select(F.col("pb").alias("doc_id")))
+        .distinct()
+    )
+    counts = (
+        d.join(members, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    lens = counts.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    ov = (
+        pairs.join(
+            counts.select(
+                F.col("doc_id").alias("pa"),
+                "tok",
+                F.col("c").alias("ca"),
+            ),
+            "pa",
+        )
+        .join(
+            counts.select(
+                F.col("doc_id").alias("pb"),
+                "tok",
+                F.col("c").alias("cb"),
+            ),
+            ["pb", "tok"],
+        )
+        .groupBy("pa", "pb")
+        .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
+    )
+    return (
+        pairs.join(ov, ["pa", "pb"], "left")
+        .join(lens.select(F.col("doc_id").alias("pa"), F.col("len").alias("len_a")), "pa")
+        .join(lens.select(F.col("doc_id").alias("pb"), F.col("len").alias("len_b")), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
+            "len_a",
+            "len_b",
+            F.expr(
+                "CAST((2 * coalesce(overlap, 0) * 1000000)"
+                " DIV (len_a + len_b) AS BIGINT)"
+            ).alias("f1_ppm"),
+        )
+        .orderBy("pa", "pb")
+    )
+
+
+_ROUGE_NEARDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, text, substr(text, 1, 64) AS k FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM d a JOIN d b ON a.k = b.k AND a.doc_id < b.doc_id
+),
+members AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT pa AS doc_id FROM pairs UNION ALL SELECT pb FROM pairs
+  )
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM (
+    SELECT d.doc_id,
+           unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS tok
+    FROM d JOIN members USING (doc_id)
+  ) GROUP BY doc_id, tok
+),
+lens AS (SELECT doc_id, sum(c) AS len FROM counts GROUP BY doc_id),
+ov AS (
+  SELECT p.pa, p.pb, sum(LEAST(ca.c, cb.c)) AS overlap
+  FROM pairs p
+  JOIN counts ca ON ca.doc_id = p.pa
+  JOIN counts cb ON cb.doc_id = p.pb AND cb.tok = ca.tok
+  GROUP BY p.pa, p.pb
+)
+SELECT p.pa, p.pb,
+       COALESCE(o.overlap, 0) AS overlap,
+       la.len AS len_a, lb.len AS len_b,
+       (2 * COALESCE(o.overlap, 0) * 1000000) // (la.len + lb.len) AS f1_ppm
+FROM pairs p
+LEFT JOIN ov o ON o.pa = p.pa AND o.pb = p.pb
+JOIN lens la ON la.doc_id = p.pa
+JOIN lens lb ON lb.doc_id = p.pb
+ORDER BY p.pa, p.pb
+"""
+
+
 _PHASH_DEDUP_SQL = """
 SELECT min(doc_id) AS rep_doc,
        count(*) AS n_copies,
@@ -3211,6 +3335,7 @@ QUERIES = {
     "multimodal_caption_align": (q_caption_align, _CAPTION_ALIGN_SQL),
     "text_contrastive_views": (q_contrastive_views, _CONTRASTIVE_SQL),
     "multimodal_modality_balance": (q_modality_balance, _MODALITY_BALANCE_SQL),
+    "text_rouge_neardup_audit": (q_rouge_neardup_audit, _ROUGE_NEARDUP_SQL),
     "text_langid_ngram": (q_langid_ngram, _LANGID_SQL),
     "text_line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
     "text_source_cap": (q_source_cap, _SOURCE_CAP_SQL),

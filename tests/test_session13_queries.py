@@ -747,3 +747,36 @@ def test_gini_reference_and_bounds(spark):
         r = got[t]
         assert (r.n_users, r.n_events, r.gini_ppm) == (n, tot, exp), t
         assert 0 <= r.gini_ppm < 1_000_000
+
+
+# --- text_rouge_neardup_audit ------------------------------------------------
+
+
+def test_rouge_neardup_reference(spark):
+    """Counter-based recompute of multiset overlap and integer F1
+    for every emitted pair, plus the bounds law."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.curation import q_rouge_neardup_audit
+
+    got = q_rouge_neardup_audit(spark, "/root/testdata/sf0.001").collect()
+    assert got
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    texts = dict(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    for r in got:
+        ca = Counter(texts[r.pa].strip().lower().split())
+        cb = Counter(texts[r.pb].strip().lower().split())
+        ov = sum((ca & cb).values())
+        la, lb = sum(ca.values()), sum(cb.values())
+        assert (r.overlap, r.len_a, r.len_b) == (ov, la, lb), (r.pa, r.pb)
+        assert r.f1_ppm == (2 * ov * 1_000_000) // (la + lb)
+        assert 0 <= r.f1_ppm <= 1_000_000
+        # prefix-64 collision pairs genuinely share leading content
+        assert texts[r.pa][:64] == texts[r.pb][:64]
