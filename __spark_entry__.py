@@ -475,6 +475,8 @@ _DEFERRED: list[str] = [
     "customer_rfm_segments",
     "events_gini_concentration",
     "text_rouge_neardup_audit",
+    "revenue_concentration",
+    "events_wau_stickiness",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

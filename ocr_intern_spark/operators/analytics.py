@@ -4383,6 +4383,166 @@ ORDER BY event_type
 """
 
 
+CONC_CUTS_PPM = (500_000, 800_000, 900_000, 990_000)  # 50/80/90/99%
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (80/20) curve: for each coverage cut —
+    50%, 80%, 90%, 99% of total revenue — the minimum number of
+    customers (taken biggest-spender-first) whose cumulative spend
+    reaches it, plus their corpus share in ppm. The Lorenz-curve
+    read-out behind every "whales" analysis.
+
+    Composition of both skew primitives: customers are ordered by
+    global_rank(spend desc) and their cumulative spend comes from
+    global_prefix_sum over the SAME total order — two TeraSort-shaped
+    passes over the customer-grain frame, then a 4-row broadcast of
+    the cut thresholds and one aggregate; the corpus total is a 1-row
+    broadcast. Threshold compare is the integer cross-multiplication
+    (cum+spend)·10⁶ ≥ cut·total — no float division anywhere."""
+    from ocr_intern_spark.operators.skew import (
+        global_prefix_sum,
+        global_rank,
+    )
+
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend"
+            )
+        )
+    )
+    ranked = global_rank(per, F.desc("spend"), F.asc("c"), rank_name="rk")
+    cum = global_prefix_sum(
+        ranked, "spend", F.desc("spend"), F.asc("c"), sum_name="pre"
+    )
+    tot = per.agg(
+        F.sum("spend").alias("total"), F.count(F.lit(1)).alias("n_cust")
+    )
+    cuts = spark.createDataFrame(
+        [(c,) for c in CONC_CUTS_PPM], "cut_ppm long"
+    )
+    covered = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cuts))
+        .where(
+            (F.col("pre") + F.col("spend")) * 1_000_000
+            >= F.col("cut_ppm") * F.col("total")
+        )
+        .groupBy("cut_ppm")
+        .agg(
+            F.min("rk").alias("n_customers"),
+            F.max("n_cust").alias("n_cust"),
+        )
+    )
+    return covered.select(
+        "cut_ppm",
+        "n_customers",
+        F.expr(
+            "CAST(n_customers * 1000000 DIV n_cust AS BIGINT)"
+        ).alias("customer_share_ppm"),
+    ).orderBy("cut_ppm")
+
+
+def _concentration_sql() -> str:
+    cuts = ", ".join(f"({c})" for c in CONC_CUTS_PPM)
+    return f"""
+WITH per AS (
+  SELECT o_custkey AS c,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c, spend,
+         row_number() OVER (ORDER BY spend DESC, c ASC) AS rk,
+         COALESCE(CAST(sum(spend) OVER (ORDER BY spend DESC, c ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS pre,
+         CAST(sum(spend) OVER () AS BIGINT) AS total,
+         count(*) OVER () AS n_cust
+  FROM per
+),
+cuts(cut_ppm) AS (VALUES {cuts})
+SELECT cut_ppm,
+       min(rk) AS n_customers,
+       min(rk) * 1000000 // max(n_cust) AS customer_share_ppm
+FROM ranked CROSS JOIN cuts
+WHERE (pre + spend) * 1000000 >= cut_ppm * total
+GROUP BY cut_ppm
+ORDER BY cut_ppm
+"""
+
+
+WAU_DAYS = 7  # trailing window for weekly actives
+
+
+def q_events_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU·10⁶ DIV WAU) per
+    day — the engagement ratio product dashboards lead with. Exact
+    sliding-distinct WITHOUT sliding-distinct state: each (user, day)
+    activity fact is EXPLODED onto the ≤7 report days it covers, and
+    WAU is a plain distinct count per report day — the standard
+    bounded-expansion rewrite (expansion factor = window length,
+    constant), fully map-side parallel; no window function touches
+    user grain. Report days clamp to the corpus range so early days
+    use the partial trailing window, and stickiness is integer ppm."""
+    act = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .persist()
+    )
+    bounds = act.agg(F.max("day").alias("dmax"))
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    covered = act.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(
+                    F.date_add(F.col("day"), WAU_DAYS - 1), F.col("dmax")
+                ),
+            )
+        ).alias("rday"),
+    )
+    wau = covered.distinct().groupBy("rday").agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.rday)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.expr("CAST(dau * 1000000 DIV wau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_WAU_SQL = f"""
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+bounds AS (SELECT max(day) AS dmax FROM act),
+dau AS (SELECT day, count(*) AS dau FROM act GROUP BY day),
+covered AS (
+  SELECT DISTINCT user_id, CAST(u.r AS DATE) AS rday
+  FROM act, bounds,
+       unnest(generate_series(day,
+              LEAST(day + INTERVAL {WAU_DAYS - 1} DAY,
+                    CAST(dmax AS TIMESTAMP)), INTERVAL 1 DAY)) AS u(r)
+),
+wau AS (SELECT rday, count(*) AS wau FROM covered GROUP BY rday)
+SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau,
+       d.dau * 1000000 // w.wau AS stickiness_ppm
+FROM dau d JOIN wau w ON w.rday = d.day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -4471,6 +4631,8 @@ QUERIES = {
     "events_cusum_changepoints": (q_events_cusum_changepoints, _CUSUM_SQL),
     "customer_rfm_segments": (q_customer_rfm_segments, _RFM_SQL),
     "events_gini_concentration": (q_events_gini_concentration, _GINI_SQL),
+    "revenue_concentration": (q_revenue_concentration, _concentration_sql()),
+    "events_wau_stickiness": (q_events_wau_stickiness, _WAU_SQL),
     "events_target_encode_loo": (q_events_target_encode_loo, _TARGET_ENCODE_SQL),
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),

@@ -780,3 +780,76 @@ def test_rouge_neardup_reference(spark):
         assert 0 <= r.f1_ppm <= 1_000_000
         # prefix-64 collision pairs genuinely share leading content
         assert texts[r.pa][:64] == texts[r.pb][:64]
+
+
+# --- revenue concentration + WAU stickiness ----------------------------------
+
+
+def test_revenue_concentration_reference(spark):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.analytics import (
+        CONC_CUTS_PPM,
+        q_revenue_concentration,
+    )
+
+    got = {r.cut_ppm: r for r in q_revenue_concentration(
+        spark, "/root/testdata/sf0.001").collect()}
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+    )
+    spend = {}
+    for c, p in zip(
+        tbl.column("o_custkey").to_pylist(),
+        tbl.column("o_totalprice").to_pylist(),
+    ):
+        spend[c] = spend.get(c, 0) + math.floor(p * 100)
+    ordered = sorted(spend.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(spend.values())
+    for cut in CONC_CUTS_PPM:
+        run = 0
+        for i, (c, s) in enumerate(ordered, 1):
+            run += s
+            if run * 1_000_000 >= cut * total:
+                break
+        r = got[cut]
+        assert r.n_customers == i, cut
+        assert r.customer_share_ppm == i * 1_000_000 // len(ordered)
+    # monotone: higher coverage needs at least as many customers
+    ns = [got[c].n_customers for c in CONC_CUTS_PPM]
+    assert ns == sorted(ns)
+
+
+def test_wau_stickiness_reference(spark):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from ocr_intern_spark.operators.analytics import (
+        WAU_DAYS,
+        q_events_wau_stickiness,
+    )
+
+    got = {r.day: r for r in q_events_wau_stickiness(
+        spark, "/root/testdata/sf0.001").collect()}
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts"]
+    )
+    act = {
+        (u, t.date())
+        for u, t in zip(
+            tbl.column("user_id").to_pylist(), tbl.column("ts").to_pylist()
+        )
+    }
+    days = sorted({d for _, d in act})
+    for day in days:
+        dau = sum(1 for (u, d) in act if d == day)
+        lo = day - dt.timedelta(days=WAU_DAYS - 1)
+        wau = len({u for (u, d) in act if lo <= d <= day})
+        r = got[day.isoformat()]
+        assert (r.dau, r.wau) == (dau, wau), day
+        assert r.stickiness_ppm == dau * 1_000_000 // wau
+        assert r.wau >= r.dau
