@@ -27,6 +27,20 @@ _BNLJ_ALLOWED = frozenset(
     {
         "customer_spend_deciles",
         "dedup_lsh_banding_sweep",
+        # session-13 scalar/bounded-frame broadcasts (PLANS.md
+        # session-13 parts 2-4): 1-row totals (topterms, basket
+        # n_orders, rfm anchor, wau bounds, concentration total +
+        # 4-row cut frame), the ≤31-row day spine (cusum), the
+        # 15-cell bitemporal grid, and the kNN eval-frame pairwise
+        # class link_predict inherits from sim_knn_join_topk:
+        "sim_cluster_topterms",
+        "market_basket_pairs",
+        "graph_link_predict",
+        "events_cusum_changepoints",
+        "events_bitemporal_asof",
+        "customer_rfm_segments",
+        "revenue_concentration",
+        "events_wau_stickiness",
         "graph_community_modularity",
         "graph_provenance_rank",
         "text_ccnet_buckets",
