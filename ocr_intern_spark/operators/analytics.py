@@ -4543,6 +4543,252 @@ ORDER BY day
 """
 
 
+# --- Kaplan-Meier repeat-purchase survival ---------------------------------
+
+
+def q_customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer inter-order gaps —
+    the churn-analysis estimator: "what fraction of customers have
+    NOT yet reordered t days after an order", with proper right-
+    censoring (a customer's last order is censored at the corpus
+    anchor date instead of being dropped, which is what makes KM
+    different from a naive gap histogram).
+
+    Subjects: every consecutive-order gap is an observed event with
+    duration datediff(next, this); every last order is a censored
+    subject with duration datediff(anchor, this). The product-limit
+    estimate runs in integer ppm with a per-step floor —
+    S_t = S_{t-1}·(n_t − d_t) DIV n_t — so both engines walk the
+    identical integer recurrence (no float product drift).
+
+    Scale shape: the per-customer lead() window is bounded by orders
+    per customer (dozens); the risk table is calendar-bounded
+    (distinct gap days ≤ corpus date span), so the collect-into-array
+    fold is the same bounded-frame class as the CUSUM query, run
+    INSIDE Catalyst via F.aggregate — no UDF, no driver loop. The
+    anchor is a 1-row broadcast (scalar-broadcast BNLJ class). The
+    single fold also carries the at-risk countdown, so n_risk needs
+    no second pass."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+    ).select(
+        "d", F.lead(F.to_date("o_orderdate")).over(w).alias("nxt")
+    )
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("a"))
+    dur = seq.crossJoin(F.broadcast(anchor)).select(
+        F.when(F.col("nxt").isNull(), F.datediff("a", "d"))
+        .otherwise(F.datediff("nxt", "d"))
+        .cast("int")
+        .alias("t"),
+        F.when(F.col("nxt").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("ev"),
+    )
+    risk = dur.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).alias("c"),
+    )
+    one = risk.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "c"))).alias("arr"),
+        F.sum(F.col("d") + F.col("c")).alias("tot"),
+    )
+    s_step = "IF(e.d > 0, (acc.s * (acc.rem - e.d)) DIV acc.rem, acc.s)"
+    folded = one.select(
+        F.expr(
+            f"""aggregate(
+              arr,
+              struct(CAST(tot AS BIGINT) AS rem,
+                     CAST(1000000 AS BIGINT) AS s,
+                     CAST(array() AS
+                       array<struct<t:int,n:bigint,d:bigint,
+                                    c:bigint,s:bigint>>) AS out),
+              (acc, e) -> struct(
+                acc.rem - e.d - e.c AS rem,
+                {s_step} AS s,
+                concat(acc.out, array(struct(
+                  e.t AS t, acc.rem AS n, e.d AS d, e.c AS c,
+                  {s_step} AS s))) AS out
+              ),
+              acc -> acc.out
+            )"""
+        ).alias("out")
+    )
+    return (
+        folded.select(F.explode("out").alias("o"))
+        .select(
+            F.col("o.t").alias("t_days"),
+            F.col("o.n").alias("n_risk"),
+            F.col("o.d").alias("d_events"),
+            F.col("o.c").alias("c_censored"),
+            F.col("o.s").alias("s_ppm"),
+        )
+        .orderBy("t_days")
+    )
+
+
+_KM_SQL = """
+WITH RECURSIVE anchor AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS a FROM orders
+),
+seq AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         lead(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS nxt
+  FROM orders
+),
+dur AS (
+  SELECT CASE WHEN nxt IS NULL
+              THEN date_diff('day', d, (SELECT a FROM anchor))
+              ELSE date_diff('day', d, nxt) END AS t,
+         CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+  FROM seq
+),
+risk AS (
+  SELECT t, sum(ev) AS d, sum(1 - ev) AS c FROM dur GROUP BY t
+),
+idx AS (
+  SELECT t, d, c, row_number() OVER (ORDER BY t) AS i FROM risk
+),
+tot AS (SELECT sum(d + c) AS n FROM idx),
+rec AS (
+  SELECT i, t, d, c,
+         (SELECT n FROM tot) AS n_at,
+         CASE WHEN d > 0
+              THEN (1000000 * ((SELECT n FROM tot) - d))
+                   // (SELECT n FROM tot)
+              ELSE 1000000 END AS s,
+         (SELECT n FROM tot) - d - c AS rem
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.i, x.t, x.d, x.c,
+         r.rem,
+         CASE WHEN x.d > 0
+              THEN (r.s * (r.rem - x.d)) // r.rem
+              ELSE r.s END,
+         r.rem - x.d - x.c
+  FROM idx x JOIN rec r ON x.i = r.i + 1
+)
+SELECT CAST(t AS INT) AS t_days, CAST(n_at AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events, CAST(c AS BIGINT) AS c_censored,
+       CAST(s AS BIGINT) AS s_ppm
+FROM rec ORDER BY t_days
+"""
+
+
+# --- exact integer autocorrelation of the daily event series --------------
+
+ACF_MAX_LAG = 7  # report lags 1..7 (weekly seasonality window)
+
+
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    lags 1..7 — the seasonality probe behind every traffic forecast
+    ("is there a weekly cycle?"). All arithmetic is EXACT integers:
+    deviations are scaled through by the day count (d_t = n·c_t − S,
+    so the mean S/n never becomes a float), the lag-k numerator is
+    Σ d_t·d_{t+k} over the overlapping prefix, and the denominator is
+    the full Σ d_t². Both are emitted as digit STRINGS (they pass 9
+    significant digits at sf0.1), plus a floor-ppm ratio computed via
+    the pmod identity (a − pmod(a, den)) / den so Spark's truncating
+    DIV and DuckDB's flooring // agree on NEGATIVE numerators too.
+
+    Scale shape: one day-grain aggregate (map-side partial), then
+    every subsequent frame is calendar-bounded (≤ date-span rows) —
+    the gap-filled spine, the unpartitioned idx window, and the
+    lag join (explode lags 1..K, equi-join on shifted idx — no
+    BNLJ, no crossJoin). Magnitude bound: |num·10⁶| ≤ n³·max(c)²·10⁶
+    ≈ 3·10¹⁷ at sf0.1 — inside BIGINT with 30× headroom; a
+    year-scale corpus would move num/den to decimal(38) with the
+    same digit-string emission."""
+    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("x"))
+    dense = (
+        spine.join(counts, "day", "left")
+        .select("day", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+        .withColumn("idx", F.row_number().over(Window.orderBy("day")))
+    )
+    stats = dense.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dev = dense.crossJoin(F.broadcast(stats)).select(
+        "idx", (F.col("n") * F.col("x") - F.col("s")).alias("d")
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
+    shifted = dev.select(
+        "d",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))
+        ).alias("lag"),
+        F.col("idx").alias("i1"),
+    ).withColumn("i2", F.col("i1") + F.col("lag"))
+    pairs = shifted.join(
+        dev.select(F.col("idx").alias("i2"), F.col("d").alias("d2")), "i2"
+    )
+    num = pairs.groupBy("lag").agg(
+        F.sum(F.col("d") * F.col("d2")).alias("num")
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("num").cast("string").alias("num_str"),
+            F.col("den").cast("string").alias("den_str"),
+            F.expr(
+                "CAST((num * 1000000 - pmod(num * 1000000, den)) "
+                "DIV den AS BIGINT)"
+            ).alias("acf_ppm"),
+        )
+        .orderBy("lag")
+    )
+
+
+_ACF_SQL = f"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day FROM events),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+counts AS (SELECT day, count(*) AS x FROM ev GROUP BY day),
+dense AS (
+  SELECT s.day, COALESCE(c.x, 0) AS x,
+         row_number() OVER (ORDER BY s.day) AS idx
+  FROM spine s LEFT JOIN counts c ON c.day = s.day
+),
+stats AS (SELECT count(*) AS n, sum(x) AS s FROM dense),
+dev AS (
+  SELECT idx, (SELECT n FROM stats) * x - (SELECT s FROM stats) AS d
+  FROM dense
+),
+den AS (SELECT sum(d * d) AS den FROM dev),
+lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+num AS (
+  SELECT l.lag, sum(a.d * b.d) AS num
+  FROM lags l
+  JOIN dev a ON true
+  JOIN dev b ON b.idx = a.idx + l.lag
+  GROUP BY l.lag
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(num AS VARCHAR) AS num_str,
+       CAST((SELECT den FROM den) AS VARCHAR) AS den_str,
+       CAST((num * 1000000
+             - ((num * 1000000 % (SELECT den FROM den))
+                + (SELECT den FROM den)) % (SELECT den FROM den))
+            // (SELECT den FROM den) AS BIGINT) AS acf_ppm
+FROM num ORDER BY lag
+"""
+
+
 QUERIES = {
     "events_summary": (q_events_summary, _EVENTS_SUMMARY_SQL),
     "events_transition_matrix": (q_events_transition_matrix, _TRANSITION_SQL),
@@ -4637,4 +4883,6 @@ QUERIES = {
     "events_quality_expectations": (q_quality_expectations, _DQ_SQL),
     "events_props_schema_drift": (q_props_schema_drift, _SCHEMA_DRIFT_SQL),
     "events_activity_bitmap": (q_activity_bitmap, _activity_bitmap_sql()),
+    "customer_survival_km": (q_customer_survival_km, _KM_SQL),
+    "events_acf": (q_events_acf, _ACF_SQL),
 }

@@ -609,6 +609,141 @@ ORDER BY shard_id
 """
 
 
+# --- Iceberg v2 merge-on-read positional delete vectors -------------------
+
+DV_FILE_KEYS = 400  # orderkeys per synthesized data file
+
+
+def q_delete_vector_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read positional-delete semantics (Iceberg v2 delete
+    files / Delta deletion vectors): a delete file records (file,
+    pos) pairs, and the reader applies them by POSITION during the
+    scan — it never re-evaluates the predicate that produced them.
+    This query executes that read path and CERTIFIES it against the
+    predicate path: per data file it computes live-row count and
+    live-quantity cents twice — once by anti-joining the positional
+    delete vector, once by direct predicate filtering — and emits
+    both plus an equality verdict, so the driver hash proves
+    MoR-read ≡ predicate-read row for row.
+
+    The file layout is synthesized deterministically: file_id =
+    l_orderkey DIV 400, pos = row_number within the file ordered by
+    (l_orderkey, l_linenumber, l_partkey, l_suppkey) — the position
+    assignment an Iceberg writer fixes at commit time. The delete vector marks returned
+    items with (l_partkey + l_suppkey) % 5 = 2, standing in for a
+    MERGE's matched set.
+
+    Scale shape: pos assignment is a window partitioned BY FILE —
+    per-file row counts are bounded by the layout (400 orderkeys ×
+    ~4 lines), constant at any corpus size, and the window's
+    partition key is the same key the anti-join shuffles on, so
+    Catalyst reuses one exchange. The DV apply is an equi anti-join
+    on (file_id, pos) — exactly how a MoR reader masks positions per
+    file. No broadcast needed: the DV is keyed to the same partition
+    layout as the scan."""
+    li = _t_lineitem(spark, sf_dir).select(
+        F.expr(f"l_orderkey DIV {DV_FILE_KEYS}").alias("file_id"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("qty_cents"),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus;
+    # (…, l_partkey, l_suppkey) is — the ordering must be total or the
+    # two engines' position assignments diverge on the ties.
+    w = Window.partitionBy("file_id").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    rows = li.withColumn("pos", F.row_number().over(w) - 1).withColumn(
+        "deleted",
+        (F.col("l_returnflag") == "R")
+        & ((F.col("l_partkey") + F.col("l_suppkey")) % 5 == 2),
+    )
+    dv = rows.where("deleted").select("file_id", "pos")
+    mor_live = rows.join(dv, ["file_id", "pos"], "left_anti")
+    mor = mor_live.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_live_mor"),
+        F.sum("qty_cents").alias("qty_cents_mor"),
+    )
+    direct = rows.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("deleted").cast("long")).alias("n_deleted"),
+        F.sum(F.when(~F.col("deleted"), F.col("qty_cents")).otherwise(0)).alias(
+            "qty_cents_direct"
+        ),
+    )
+    return (
+        direct.join(mor, "file_id", "left")
+        .select(
+            "file_id",
+            "n_rows",
+            "n_deleted",
+            F.coalesce("n_live_mor", F.lit(0)).alias("n_live_mor"),
+            (F.col("n_rows") - F.col("n_deleted")).alias("n_live_direct"),
+            F.coalesce("qty_cents_mor", F.lit(0)).alias("qty_cents_mor"),
+            "qty_cents_direct",
+            (
+                (
+                    F.coalesce("n_live_mor", F.lit(0))
+                    == (F.col("n_rows") - F.col("n_deleted"))
+                )
+                & (
+                    F.coalesce("qty_cents_mor", F.lit(0))
+                    == F.col("qty_cents_direct")
+                )
+            ).alias("dv_applied_ok"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _t_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+_DV_SQL = f"""
+WITH rows AS (
+  SELECT l_orderkey // {DV_FILE_KEYS} AS file_id,
+         row_number() OVER (
+           PARTITION BY l_orderkey // {DV_FILE_KEYS}
+           ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+         ) - 1 AS pos,
+         (l_returnflag = 'R'
+          AND (l_partkey + l_suppkey) % 5 = 2) AS deleted,
+         CAST(floor(l_quantity * 100) AS BIGINT) AS qty_cents
+  FROM lineitem
+),
+dv AS (SELECT file_id, pos FROM rows WHERE deleted),
+mor AS (
+  SELECT r.file_id, count(*) AS n_live_mor,
+         sum(r.qty_cents) AS qty_cents_mor
+  FROM rows r ANTI JOIN dv ON dv.file_id = r.file_id AND dv.pos = r.pos
+  GROUP BY r.file_id
+),
+direct AS (
+  SELECT file_id, count(*) AS n_rows,
+         sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS n_deleted,
+         sum(CASE WHEN deleted THEN 0 ELSE qty_cents END)
+           AS qty_cents_direct
+  FROM rows GROUP BY file_id
+)
+SELECT d.file_id,
+       CAST(d.n_rows AS BIGINT) AS n_rows,
+       CAST(d.n_deleted AS BIGINT) AS n_deleted,
+       CAST(COALESCE(m.n_live_mor, 0) AS BIGINT) AS n_live_mor,
+       CAST(d.n_rows - d.n_deleted AS BIGINT) AS n_live_direct,
+       CAST(COALESCE(m.qty_cents_mor, 0) AS BIGINT) AS qty_cents_mor,
+       CAST(d.qty_cents_direct AS BIGINT) AS qty_cents_direct,
+       (COALESCE(m.n_live_mor, 0) = d.n_rows - d.n_deleted
+        AND COALESCE(m.qty_cents_mor, 0) = d.qty_cents_direct)
+         AS dv_applied_ok
+FROM direct d LEFT JOIN mor m ON m.file_id = d.file_id
+ORDER BY d.file_id
+"""
+
+
 QUERIES = {
     "table_compaction_plan": (q_compaction_plan, _COMPACTION_SQL),
     "table_zonemap_prune_stats": (q_zonemap_prune_stats, _ZONEMAP_SQL),
@@ -622,4 +757,5 @@ QUERIES = {
     ),
     "table_column_stats": (q_column_stats, _COLUMN_STATS_SQL),
     "table_shard_manifest": (q_shard_manifest, _SHARD_MANIFEST_SQL),
+    "table_delete_vector_apply": (q_delete_vector_apply, _DV_SQL),
 }

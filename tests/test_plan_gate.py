@@ -33,6 +33,10 @@ _BNLJ_ALLOWED = frozenset(
         # 4-row cut frame), the ≤31-row day spine (cusum), the
         # 15-cell bitemporal grid, and the kNN eval-frame pairwise
         # class link_predict inherits from sim_knn_join_topk:
+        # session-14 scalar broadcasts: KM's 1-row anchor date, and
+        # ACF's 1-row (n, sum) stats + 1-row denominator frames:
+        "customer_survival_km",
+        "events_acf",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",
