@@ -4543,6 +4543,231 @@ ORDER BY day
 """
 
 
+# --- Benford first-digit audit ---------------------------------------------
+
+# log10(1 + 1/d) in ppm, d = 1..9 — precomputed integer constants so
+# neither engine ever calls a log (the values famously sum to 10⁶)
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+assert sum(BENFORD_PPM) == 1_000_000
+
+
+def q_orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    forensic/data-quality screen (fabricated or unit-mangled money
+    columns drift from the log distribution). The first significant
+    digit comes from the DIGIT STRING of floor-cents (substring of a
+    BIGINT's decimal rendering — portable by construction, no float
+    log10 anywhere), observed shares are integer ppm, and the
+    expected shares are the precomputed log10(1+1/d) ppm constants,
+    so deviation = obs − exp is an exact integer both engines agree
+    on sign for. The 9-digit spine LEFT-joins the counts so a digit
+    that never occurs still reports (the degenerate-distribution
+    case the audit exists to catch).
+
+    Scale shape: ONE map-side-combinable aggregate over the scan +
+    a 9-row literal spine and a 1-row total broadcast — the audit
+    costs a scan at any table size."""
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("total"))
+    spine = spark.range(1).select(
+        F.posexplode(F.array(*[F.lit(p) for p in BENFORD_PPM])).alias(
+            "pos", "exp_ppm"
+        )
+    ).select((F.col("pos") + 1).cast("int").alias("digit"), "exp_ppm")
+    return (
+        spine.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.expr(
+                "CAST(coalesce(n_obs, 0) * 1000000 DIV total AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.col("exp_ppm").cast("long").alias("exp_ppm"),
+            (
+                F.expr("CAST(coalesce(n_obs, 0) * 1000000 DIV total AS BIGINT)")
+                - F.col("exp_ppm")
+            ).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_sql() -> str:
+    spine = ", ".join(
+        f"({d + 1}, {p})" for d, p in enumerate(BENFORD_PPM)
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n_obs
+  FROM orders GROUP BY 1
+),
+total AS (SELECT sum(n_obs) AS total FROM counts),
+spine(digit, exp_ppm) AS (VALUES {spine})
+SELECT CAST(s.digit AS INT) AS digit,
+       CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(COALESCE(c.n_obs, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
+       CAST(s.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(COALESCE(c.n_obs, 0) * 1000000 // t.total - s.exp_ppm
+            AS BIGINT) AS dev_ppm
+FROM spine s LEFT JOIN counts c ON c.digit = s.digit, total t
+ORDER BY s.digit
+"""
+
+
+# --- multi-touch marketing attribution -------------------------------------
+
+ATTR_DAYS = 7  # lookback window: clicks within 7 days before a purchase
+ATTR_US = ATTR_DAYS * 86_400 * 1_000_000
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase is credited to the
+    user's click touches in the trailing 7-day window under the
+    three standard models at once — first-touch, last-touch, and
+    linear — aggregated by touch DAY (the "which day's engagement
+    drove conversions" readout). Linear credit is integer ppm:
+    each touch gets 10⁶ DIV n and the division remainder goes to
+    the LAST touch, so per-conversion credit sums to exactly 10⁶
+    and Σ linear_ppm ≡ 10⁶ × attributed conversions (the
+    conservation law the unit pin asserts).
+
+    Scale shape: the touch pairing is NOT a time-range BNLJ — both
+    sides are binned to 7-day epoch buckets, each purchase probes
+    its 2 covering buckets (constant expansion), and the join is an
+    equi-join on (user, bucket) with the exact window as a residual
+    filter — the interval-overlap bin-join shape. Interval
+    arithmetic subtracts the NTZ timestamps directly (zone-free
+    day-time interval → decimal → integer microseconds, the TWAP
+    idiom). Per-conversion ranking windows partition on the
+    purchase event id — frames bounded by clicks/user/week."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.to_date("ts").alias("day"),
+        F.expr("datediff(to_date(ts), DATE '1970-01-01') DIV 7").alias(
+            "bin"
+        ),
+        "event_type",
+    )
+    clicks = base.where("event_type = 'click'").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("day").alias("c_day"),
+        F.col("bin").alias("bin"),
+    )
+    purchases = base.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"))
+        ).alias("bin"),
+    )
+    dt_us = (
+        (F.col("p_ts") - F.col("c_ts")).cast("decimal(20,6)") * 1_000_000
+    ).cast("long")
+    touches = (
+        purchases.join(clicks, ["user_id", "bin"])
+        .withColumn("dt_us", dt_us)
+        .where((F.col("dt_us") > 0) & (F.col("dt_us") <= ATTR_US))
+        .select("p_id", "c_id", "c_ts", "c_day")
+    )
+    wf = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    wl = Window.partitionBy("p_id").orderBy(
+        F.desc("c_ts"), F.desc("c_id")
+    )
+    wn = Window.partitionBy("p_id")
+    credited = touches.select(
+        "p_id",
+        "c_day",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count(F.lit(1)).over(wn).alias("n_touch"),
+    )
+    return (
+        credited.groupBy("c_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum((F.col("rn_first") == 1).cast("long")).alias(
+                "first_convs"
+            ),
+            F.sum((F.col("rn_last") == 1).cast("long")).alias("last_convs"),
+            F.sum(
+                F.expr(
+                    "1000000 DIV n_touch "
+                    "+ IF(rn_last = 1, 1000000 % n_touch, 0)"
+                )
+            ).alias("linear_ppm"),
+        )
+        .select(
+            F.col("c_day").cast("string").alias("day"),
+            "n_touches",
+            "first_convs",
+            "last_convs",
+            "linear_ppm",
+        )
+        .orderBy("day")
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS bin,
+         event_type
+  FROM events
+),
+clicks AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts, day AS c_day, bin
+  FROM base WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, bin + d.d AS bin
+  FROM base, (SELECT unnest([-1, 0]) AS d) AS d
+  WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.p_id, c.c_id, c.c_ts, c.c_day,
+         date_diff('microsecond', c.c_ts, p.p_ts) AS dt_us
+  FROM purchases p JOIN clicks c USING (user_id, bin)
+  WHERE date_diff('microsecond', c.c_ts, p.p_ts) > 0
+    AND date_diff('microsecond', c.c_ts, p.p_ts) <= {ATTR_US}
+),
+credited AS (
+  SELECT p_id, c_day,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY c_ts, c_id) AS rn_first,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY c_ts DESC, c_id DESC) AS rn_last,
+         count(*) OVER (PARTITION BY p_id) AS n_touch
+  FROM touches
+)
+SELECT CAST(c_day AS VARCHAR) AS day,
+       count(*) AS n_touches,
+       sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS first_convs,
+       sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS last_convs,
+       sum(1000000 // n_touch
+           + CASE WHEN rn_last = 1 THEN 1000000 % n_touch ELSE 0 END)
+         AS linear_ppm
+FROM credited
+GROUP BY c_day
+ORDER BY day
+"""
+
+
 # --- Kaplan-Meier repeat-purchase survival ---------------------------------
 
 
@@ -4714,7 +4939,13 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = (
         spine.join(counts, "day", "left")
         .select("day", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
-        .withColumn("idx", F.row_number().over(Window.orderBy("day")))
+        .withColumn(
+            # bounded-window: frame is the gap-filled calendar-day
+            # spine (≤ corpus date span, 30 rows here; 365/year at
+            # any corpus size) — never corpus-grain
+            "idx",
+            F.row_number().over(Window.orderBy("day")),
+        )
     )
     stats = dense.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
@@ -4885,4 +5116,6 @@ QUERIES = {
     "events_activity_bitmap": (q_activity_bitmap, _activity_bitmap_sql()),
     "customer_survival_km": (q_customer_survival_km, _KM_SQL),
     "events_acf": (q_events_acf, _ACF_SQL),
+    "events_attribution": (q_events_attribution, _ATTRIBUTION_SQL),
+    "orders_benford_audit": (q_orders_benford_audit, _benford_sql()),
 }

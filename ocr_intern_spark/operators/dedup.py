@@ -17,8 +17,9 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ocr_intern_spark.functions.text import STOPWORDS, fingerprint
 
@@ -1933,6 +1934,298 @@ ORDER BY b.doc_id
 """
 
 
+# --- PPJoin-style prefix-filtered similarity join --------------------------
+
+PPJ_NUM, PPJ_DEN = 1, 2  # Jaccard threshold τ = 1/2, as integers
+
+
+def q_ppjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join (shingle Jaccard ≥ τ) via PREFIX
+    FILTERING (Bayardo/Chaudhari AllPairs, Xiao PPJoin): order each
+    doc's shingles by ascending document frequency, keep only the
+    first |x| − ceil(τ·|x|) + 1 as the candidate-generating prefix,
+    and verify candidates with the exact intersection count. The
+    AllPairs guarantee — any pair with Jaccard ≥ τ must share a
+    prefix token under ANY fixed global token order — makes the
+    filter LOSSLESS, and this query's oracle is the ground-truth
+    full inverted-index join, so the driver hash PROVES losslessness
+    on this corpus rather than citing the paper.
+
+    The two engines deliberately use DIFFERENT tie orders (Spark:
+    (df, xxhash64 key); DuckDB: (df, shingle string)) — the theorem
+    holds for any total order, so hash equality also certifies that
+    the candidate set's order-dependence never leaks into the
+    output.
+
+    Scale shape: the prefix keeps the RAREST ~(1−τ) fraction of each
+    doc's tokens, so candidate generation joins on low-df buckets —
+    Σ df² over prefix tokens, orders of magnitude below the full
+    index's blowup (that blowup is confined to the sf≤0.1 oracle).
+    Verification joins candidate pairs back to the full sets on the
+    8-byte hashed key; the final filter is the all-integer cross
+    multiplication (1+τ')·common ≥ τ'·(na+nb) with τ'=num/den."""
+    d = _docs(spark, sf_dir)
+    sh = _round_checkpoint(
+        _shingles(d).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_ = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df_, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+        # prefix length p = n − ceil(τ·n) + 1; ceil(n·num/den) in
+        # integers = (n·num + den − 1) DIV den
+        .where(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(
+                f"(n * {PPJ_NUM} + {PPJ_DEN} - 1) DIV {PPJ_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("da"), "shingle"), "da")
+        .join(
+            sh.select(F.col("doc_id").alias("db"), "shingle"),
+            ["db", "shingle"],
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "da")
+        .join(sb, "db")
+        # jacc ≥ num/den ⇔ den·common ≥ num·(na+nb−common)
+        .where(
+            PPJ_DEN * F.col("common")
+            >= PPJ_NUM * (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .select(
+            F.col("da").alias("a"),
+            F.col("db").alias("b"),
+            "common",
+            "na",
+            "nb",
+            F.expr(
+                "CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)"
+            ).alias("jacc_ppm"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+_PPJOIN_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da AS a, db AS b, common, sa.n AS na, sb.n AS nb,
+       common * 1000000 // (sa.n + sb.n - common) AS jacc_ppm
+FROM common
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE {PPJ_DEN} * common >= {PPJ_NUM} * (sa.n + sb.n - common)
+ORDER BY a, b
+"""
+
+
+# --- portable Bloom-filter membership audit --------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3     # hash functions
+
+
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive audit with a BIT-EXACT portable
+    filter: keys are md5 text fingerprints, the k=3 bit positions
+    are md5-derived (the CMS hash-row idiom), so both engines build
+    the IDENTICAL 4096-bit filter — certified by the md5 digest of
+    the sorted set-bit list riding in the output hash. Even-doc_id
+    fingerprints are inserted; odd-doc_id fingerprints probe. A
+    probe is bloom-positive iff all k bits are set; false positives
+    are positives whose fingerprint is genuinely absent from the
+    train set — the one-sided-error half of the Bloom contract (no
+    false negatives) is asserted per-row in the unit pin.
+
+    The fixed M is the point of the audit at scale: fill ratio and
+    observed FPR are emitted, so the same query that certifies
+    correctness also SHOWS saturation as the corpus outgrows the
+    filter (the capacity-planning readout; a production ingest-dedup
+    filter sizes M per partition from exactly this curve).
+
+    Scale shape: build = one distinct + an explode(k) + a distinct
+    on positions (≤ M rows ever survive); probe = explode(k) +
+    broadcast-join the ≤M-row bit set + an all-k count; every
+    aggregate is map-side combinable."""
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", fp.alias("fp"), (F.col("doc_id") % 2).alias("half")
+    )
+    train = docs.where("half = 0").select("fp").distinct()
+    probe = docs.where("half = 1").select("fp").distinct()
+
+    def positions(key: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit(":"), key)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M,
+        )
+    bits = (
+        train.select(F.explode(positions(F.col("fp"))).alias("b"))
+        .distinct()
+    )
+    bits_fp = bits.agg(
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list("b")))).alias(
+            "bits_md5"
+        ),
+        F.count(F.lit(1)).alias("bits_set"),
+    )
+    hits = (
+        probe.select("fp", F.explode(positions(F.col("fp"))).alias("b"))
+        .join(F.broadcast(bits), "b")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .where(F.col("k_hit") == BLOOM_K)
+        .select("fp", F.lit(True).alias("positive"))
+    )
+    present = probe.join(train, "fp").select(
+        "fp", F.lit(True).alias("present")
+    )
+    audit = (
+        probe.join(hits, "fp", "left")
+        .join(present, "fp", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.coalesce("positive", F.lit(False)).cast("long")).alias(
+                "n_positive"
+            ),
+            F.sum(F.coalesce("present", F.lit(False)).cast("long")).alias(
+                "n_present"
+            ),
+            F.sum(
+                (
+                    F.coalesce("positive", F.lit(False))
+                    & ~F.coalesce("present", F.lit(False))
+                ).cast("long")
+            ).alias("n_false_positive"),
+        )
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        audit.crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(bits_fp))
+        .select(
+            F.lit(BLOOM_M).cast("int").alias("m_bits"),
+            F.lit(BLOOM_K).cast("int").alias("k_hashes"),
+            "n_train",
+            "bits_set",
+            "bits_md5",
+            "n_probe",
+            "n_positive",
+            "n_present",
+            "n_false_positive",
+            F.expr(
+                f"CAST(bits_set * 1000000 DIV {BLOOM_M} AS BIGINT)"
+            ).alias("fill_ppm"),
+            F.expr(
+                "CAST(IF(n_probe - n_present > 0, "
+                "n_false_positive * 1000000 DIV (n_probe - n_present), "
+                "0) AS BIGINT)"
+            ).alias("fpr_ppm"),
+        )
+    )
+
+
+_BLOOM_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         doc_id % 2 AS half
+  FROM documents
+),
+train AS (SELECT DISTINCT fp FROM docs WHERE half = 0),
+probe AS (SELECT DISTINCT fp FROM docs WHERE half = 1),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || fp), 1, 8))
+              AS BIGINT) % {BLOOM_M} AS b
+  FROM train, unnest(range({BLOOM_K})) AS i(i)
+),
+bits_fp AS (
+  SELECT md5(string_agg(CAST(b AS VARCHAR), ',' ORDER BY b)) AS bits_md5,
+         count(*) AS bits_set
+  FROM bits
+),
+hits AS (
+  SELECT p.fp
+  FROM (
+    SELECT fp,
+           CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || fp), 1, 8))
+                AS BIGINT) % {BLOOM_M} AS b
+    FROM probe, unnest(range({BLOOM_K})) AS i(i)
+  ) p JOIN bits USING (b)
+  GROUP BY p.fp HAVING count(*) = {BLOOM_K}
+),
+audit AS (
+  SELECT count(*) AS n_probe,
+         sum(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_positive,
+         sum(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_present,
+         sum(CASE WHEN h.fp IS NOT NULL AND t.fp IS NULL
+                  THEN 1 ELSE 0 END) AS n_false_positive
+  FROM probe p
+  LEFT JOIN hits h ON h.fp = p.fp
+  LEFT JOIN train t ON t.fp = p.fp
+)
+SELECT CAST({BLOOM_M} AS INT) AS m_bits,
+       CAST({BLOOM_K} AS INT) AS k_hashes,
+       (SELECT count(*) FROM train) AS n_train,
+       CAST(bits_set AS BIGINT) AS bits_set,
+       bits_md5,
+       CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(n_positive AS BIGINT) AS n_positive,
+       CAST(n_present AS BIGINT) AS n_present,
+       CAST(n_false_positive AS BIGINT) AS n_false_positive,
+       CAST(bits_set * 1000000 // {BLOOM_M} AS BIGINT) AS fill_ppm,
+       CAST(CASE WHEN n_probe - n_present > 0
+                 THEN n_false_positive * 1000000 // (n_probe - n_present)
+                 ELSE 0 END AS BIGINT) AS fpr_ppm
+FROM audit, bits_fp
+"""
+
+
 QUERIES = {
     "dedup_exact_prefix": (q_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_incremental_batch": (q_dedup_incremental, _DEDUP_INCREMENTAL_SQL),
@@ -1959,4 +2252,8 @@ QUERIES = {
         q_dedup_pipeline_survivors_lsh, _PIPELINE_SURVIVORS_SQL,
     ),
     "dedup_lsh_quality": (q_lsh_quality, _LSH_QUALITY_SQL),
+    # ground-truth oracle ON PURPOSE: hash-equality proves the prefix
+    # filter lossless on this corpus (the LSH-swap proof pattern)
+    "dedup_ppjoin_prefix": (q_ppjoin_prefix_pairs, _PPJOIN_SQL),
+    "dedup_bloom_fpr_audit": (q_bloom_fpr_audit, _BLOOM_SQL),
 }

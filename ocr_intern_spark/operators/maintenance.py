@@ -19,7 +19,7 @@ data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -609,6 +609,130 @@ ORDER BY shard_id
 """
 
 
+# --- Hilbert-curve clustering key (vs Z-order) -----------------------------
+
+HILBERT_ORDER = 8                 # 8 bits/axis → 256×256 grid
+HILBERT_N = 1 << HILBERT_ORDER
+
+
+def q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key next to the Morton/Z-order key —
+    the data-layout refinement `OPTIMIZE ZORDER` users graduate to:
+    the Hilbert curve has strictly better locality (consecutive curve
+    positions are ALWAYS manhattan-adjacent on the full grid — the
+    unit pin asserts exactly that law — while Z-order takes long
+    diagonal jumps at bit boundaries), which tightens per-file
+    min-max ranges and prunes more at scan time.
+
+    The curve index uses a PURE-ARITHMETIC recurrence (no bitwise
+    ops, so both engines compute it with DIV/MOD only): per level s =
+    2^(k-1)..1 with invariant x, y < 2s, quadrant q = ry if rx = 0
+    else 3 − ry (rx = x DIV s, ry = y DIV s), d += s²·q, and the
+    sub-square re-orientation is the standard reflect-and-swap. In
+    Spark the 8-level fold runs INSIDE Catalyst via F.aggregate over
+    a constant level array (a per-row O(order) expression — exactly
+    as codegen-friendly as the zorder_key shift tree); the oracle
+    unrolls the identical recurrence with a recursive CTE.
+
+    Coordinates are md5-synthesized from doc_id (fixture policy of
+    the manifest queries). At 100 TB this is a narrow map before a
+    range-partitioned sort — the TeraSort shape, same as
+    zorder_sorted."""
+    from ocr_intern_spark.functions.zorder import zorder_key
+
+    def coord(axis: str) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(axis))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % HILBERT_N
+        )
+
+    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", coord("hx").alias("x"), coord("hy").alias("y")
+    )
+    levels = ", ".join(
+        str(1 << (HILBERT_ORDER - 1 - i)) for i in range(HILBERT_ORDER)
+    )
+    hilbert = F.expr(
+        f"""aggregate(
+          array({levels}),
+          struct(CAST(x AS BIGINT) AS hx, CAST(y AS BIGINT) AS hy,
+                 CAST(0 AS BIGINT) AS d),
+          (acc, s) -> struct(
+            CASE WHEN acc.hy DIV s = 1 THEN acc.hx % s
+                 WHEN acc.hx DIV s = 1 THEN s - 1 - (acc.hy % s)
+                 ELSE acc.hy % s END AS hx,
+            CASE WHEN acc.hy DIV s = 1 THEN acc.hy % s
+                 WHEN acc.hx DIV s = 1 THEN s - 1 - (acc.hx % s)
+                 ELSE acc.hx % s END AS hy,
+            acc.d + s * s * (CASE WHEN acc.hx DIV s = 0
+                                  THEN acc.hy DIV s
+                                  ELSE 3 - (acc.hy DIV s) END) AS d
+          ),
+          acc -> acc.d
+        )"""
+    )
+    return pts.select(
+        "doc_id",
+        "x",
+        "y",
+        hilbert.alias("hilbert_d"),
+        zorder_key(F.col("x"), F.col("y"), bits=HILBERT_ORDER).alias(
+            "morton_d"
+        ),
+    ).orderBy("doc_id")
+
+
+def _hilbert_sql() -> str:
+    coord = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{ax}'), 1, 8)) "
+        f"AS BIGINT) % {HILBERT_N}"
+    )
+    morton = " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(HILBERT_ORDER)
+    )
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT doc_id,
+         {coord.format(ax="hx")} AS x,
+         {coord.format(ax="hy")} AS y
+  FROM documents
+),
+h AS (
+  SELECT doc_id, x AS hx, y AS hy, CAST(0 AS BIGINT) AS d,
+         {HILBERT_N // 2} AS s
+  FROM pts
+  UNION ALL
+  SELECT doc_id,
+    CASE WHEN hy // s = 1 THEN hx % s
+         WHEN hx // s = 1 THEN s - 1 - (hy % s)
+         ELSE hy % s END,
+    CASE WHEN hy // s = 1 THEN hy % s
+         WHEN hx // s = 1 THEN s - 1 - (hx % s)
+         ELSE hx % s END,
+    d + s * s * (CASE WHEN hx // s = 0 THEN hy // s
+                      ELSE 3 - (hy // s) END),
+    s // 2
+  FROM h WHERE s >= 1
+)
+SELECT p.doc_id, p.x, p.y,
+       CAST(h.d AS BIGINT) AS hilbert_d,
+       CAST({morton} AS BIGINT) AS morton_d
+FROM pts p JOIN h ON h.doc_id = p.doc_id AND h.s = 0
+ORDER BY p.doc_id
+"""
+
+
 # --- Iceberg v2 merge-on-read positional delete vectors -------------------
 
 DV_FILE_KEYS = 400  # orderkeys per synthesized data file
@@ -758,4 +882,5 @@ QUERIES = {
     "table_column_stats": (q_column_stats, _COLUMN_STATS_SQL),
     "table_shard_manifest": (q_shard_manifest, _SHARD_MANIFEST_SQL),
     "table_delete_vector_apply": (q_delete_vector_apply, _DV_SQL),
+    "table_hilbert_order": (q_hilbert_order, _hilbert_sql()),
 }

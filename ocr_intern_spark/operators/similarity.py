@@ -2304,6 +2304,122 @@ ORDER BY cell, rk
 """
 
 
+# --- grid-bucketed spatial neighbor join -----------------------------------
+
+GEO_SPAN = 10_000  # coordinate domain per axis
+GEO_R = 1_000      # neighbor radius = grid cell size
+GEO_K = 500        # reported nearest pairs
+
+
+def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join (all point pairs within euclidean
+    radius R, top-K nearest reported) via GRID BUCKETING — the
+    standard distributed spatial-join strategy: hash every point to
+    an R×R cell, probe the 3×3 neighborhood with a constant ×9
+    explode, and equi-join on the cell key, with the exact distance
+    as a residual filter. The oracle is the ground-truth ALL-PAIRS
+    distance join, so the driver hash certifies the grid cover
+    (every qualifying pair shares a probed cell — the cover
+    guarantee that makes cell size ≥ R mandatory).
+
+    Points are synthesized deterministically from doc_id md5 (the
+    corpus has no geo columns; the operator is the shape, the
+    coordinates are fixtures — same policy as the manifest
+    queries). Distances are exact integer d² — no sqrt crosses the
+    hash. A pair can match through only ONE (dx, dy) probe (the one
+    equal to b's cell), so the join needs no dedup.
+
+    Scale shape: equi-join on (cell_x, cell_y) — shuffle keyed by
+    cell, occupancy bounded by density×R², ×9 constant expansion on
+    the probe side only; top-K is TakeOrderedAndProject. The oracle's
+    quadratic blowup is confined to the sf≤0.1 corpus."""
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def coord(axis: str) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(axis))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % GEO_SPAN
+        )
+
+    pts = doc.select(
+        "doc_id", coord("x").alias("x"), coord("y").alias("y")
+    ).select(
+        "doc_id",
+        "x",
+        "y",
+        F.expr(f"x DIV {GEO_R}").alias("cx"),
+        F.expr(f"y DIV {GEO_R}").alias("cy"),
+    )
+    probe = (
+        pts.select(
+            F.col("doc_id").alias("a"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            "cx",
+            "cy",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "a",
+            "ax",
+            "ay",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            "cy",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"),
+        )
+        .select("a", "ax", "ay", "jx", (F.col("cy") + F.col("dy")).alias("jy"))
+    )
+    cand = probe.join(
+        pts.select(
+            F.col("doc_id").alias("b"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.col("cx").alias("jx"),
+            F.col("cy").alias("jy"),
+        ),
+        ["jx", "jy"],
+    ).where(F.col("a") < F.col("b"))
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        cand.select("a", "b", d2.alias("d2"))
+        .where(F.col("d2") <= GEO_R * GEO_R)
+        .orderBy("d2", "a", "b")
+        .limit(GEO_K)
+    )
+
+
+_GEO_COORD = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{ax}'), 1, 8)) "
+    f"AS BIGINT) % {GEO_SPAN}"
+)
+
+_GEO_GRID_SQL = f"""
+WITH pts AS (
+  SELECT doc_id,
+         {_GEO_COORD.format(ax="x")} AS x,
+         {_GEO_COORD.format(ax="y")} AS y
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {GEO_R * GEO_R}
+ORDER BY d2, a, b
+LIMIT {GEO_K}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_embedding_outliers": (q_embedding_outliers, _OUTLIER_SQL),
@@ -2325,4 +2441,7 @@ QUERIES = {
     "sim_binary_quant_recall": (q_binary_quant_recall, _BINARY_RECALL_SQL),
     "sim_matryoshka_recall": (q_matryoshka_recall, _MATRYOSHKA_SQL),
     "sim_ivf_recall_curve": (q_ivf_recall_curve, _IVF_RECALL_CURVE_SQL),
+    # ground-truth all-pairs oracle ON PURPOSE: hash-equality proves
+    # the 3×3 grid cover catches every pair within R
+    "sim_geo_grid_join": (q_geo_grid_join, _GEO_GRID_SQL),
 }

@@ -33,10 +33,13 @@ _BNLJ_ALLOWED = frozenset(
         # 4-row cut frame), the ≤31-row day spine (cusum), the
         # 15-cell bitemporal grid, and the kNN eval-frame pairwise
         # class link_predict inherits from sim_knn_join_topk:
-        # session-14 scalar broadcasts: KM's 1-row anchor date, and
-        # ACF's 1-row (n, sum) stats + 1-row denominator frames:
+        # session-14 scalar broadcasts: KM's 1-row anchor date, ACF's
+        # 1-row (n, sum) stats + 1-row denominator frames, and the
+        # Bloom audit's 1-row train-count + 1-row bitmap-digest frames:
         "customer_survival_km",
         "events_acf",
+        "dedup_bloom_fpr_audit",
+        "orders_benford_audit",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

@@ -162,3 +162,315 @@ def test_delete_vector_reference(spark, tmp_path):
     assert got == expect
     # non-vacuous: at least one delete in each file class and one dup key
     assert sum(e[2] for e in expect) == 3
+
+
+def _shingle_ref(text, n=3):
+    toks = text.strip().lower().split()
+    toks = [w for i, w in enumerate(toks) if i % 7 != 0]
+    out = set()
+    for i in range(0, max(len(toks) - n, 0) + 1):
+        s = " ".join(toks[i : i + n])
+        if s:
+            out.add(s)
+    return out
+
+
+def test_ppjoin_prefix_reference(spark, tmp_path):
+    """PPJoin output equals the ground-truth Jaccard>=1/2 pair set on
+    a controlled corpus (prefix filtering is lossless), with exact
+    integer ppm values recomputed serially."""
+    from ocr_intern_spark.operators.dedup import q_ppjoin_prefix_pairs
+
+    w = [f"w{i:02d}" for i in range(40)]
+    docs = {
+        1: " ".join(w[:21]),                    # base
+        2: " ".join(w[:18] + w[30:33]),          # near-dup of 1
+        3: " ".join(w[20:40]),                   # overlaps 1 barely
+        4: " ".join(reversed(w[:21])),           # same words, other order
+        5: " ".join(w[:21]),                     # exact dup of 1
+    }
+    rows = [(d, t, "en", "s", len(t)) for d, t in docs.items()]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sets = {d: _shingle_ref(t) for d, t in docs.items()}
+    expect = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - common
+            if common and 2 * common >= union:
+                expect.append(
+                    (a, b, common, len(sets[a]), len(sets[b]),
+                     common * 1_000_000 // union)
+                )
+    got = [tuple(r) for r in q_ppjoin_prefix_pairs(spark, sf).collect()]
+    assert sorted(got) == sorted(expect)
+    # non-vacuous: an exact-dup pair and a partial near-dup pair, and
+    # at least one candidate-killed pair (doc 3 overlaps but < tau)
+    assert (1, 5) in {(a, b) for a, b, *_ in expect}
+    assert any(j < 1_000_000 for *_, j in expect)
+
+
+def test_bloom_fpr_reference(spark, tmp_path):
+    """Portable Bloom filter recomputed with hashlib: identical bit
+    set, identical audit counts, and the one-sided-error law (every
+    present probe is bloom-positive)."""
+    import hashlib
+    import re
+
+    from ocr_intern_spark.operators.dedup import (
+        BLOOM_K,
+        BLOOM_M,
+        q_bloom_fpr_audit,
+    )
+
+    texts = {
+        0: "alpha beta gamma",
+        2: "delta epsilon zeta",
+        4: "eta theta iota",
+        1: "alpha beta gamma",      # present probe (dup of doc 0)
+        3: "kappa lambda mu",       # absent probe
+        5: "nu xi omicron",         # absent probe
+    }
+    rows = [(d, t, "en", "s", len(t)) for d, t in texts.items()]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def fp(t):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    def pos(f):
+        return [
+            int(hashlib.md5(f"{i}:{f}".encode()).hexdigest()[:8], 16)
+            % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+
+    train = {fp(texts[d]) for d in texts if d % 2 == 0}
+    probe = {fp(texts[d]) for d in texts if d % 2 == 1}
+    bits = sorted({b for f in train for b in pos(f)})
+    bits_md5 = hashlib.md5(",".join(map(str, bits)).encode()).hexdigest()
+    positive = {f for f in probe if all(b in set(bits) for b in pos(f))}
+    present = probe & train
+    n_fp = len(positive - present)
+    denom = len(probe) - len(present)
+    expect = (
+        BLOOM_M, BLOOM_K, len(train), len(bits), bits_md5, len(probe),
+        len(positive), len(present), n_fp,
+        len(bits) * 1_000_000 // BLOOM_M,
+        (n_fp * 1_000_000 // denom) if denom > 0 else 0,
+    )
+    got = tuple(q_bloom_fpr_audit(spark, sf).collect()[0])
+    assert got == expect
+    # one-sided error: present probes are always positive
+    assert present <= positive
+
+
+def test_attribution_reference(spark, tmp_path):
+    """Multi-touch attribution on a controlled event log: remainder
+    goes to the last touch, out-of-window and post-purchase clicks
+    are excluded, and credit conservation holds."""
+    from ocr_intern_spark.operators.analytics import q_events_attribution
+
+    ts = datetime.datetime
+    rows = [
+        # user 1: purchase with 3 touches (1e6 % 3 = 1 -> last touch)
+        (1, ts(2024, 3, 1, 10), 1, "click", 0.0, "{}"),
+        (2, ts(2024, 3, 2, 10), 1, "click", 0.0, "{}"),
+        (3, ts(2024, 3, 3, 10), 1, "click", 0.0, "{}"),
+        (4, ts(2024, 3, 4, 10), 1, "purchase", 1.0, "{}"),
+        # user 2: click 8 days before purchase (outside window) plus
+        # a click AFTER the purchase -> zero-touch conversion (absent)
+        (5, ts(2024, 3, 1, 0), 2, "click", 0.0, "{}"),
+        (6, ts(2024, 3, 9, 1), 2, "purchase", 1.0, "{}"),
+        (7, ts(2024, 3, 9, 2), 2, "click", 0.0, "{}"),
+        # user 3: one click shared by two purchases (credited twice)
+        (8, ts(2024, 3, 10, 9), 3, "click", 0.0, "{}"),
+        (9, ts(2024, 3, 10, 12), 3, "purchase", 1.0, "{}"),
+        (10, ts(2024, 3, 12, 12), 3, "purchase", 1.0, "{}"),
+    ]
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = [tuple(r) for r in q_events_attribution(spark, sf).collect()]
+    expect = [
+        # day, n_touches, first_convs, last_convs, linear_ppm
+        ("2024-03-01", 1, 1, 0, 333333),
+        ("2024-03-02", 1, 0, 0, 333333),
+        ("2024-03-03", 1, 0, 1, 333334),
+        ("2024-03-10", 2, 2, 2, 2_000_000),
+    ]
+    assert got == expect
+    n_attributed = 3  # purchases 4, 9, 10; purchase 6 unattributed
+    assert sum(r[2] for r in got) == n_attributed
+    assert sum(r[3] for r in got) == n_attributed
+    assert sum(r[4] for r in got) == 1_000_000 * n_attributed
+
+
+def _hilbert_ref(x, y, order=8):
+    d, s = 0, 1 << (order - 1)
+    while s >= 1:
+        rx, ry = x // s, y // s
+        xl, yl = x % s, y % s
+        d += s * s * (ry if rx == 0 else 3 - ry)
+        if ry == 0:
+            x, y = (s - 1 - yl, s - 1 - xl) if rx == 1 else (yl, xl)
+        else:
+            x, y = xl, yl
+        s //= 2
+    return d
+
+
+def test_hilbert_adjacency_law():
+    """The pure-arithmetic recurrence IS a Hilbert curve: on the full
+    16x16 grid it is a bijection onto 0..255 and consecutive curve
+    positions are manhattan-adjacent (step exactly 1) — the locality
+    law Z-order violates (its worst step on the same grid jumps)."""
+    n = 16
+    pos = {}
+    for x in range(n):
+        for y in range(n):
+            pos[_hilbert_ref(x, y, order=4)] = (x, y)
+    assert sorted(pos) == list(range(n * n))
+    steps = [
+        abs(pos[d][0] - pos[d - 1][0]) + abs(pos[d][1] - pos[d - 1][1])
+        for d in range(1, n * n)
+    ]
+    assert set(steps) == {1}
+
+    def morton(x, y):
+        m = 0
+        for b in range(4):
+            m += ((x >> b) & 1) << (2 * b)
+            m += ((y >> b) & 1) << (2 * b + 1)
+        return m
+
+    mpos = {morton(x, y): (x, y) for x in range(n) for y in range(n)}
+    msteps = [
+        abs(mpos[d][0] - mpos[d - 1][0]) + abs(mpos[d][1] - mpos[d - 1][1])
+        for d in range(1, n * n)
+    ]
+    assert max(msteps) > 1  # Z-order's diagonal jumps
+
+
+def test_hilbert_order_reference(spark, tmp_path):
+    """Spark fold == the validated Python recurrence on the md5
+    coordinates, morton == the bit-interleave reference."""
+    import hashlib
+
+    from ocr_intern_spark.operators.maintenance import (
+        HILBERT_N,
+        HILBERT_ORDER,
+        q_hilbert_order,
+    )
+
+    rows = [(d, f"t{d}", "en", "s", 2) for d in range(120)]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def coord(d, ax):
+        return int(hashlib.md5(f"{d}{ax}".encode()).hexdigest()[:8], 16) % HILBERT_N
+
+    def morton(x, y):
+        m = 0
+        for b in range(HILBERT_ORDER):
+            m += ((x >> b) & 1) << (2 * b)
+            m += ((y >> b) & 1) << (2 * b + 1)
+        return m
+
+    expect = []
+    for d in range(120):
+        x, y = coord(d, "hx"), coord(d, "hy")
+        expect.append((d, x, y, _hilbert_ref(x, y, HILBERT_ORDER), morton(x, y)))
+    got = [tuple(r) for r in q_hilbert_order(spark, sf).collect()]
+    assert got == expect
+
+
+def test_geo_grid_join_reference(spark, tmp_path):
+    """Grid join == serial all-pairs on md5 coordinates, including a
+    cross-cell pair (the 3x3 cover case) and an excluded pair just
+    outside R."""
+    import hashlib
+
+    from ocr_intern_spark.operators.similarity import (
+        GEO_R,
+        GEO_SPAN,
+        q_geo_grid_join,
+    )
+
+    rows = [(d, f"t{d}", "en", "s", 2) for d in range(200)]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def coord(d, ax):
+        return int(hashlib.md5(f"{d}{ax}".encode()).hexdigest()[:8], 16) % GEO_SPAN
+
+    pts = {d: (coord(d, "x"), coord(d, "y")) for d in range(200)}
+    allp = []
+    cross_cell = 0
+    for a in pts:
+        for b in pts:
+            if a < b:
+                d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+                if d2 <= GEO_R * GEO_R:
+                    allp.append((d2, a, b))
+                    if (
+                        pts[a][0] // GEO_R != pts[b][0] // GEO_R
+                        or pts[a][1] // GEO_R != pts[b][1] // GEO_R
+                    ):
+                        cross_cell += 1
+    expect = [(a, b, d2) for d2, a, b in sorted(allp)[:500]]
+    got = [tuple(r) for r in q_geo_grid_join(spark, sf).collect()]
+    assert got == expect
+    assert cross_cell > 0  # the 3x3 neighborhood cover is exercised
+
+
+def test_benford_reference(spark, tmp_path):
+    """Benford audit on a constructed price list: serial recompute,
+    zero-count digit reported through the spine, constants sum to
+    one million."""
+    from ocr_intern_spark.operators.analytics import (
+        BENFORD_PPM,
+        q_orders_benford_audit,
+    )
+
+    ts = datetime.datetime
+    # cents first digits: 1,1,1,2,3,9 — digits 4..8 never occur
+    prices = [1.23, 150.0, 0.19, 2.5, 399.99, 0.09]
+    rows = [
+        (i, 1, "O", p, ts(2024, 1, 1), "1-URGENT")
+        for i, p in enumerate(prices)
+    ]
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    from collections import Counter
+
+    import math
+
+    # mirror the engines bit-for-bit: IEEE double multiply then floor
+    # (0.19 * 100 is 19.000000000000004, NOT 18.999…)
+    cnt = Counter(str(math.floor(p * 100))[0] for p in prices)
+    total = sum(cnt.values())
+    expect = []
+    for d in range(1, 10):
+        n = cnt.get(str(d), 0)
+        obs = n * 1_000_000 // total
+        expect.append((d, n, obs, BENFORD_PPM[d - 1], obs - BENFORD_PPM[d - 1]))
+    got = [tuple(r) for r in q_orders_benford_audit(spark, sf).collect()]
+    assert got == expect
+    assert any(n == 0 for _, n, *_ in expect)  # spine zero-fill exercised
