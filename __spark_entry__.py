@@ -390,6 +390,23 @@ _FRONT = [
 # hash-exact locally at sf0.001/sf0.01/sf0.1 this session and is first
 # in line for the round-5 window.
 _DEFERRED: list[str] = [
+    # session-14 NEW queries — the r4 window is full, so all twelve
+    # are deferred to the r5 window with local ×3-sf hash-exact
+    # verification recorded in COVERAGE.md (check_oracle at
+    # sf0.001/0.01/0.1 this session) plus serial reference pins in
+    # tests/test_session14_queries.py:
+    "customer_survival_km",
+    "events_acf",
+    "events_attribution",
+    "orders_benford_audit",
+    "events_hll_sketch",
+    "orders_seasonal_decompose",
+    "dedup_ppjoin_prefix",
+    "dedup_bloom_fpr_audit",
+    "dedup_record_linkage",
+    "sim_geo_grid_join",
+    "table_delete_vector_apply",
+    "table_hilbert_order",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

@@ -4543,6 +4543,248 @@ ORDER BY day
 """
 
 
+# --- bit-exact portable HyperLogLog ----------------------------------------
+
+HLL_M = 64  # registers (b = 6)
+# alpha_64 = 0.7213 / (1 + 1.079/64), fixed to ppm so neither engine
+# computes it; raw-estimate constant A = alpha_ppm · m² · 2²⁴
+HLL_ALPHA_PPM = 709336
+HLL_A = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << 24)
+HLL_W = 1 << 32  # 32-bit rank domain
+
+
+def q_events_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, BIT-EXACTLY portable: the
+    md5-derived (bucket, rank) decomposition, the register vector
+    (max rank per bucket), the integer-scaled harmonic sum, and the
+    raw estimate are all reproduced identically by the oracle — the
+    register digest rides in the output hash, so both engines
+    provably built the same sketch (the CMS certificate pattern
+    applied to the OTHER workhorse sketch). Flajolet's small-range
+    linear-counting correction needs ln() so it is deliberately out
+    of spec — this emits the RAW estimator (documented bias at low
+    cardinality; accuracy-vs-exact stays the 5%-tolerance contract
+    of events_sketch_accuracy, portability is certified HERE).
+
+    Integer spec: h = 48-bit md5 slice; bucket = h mod 64; w =
+    (h DIV 64) mod 2³²; rank = 33 − bitlength(w) (bitlength via the
+    binary string both engines render unpadded — no log2); harmonic
+    sum scaled by 2²⁴: S = Σ_buckets 2^(24 − min(rank, 24)) with
+    absent buckets contributing 2²⁴; estimate = A DIV S DIV 10⁶.
+
+    Scale shape: one hash aggregate to ≤64 registers (map-side
+    combinable max — THE mergeable-sketch dataflow: partitions build
+    partial registers, the merge is elementwise max), one 64-row
+    register aggregate, one exact-distinct audit aggregate (the
+    harness side, as with CMS), two 1-row broadcasts."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    rows = ev.select(h.alias("h")).select(
+        F.expr(f"h % {HLL_M}").alias("j"),
+        F.expr(f"h DIV {HLL_M} % {HLL_W}").alias("w"),
+    )
+    rank = 33 - F.length(F.expr("trim(LEADING '0' FROM bin(w))"))
+    regs = rows.select("j", rank.alias("r")).groupBy("j").agg(
+        F.max("r").alias("m")
+    )
+    sketch = regs.agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 24 - least(m, 24)) AS BIGINT)")
+        ).alias("s_present"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, m))), "
+                    "e -> concat(e.j, ':', e.m))"
+                ),
+            )
+        ).alias("registers_md5"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    return (
+        sketch.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(HLL_M).cast("int").alias("m"),
+            "n_exact",
+            "n_buckets_used",
+            (
+                F.col("s_present")
+                + (F.lit(HLL_M) - F.col("n_buckets_used"))
+                * F.lit(1 << 24).cast("long")
+            ).alias("s_scaled"),
+            "registers_md5",
+        )
+        .select(
+            "m",
+            "n_exact",
+            "n_buckets_used",
+            "s_scaled",
+            F.expr(f"CAST({HLL_A} DIV s_scaled DIV 1000000 AS BIGINT)").alias(
+                "est_raw"
+            ),
+            (
+                F.expr(f"CAST({HLL_A} DIV s_scaled DIV 1000000 AS BIGINT)")
+                - F.col("n_exact")
+            ).alias("diff"),
+            "registers_md5",
+        )
+    )
+
+
+_HLL_SQL = f"""
+WITH rows AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h
+  FROM events
+),
+decomp AS (
+  SELECT h % {HLL_M} AS j,
+         33 - length(ltrim(bin((h // {HLL_M}) % {HLL_W}), '0')) AS r
+  FROM rows
+),
+regs AS (SELECT j, max(r) AS m FROM decomp GROUP BY j),
+sketch AS (
+  SELECT count(*) AS n_buckets_used,
+         sum(CAST(1 AS BIGINT) << (24 - least(m, 24))) AS s_present,
+         md5(string_agg(CAST(j AS VARCHAR) || ':' || CAST(m AS VARCHAR),
+                        ',' ORDER BY j)) AS registers_md5
+  FROM regs
+),
+exact AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+SELECT CAST({HLL_M} AS INT) AS m,
+       e.n_exact,
+       s.n_buckets_used,
+       CAST(s.s_present + ({HLL_M} - s.n_buckets_used)
+            * CAST({1 << 24} AS BIGINT) AS BIGINT) AS s_scaled,
+       CAST({HLL_A} // (s.s_present + ({HLL_M} - s.n_buckets_used)
+                        * CAST({1 << 24} AS BIGINT)) // 1000000
+            AS BIGINT) AS est_raw,
+       CAST({HLL_A} // (s.s_present + ({HLL_M} - s.n_buckets_used)
+                        * CAST({1 << 24} AS BIGINT)) // 1000000
+            - e.n_exact AS BIGINT) AS diff,
+       s.registers_md5
+FROM sketch s, exact e
+"""
+
+
+# --- additive seasonal decomposition ---------------------------------------
+
+SD_HALF = 3  # centered moving-average half-width (7-day window)
+
+
+def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily order
+    revenue, weekly period: trend = centered 7-day moving average,
+    seasonal index per day-of-week = the mean detrended deviation.
+    All arithmetic stays exact integers by scaling through the
+    window width — trend is the 7-day SUM (never divided), the
+    deviation is d_t = 7·r_t − trend_sum, and the per-dow index is
+    emitted as (Σd, n) plus the mean deviation in MICRO-CENTS
+    (Σd·10⁶ DIV (n·7)) via the pmod floor identity, so negative
+    deviations divide identically cross-engine. Σd passes
+    9 significant digits at sf0.1, so it rides as a digit STRING.
+    Day-of-week is epoch_days mod 7 (0 = Thursday) — pure
+    arithmetic, no locale-dependent dayofweek().
+
+    Scale shape: ONE day-grain aggregate over the scan (map-side
+    partial); the spine, the centered window, and the 7-row dow
+    aggregate are all calendar-bounded. Edge days without a full
+    7-day window are excluded (count-guarded), the standard
+    decomposition boundary rule."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("day").agg(F.sum("cents").alias("r"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    dense = spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("r"), F.lit(0)).alias("r")
+    )
+    # bounded-window: frame is the gap-filled calendar-day spine
+    # (~2,400 rows for the 1995-2001 corpus; 365/year at any size)
+    w = Window.orderBy("day").rowsBetween(-SD_HALF, SD_HALF)
+    trended = dense.select(
+        "day",
+        "r",
+        F.sum("r").over(w).alias("trend_sum"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).where(F.col("wn") == 2 * SD_HALF + 1)
+    dev = trended.select(
+        F.expr(
+            "datediff(day, DATE '1970-01-01') % 7"
+        ).alias("dow"),
+        ((2 * SD_HALF + 1) * F.col("r") - F.col("trend_sum")).alias("d"),
+    )
+    return (
+        dev.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("d").alias("dsum"),
+        )
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            F.col("dsum").cast("string").alias("d_sum_str"),
+            F.expr(
+                f"CAST((dsum * 1000000 - pmod(dsum * 1000000, "
+                f"n_days * {2 * SD_HALF + 1})) "
+                f"DIV (n_days * {2 * SD_HALF + 1}) AS BIGINT)"
+            ).alias("seasonal_ucents"),
+        )
+        .orderBy("dow")
+    )
+
+
+_SEASONAL_SQL = f"""
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+daily AS (SELECT day, sum(cents) AS r FROM o GROUP BY day),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+dense AS (
+  SELECT s.day, COALESCE(d.r, 0) AS r
+  FROM spine s LEFT JOIN daily d ON d.day = s.day
+),
+trended AS (
+  SELECT day, r,
+         sum(r) OVER (ORDER BY day
+                      ROWS BETWEEN {SD_HALF} PRECEDING
+                      AND {SD_HALF} FOLLOWING) AS trend_sum,
+         count(*) OVER (ORDER BY day
+                        ROWS BETWEEN {SD_HALF} PRECEDING
+                        AND {SD_HALF} FOLLOWING) AS wn
+  FROM dense
+),
+dev AS (
+  SELECT date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+         {2 * SD_HALF + 1} * r - trend_sum AS d
+  FROM trended WHERE wn = {2 * SD_HALF + 1}
+)
+SELECT CAST(dow AS INT) AS dow,
+       count(*) AS n_days,
+       CAST(sum(d) AS VARCHAR) AS d_sum_str,
+       CAST((sum(d) * 1000000
+             - ((sum(d) * 1000000 % (count(*) * {2 * SD_HALF + 1}))
+                + (count(*) * {2 * SD_HALF + 1}))
+               % (count(*) * {2 * SD_HALF + 1}))
+            // (count(*) * {2 * SD_HALF + 1}) AS BIGINT) AS seasonal_ucents
+FROM dev
+GROUP BY dow
+ORDER BY dow
+"""
+
+
 # --- Benford first-digit audit ---------------------------------------------
 
 # log10(1 + 1/d) in ppm, d = 1..9 — precomputed integer constants so
@@ -5118,4 +5360,9 @@ QUERIES = {
     "events_acf": (q_events_acf, _ACF_SQL),
     "events_attribution": (q_events_attribution, _ATTRIBUTION_SQL),
     "orders_benford_audit": (q_orders_benford_audit, _benford_sql()),
+    "events_hll_sketch": (q_events_hll_sketch, _HLL_SQL),
+    "orders_seasonal_decompose": (
+        q_orders_seasonal_decompose,
+        _SEASONAL_SQL,
+    ),
 }

@@ -2054,6 +2054,169 @@ ORDER BY a, b
 """
 
 
+# --- record linkage (Fellegi-Sunter-style deterministic matcher) -----------
+
+RL_OFFSET = 10_000_000     # web-side id namespace
+RL_W_BAL_EXACT = 12        # agreement weights (integer log-odds style)
+RL_W_BAL_NEAR = 6          # |Δ| ≤ 10 cents
+RL_W_BAL_MISS = -8
+RL_W_SEG_EQ, RL_W_SEG_NE = 5, -7   # NULL segment contributes 0
+RL_W_NAT_EQ, RL_W_NAT_NE = 3, -9
+RL_T_MATCH, RL_T_POSSIBLE = 17, 5  # tier cuts
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution between two views of the
+    customer table — the Fellegi-Sunter shape every identity-
+    stitching pipeline runs: BLOCK on a normalized name key, score
+    candidate pairs with integer field-agreement weights (exact /
+    near / disagree on balance-cents, equal / null / differ on
+    segment, equal / differ on nation), and tier by score. The
+    "web" side is a deterministic perturbation of the same
+    customers (small and large balance shifts, nulled segments,
+    shifted nations), plus DECOYS: every 9th web record steals its
+    NEIGHBOR's name, producing candidate pairs that are true
+    non-matches the weights must push below the match tier — and a
+    missed true record (recall < 1), which is what real blocking
+    does. Ground truth is emitted per pair (is_true), so the hash
+    certifies the whole confusion surface, not just the happy path.
+
+    Scale shape: one equi-join on the block key (names; a
+    production blocker adds the MAX_SHINGLE_DF-style block-size cut
+    for hot keys), narrow scoring projections, no windows. At 10^12
+    rows this is scan + one keyed shuffle."""
+    name_key = F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]", "")
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        name_key.alias("name_key"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        "c_mktsegment",
+    )
+    crm = base.select(
+        F.col("c_custkey").alias("crm_id"),
+        "name_key",
+        F.col("cents").alias("crm_cents"),
+        F.col("nat").alias("crm_nat"),
+        F.col("c_mktsegment").alias("crm_seg"),
+    )
+    nb = base.select(
+        (F.col("c_custkey") - 1).alias("c_custkey"),
+        F.col("name_key").alias("stolen_key"),
+    )
+    web = (
+        base.join(nb, "c_custkey", "left")
+        .select(
+            (F.col("c_custkey") + RL_OFFSET).alias("web_id"),
+            F.when(
+                (F.col("c_custkey") % 9 == 0)
+                & F.col("stolen_key").isNotNull(),
+                F.col("stolen_key"),
+            )
+            .otherwise(F.col("name_key"))
+            .alias("name_key"),
+            (
+                F.col("cents")
+                + F.when(F.col("c_custkey") % 4 == 0, 7)
+                .when(F.col("c_custkey") % 4 == 1, 2500)
+                .otherwise(0)
+            ).alias("web_cents"),
+            F.when(
+                F.col("c_custkey") % 5 == 0, (F.col("nat") + 1) % 25
+            )
+            .otherwise(F.col("nat"))
+            .alias("web_nat"),
+            F.when(F.col("c_custkey") % 6 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("web_seg"),
+        )
+    )
+    pairs = crm.join(web, "name_key")
+    delta = F.abs(F.col("crm_cents") - F.col("web_cents"))
+    score = (
+        F.when(delta == 0, RL_W_BAL_EXACT)
+        .when(delta <= 10, RL_W_BAL_NEAR)
+        .otherwise(RL_W_BAL_MISS)
+        + F.when(F.col("web_seg").isNull(), 0)
+        .when(F.col("web_seg") == F.col("crm_seg"), RL_W_SEG_EQ)
+        .otherwise(RL_W_SEG_NE)
+        + F.when(F.col("crm_nat") == F.col("web_nat"), RL_W_NAT_EQ)
+        .otherwise(RL_W_NAT_NE)
+    )
+    return (
+        pairs.select(
+            "crm_id",
+            "web_id",
+            score.cast("long").alias("score"),
+            (F.col("web_id") - RL_OFFSET == F.col("crm_id")).alias("is_true"),
+        )
+        .select(
+            "crm_id",
+            "web_id",
+            "score",
+            F.when(F.col("score") >= RL_T_MATCH, "match")
+            .when(F.col("score") >= RL_T_POSSIBLE, "possible")
+            .otherwise("reject")
+            .alias("tier"),
+            "is_true",
+        )
+        .orderBy("crm_id", "web_id")
+    )
+
+
+_LINKAGE_SQL = f"""
+WITH base AS (
+  SELECT c_custkey,
+         regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') AS name_key,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+         CAST(c_nationkey AS BIGINT) AS nat,
+         c_mktsegment
+  FROM customer
+),
+crm AS (
+  SELECT c_custkey AS crm_id, name_key, cents AS crm_cents,
+         nat AS crm_nat, c_mktsegment AS crm_seg
+  FROM base
+),
+web AS (
+  SELECT b.c_custkey + {RL_OFFSET} AS web_id,
+         CASE WHEN b.c_custkey % 9 = 0 AND n.name_key IS NOT NULL
+              THEN n.name_key ELSE b.name_key END AS name_key,
+         b.cents + CASE WHEN b.c_custkey % 4 = 0 THEN 7
+                        WHEN b.c_custkey % 4 = 1 THEN 2500
+                        ELSE 0 END AS web_cents,
+         CASE WHEN b.c_custkey % 5 = 0 THEN (b.nat + 1) % 25
+              ELSE b.nat END AS web_nat,
+         CASE WHEN b.c_custkey % 6 = 0 THEN NULL
+              ELSE b.c_mktsegment END AS web_seg
+  FROM base b
+  LEFT JOIN base n ON n.c_custkey = b.c_custkey + 1
+),
+scored AS (
+  SELECT c.crm_id, w.web_id,
+         CAST(CASE WHEN abs(c.crm_cents - w.web_cents) = 0
+                   THEN {RL_W_BAL_EXACT}
+                   WHEN abs(c.crm_cents - w.web_cents) <= 10
+                   THEN {RL_W_BAL_NEAR}
+                   ELSE {RL_W_BAL_MISS} END
+              + CASE WHEN w.web_seg IS NULL THEN 0
+                     WHEN w.web_seg = c.crm_seg THEN {RL_W_SEG_EQ}
+                     ELSE {RL_W_SEG_NE} END
+              + CASE WHEN c.crm_nat = w.web_nat THEN {RL_W_NAT_EQ}
+                     ELSE {RL_W_NAT_NE} END AS BIGINT) AS score,
+         (w.web_id - {RL_OFFSET} = c.crm_id) AS is_true
+  FROM crm c JOIN web w USING (name_key)
+)
+SELECT crm_id, web_id, score,
+       CASE WHEN score >= {RL_T_MATCH} THEN 'match'
+            WHEN score >= {RL_T_POSSIBLE} THEN 'possible'
+            ELSE 'reject' END AS tier,
+       is_true
+FROM scored
+ORDER BY crm_id, web_id
+"""
+
+
 # --- portable Bloom-filter membership audit --------------------------------
 
 BLOOM_M = 4096  # bits
@@ -2256,4 +2419,5 @@ QUERIES = {
     # filter lossless on this corpus (the LSH-swap proof pattern)
     "dedup_ppjoin_prefix": (q_ppjoin_prefix_pairs, _PPJOIN_SQL),
     "dedup_bloom_fpr_audit": (q_bloom_fpr_audit, _BLOOM_SQL),
+    "dedup_record_linkage": (q_record_linkage, _LINKAGE_SQL),
 }

@@ -40,6 +40,7 @@ _BNLJ_ALLOWED = frozenset(
         "events_acf",
         "dedup_bloom_fpr_audit",
         "orders_benford_audit",
+        "events_hll_sketch",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

@@ -474,3 +474,173 @@ def test_benford_reference(spark, tmp_path):
     got = [tuple(r) for r in q_orders_benford_audit(spark, sf).collect()]
     assert got == expect
     assert any(n == 0 for _, n, *_ in expect)  # spine zero-fill exercised
+
+
+def test_hll_sketch_reference(spark, tmp_path):
+    """Portable HLL recomputed with hashlib: identical registers,
+    digest, scaled harmonic sum, and raw estimate."""
+    import hashlib
+
+    from ocr_intern_spark.operators.analytics import (
+        HLL_A,
+        HLL_M,
+        HLL_W,
+        q_events_hll_sketch,
+    )
+
+    ts = datetime.datetime
+    uids = [3, 7, 7, 11, 400, 401, 402, 9999, 12345]
+    rows = [
+        (i, ts(2024, 1, 1 + i % 5), uid, "click", 0.0, "{}")
+        for i, uid in enumerate(uids)
+    ]
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    regs = {}
+    for uid in uids:
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        j, w = h % HLL_M, (h // HLL_M) % HLL_W
+        r = 33 - w.bit_length()  # bit_length(0) = 0 -> rank 33
+        regs[j] = max(regs.get(j, 0), r)
+    s_scaled = sum(1 << (24 - min(m, 24)) for m in regs.values())
+    s_scaled += (HLL_M - len(regs)) * (1 << 24)
+    digest = hashlib.md5(
+        ",".join(f"{j}:{regs[j]}" for j in sorted(regs)).encode()
+    ).hexdigest()
+    est = HLL_A // s_scaled // 1_000_000
+    n_exact = len(set(uids))
+    expect = (
+        HLL_M, n_exact, len(regs), s_scaled, est, est - n_exact, digest
+    )
+    got = tuple(q_events_hll_sketch(spark, sf).collect()[0])
+    assert got == expect
+    assert len(regs) > 1 and max(regs.values()) > 1  # non-vacuous
+
+
+def test_seasonal_decompose_reference(spark, tmp_path):
+    """Additive weekly decomposition on a planted 21-day pattern:
+    serial recompute of the centered 7-day trend sums, scaled
+    deviations, per-dow sums, and the negative-numerator floor."""
+    import math
+
+    from ocr_intern_spark.operators.analytics import (
+        SD_HALF,
+        q_orders_seasonal_decompose,
+    )
+
+    ts = datetime.datetime
+    # 21 consecutive days, revenue = weekly sawtooth + trend
+    prices = {}
+    for i in range(21):
+        prices[i] = 100.0 + 10.0 * (i % 7) + i  # dollars
+    rows = [
+        (i, 1, "O", p, ts(2024, 5, 1 + i), "1-URGENT")
+        for i, p in prices.items()
+    ]
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    r = [math.floor(prices[i] * 100) for i in range(21)]
+    epoch0 = (datetime.date(2024, 5, 1) - datetime.date(1970, 1, 1)).days
+    per_dow = {}
+    width = 2 * SD_HALF + 1
+    for t in range(SD_HALF, 21 - SD_HALF):
+        trend = sum(r[t - SD_HALF : t + SD_HALF + 1])
+        d = width * r[t] - trend
+        dow = (epoch0 + t) % 7
+        n, s = per_dow.get(dow, (0, 0))
+        per_dow[dow] = (n + 1, s + d)
+    expect = []
+    for dow in sorted(per_dow):
+        n, s = per_dow[dow]
+        expect.append((dow, n, str(s), (s * 1_000_000) // (n * width)))
+    got = [tuple(r_) for r_ in q_orders_seasonal_decompose(spark, sf).collect()]
+    assert got == expect
+    assert any(s.startswith("-") for _, _, s, _ in expect)  # negative dev
+
+
+def test_record_linkage_reference(spark, tmp_path):
+    """Fellegi-Sunter matcher on a controlled registry exercising
+    every weight branch, the stolen-name decoy, and the missing
+    neighbor edge; serial recompute of scores and tiers."""
+    import math
+    import re
+
+    from ocr_intern_spark.operators.dedup import (
+        RL_OFFSET,
+        RL_T_MATCH,
+        RL_T_POSSIBLE,
+        RL_W_BAL_EXACT,
+        RL_W_BAL_MISS,
+        RL_W_BAL_NEAR,
+        RL_W_NAT_EQ,
+        RL_W_NAT_NE,
+        RL_W_SEG_EQ,
+        RL_W_SEG_NE,
+        q_record_linkage,
+    )
+
+    cust = [  # (custkey, name, nationkey, acctbal, seg)
+        (4, "Ann Lee #4", 3, 10.00, "AUTO"),      # %4=0: near bal
+        (5, "Bo Kim #5", 7, 20.00, "HOUSE"),      # %4=1 big bal, %5 nat
+        (6, "CyFox #6", 9, -5.11, "AUTO"),       # %6: null seg, neg bal
+        (7, "Di Oh #7", 11, 30.00, "SHIP"),       # clean exact match
+        (9, "Ed Wu #9", 13, 40.00, "AUTO"),       # %9: steals 10's name
+        (10, "Fay Ng #10", 15, 50.00, "SHIP"),    # victim of 9's theft
+    ]
+    rows = [(k, n, nat, bal, seg) for k, n, nat, bal, seg in cust]
+    sf = _write(
+        spark, tmp_path, "customer", rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+
+    def key(name):
+        return re.sub(r"[^a-z0-9]", "", name.lower())
+
+    base = {
+        k: (key(n), math.floor(b * 100), nat, seg)
+        for k, n, nat, b, seg in cust
+    }
+    byk = {k: v for k, v in base.items()}
+    expect = []
+    for k, (nk, cents, nat, seg) in base.items():
+        # web perturbation
+        wnk = nk
+        if k % 9 == 0 and (k + 1) in byk:
+            wnk = byk[k + 1][0]
+        wc = cents + (7 if k % 4 == 0 else 2500 if k % 4 == 1 else 0)
+        wn = (nat + 1) % 25 if k % 5 == 0 else nat
+        ws = None if k % 6 == 0 else seg
+        # block: find crm records with this key
+        for ck, (cnk, ccents, cnat, cseg) in base.items():
+            if cnk != wnk:
+                continue
+            delta = abs(ccents - wc)
+            sc = (
+                RL_W_BAL_EXACT
+                if delta == 0
+                else RL_W_BAL_NEAR if delta <= 10 else RL_W_BAL_MISS
+            )
+            sc += 0 if ws is None else (RL_W_SEG_EQ if ws == cseg else RL_W_SEG_NE)
+            sc += RL_W_NAT_EQ if cnat == wn else RL_W_NAT_NE
+            tier = (
+                "match"
+                if sc >= RL_T_MATCH
+                else "possible" if sc >= RL_T_POSSIBLE else "reject"
+            )
+            expect.append((ck, k + RL_OFFSET, sc, tier, ck == k))
+    expect.sort()
+    got = [tuple(r) for r in q_record_linkage(spark, sf).collect()]
+    assert got == expect
+    tiers = {t for _, _, _, t, _ in expect}
+    truths = {it for *_, it in expect}
+    assert tiers == {"match", "possible", "reject"} and truths == {True, False}
+    # customer 9's own record is a MISS (its name was stolen): no pair
+    assert not any(a == 9 and it for a, _, _, _, it in expect)
