@@ -407,6 +407,9 @@ _DEFERRED: list[str] = [
     "sim_geo_grid_join",
     "table_delete_vector_apply",
     "table_hilbert_order",
+    "events_abtest_chi2",
+    "events_path_trigrams",
+    "orders_backlog_aging",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

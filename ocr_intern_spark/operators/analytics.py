@@ -4543,6 +4543,291 @@ ORDER BY day
 """
 
 
+# --- A/B test chi-square (exact rational statistic) ------------------------
+
+CHI2_CRIT_MILLI = 3841  # χ²(0.05, df=1) = 3.841, in milli-units
+
+
+def q_events_abtest_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-variant conversion A/B readout with an EXACT chi-square:
+    users split by user_id parity, conversion = at least one
+    purchase event, and the 2×2 independence statistic uses the
+    closed rational form χ² = n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) —
+    every term an integer, so the milli-scaled statistic is a pure
+    integer floor both engines agree on (no normal approximation,
+    no sqrt, no float). Significance is the standard 3.841 cut at
+    α=0.05. The square rides in decimal(38,0)/HUGEINT (the dsir
+    lesson: cross-multiplication passes BIGINT long before the
+    counts do).
+
+    Scale shape: one per-user aggregate (map-side combinable
+    bool_or), one 4-cell aggregate, all downstream arithmetic on a
+    single row. At 10^12 events: scan + one user-keyed exchange."""
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "conv")
+    )
+    cells = per_user.agg(
+        F.sum(
+            ((F.col("variant") == 0) & (F.col("conv") == 1)).cast("long")
+        ).alias("a"),
+        F.sum(
+            ((F.col("variant") == 0) & (F.col("conv") == 0)).cast("long")
+        ).alias("b"),
+        F.sum(
+            ((F.col("variant") == 1) & (F.col("conv") == 1)).cast("long")
+        ).alias("c"),
+        F.sum(
+            ((F.col("variant") == 1) & (F.col("conv") == 0)).cast("long")
+        ).alias("d"),
+    )
+    return cells.select(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n_users"),
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "CAST(IF(a + b = 0, 0, a * 1000000 DIV (a + b)) AS BIGINT)"
+        ).alias("conv_a_ppm"),
+        F.expr(
+            "CAST(IF(c + d = 0, 0, c * 1000000 DIV (c + d)) AS BIGINT)"
+        ).alias("conv_b_ppm"),
+        F.expr(
+            "CAST(IF(c + d = 0, 0, c * 1000000 DIV (c + d)) "
+            "- IF(a + b = 0, 0, a * 1000000 DIV (a + b)) AS BIGINT)"
+        ).alias("lift_ppm"),
+        # a degenerate margin (everyone converts, or one arm empty)
+        # makes the statistic undefined — report 0, not-significant,
+        # identically in both engines
+        F.expr(
+            "CAST(IF(a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0, 0, "
+            "CAST(a * d - b * c AS DECIMAL(38,0)) * (a * d - b * c) "
+            "* (a + b + c + d) * 1000 "
+            "DIV (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))"
+            ") AS BIGINT)"
+        ).alias("chi2_milli"),
+    ).select(
+        "n_users",
+        "a",
+        "b",
+        "c",
+        "d",
+        "conv_a_ppm",
+        "conv_b_ppm",
+        "lift_ppm",
+        "chi2_milli",
+        (F.col("chi2_milli") >= CHI2_CRIT_MILLI).alias("significant"),
+    )
+
+
+_ABTEST_SQL = f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT
+    sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+    sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS b,
+    sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS c,
+    sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS d
+  FROM per_user
+),
+chi AS (
+  SELECT *,
+         CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(CAST(a * d - b * c AS HUGEINT) * (a * d - b * c)
+                        * (a + b + c + d) * 1000
+                        // (CAST(a + b AS HUGEINT) * (c + d)
+                            * (a + c) * (b + d)) AS BIGINT)
+         END AS chi2_milli
+  FROM cells
+)
+SELECT CAST(a + b + c + d AS BIGINT) AS n_users,
+       CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       CAST(CASE WHEN a + b = 0 THEN 0
+                 ELSE a * 1000000 // (a + b) END AS BIGINT) AS conv_a_ppm,
+       CAST(CASE WHEN c + d = 0 THEN 0
+                 ELSE c * 1000000 // (c + d) END AS BIGINT) AS conv_b_ppm,
+       CAST(CASE WHEN c + d = 0 THEN 0 ELSE c * 1000000 // (c + d) END
+            - CASE WHEN a + b = 0 THEN 0 ELSE a * 1000000 // (a + b) END
+            AS BIGINT) AS lift_ppm,
+       chi2_milli,
+       (chi2_milli >= {CHI2_CRIT_MILLI}) AS significant
+FROM chi
+"""
+
+
+# --- session path mining (trigrams) ----------------------------------------
+
+PATH_TOPK = 20
+
+
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey path trigrams: events sessionized by the
+    canonical 30-minute gap rule, consecutive event-type triples
+    WITHIN a session counted corpus-wide, top-20 with integer ppm
+    share of all trigrams — the Sankey/path-analysis feed. Shares
+    divide by the total via a window over the path-count frame,
+    which is bounded by the type-alphabet cubed (≤125 rows), not
+    the corpus.
+
+    Scale shape: one user_id hash exchange drives the session
+    window and both leads (same ordering — one sort); the trigram
+    count is a map-side-combinable aggregate; top-K is
+    TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_sess).over(w).alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    tri = sess.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    counts = tri.groupBy(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # bounded-window: the OVER () total runs on the distinct-path
+    # frame, ≤ |event type alphabet|³ = 125 rows at any corpus size
+    # — never corpus-grain
+    return (
+        counts.select(
+            "path",
+            "n",
+            F.expr(
+                "CAST(n * 1000000 DIV (sum(n) OVER ()) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATH_TOPK)
+    )
+
+
+_PATH_TRIGRAM_SQL = f"""
+WITH sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN prev_ts IS NULL
+                  OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+),
+tri AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER (
+           PARTITION BY user_id, session_id ORDER BY ts, event_id
+         ) AS t2,
+         lead(event_type, 2) OVER (
+           PARTITION BY user_id, session_id ORDER BY ts, event_id
+         ) AS t3
+  FROM sess
+),
+counts AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+  FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n,
+       CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS share_ppm
+FROM counts
+ORDER BY n DESC, path ASC
+LIMIT {PATH_TOPK}
+"""
+
+
+# --- open-order aging report ------------------------------------------------
+
+AGING_BUCKETS = ((30, "000-030"), (90, "031-090"), (365, "091-365"))
+
+
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable-style backlog aging: OPEN orders bucketed
+    by age against the corpus anchor date (0-30 / 31-90 / 91-365 /
+    365+ days), with order counts and digit-string cents totals (the
+    buckets pass 9 significant digits at sf0.1). Bucket labels are
+    zero-padded so lexicographic ORDER BY is age order.
+
+    Scale shape: scan + ONE map-side-combinable aggregate over ≤4
+    groups; the anchor is the allowlisted 1-row broadcast. The
+    status filter reaches the parquet reader as a pushed filter."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    aged = (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff("anchor", F.to_date("o_orderdate")).alias("age"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    bucket = F.when(F.col("age") <= AGING_BUCKETS[0][0], AGING_BUCKETS[0][1])
+    for cut, label in AGING_BUCKETS[1:]:
+        bucket = bucket.when(F.col("age") <= cut, label)
+    bucket = bucket.otherwise("365+")
+    return (
+        aged.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("cents").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("value_cents_str"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+_BACKLOG_SQL = """
+WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS a FROM orders),
+aged AS (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE),
+                   (SELECT a FROM anchor)) AS age,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT CASE WHEN age <= 30 THEN '000-030'
+            WHEN age <= 90 THEN '031-090'
+            WHEN age <= 365 THEN '091-365'
+            ELSE '365+' END AS age_bucket,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS VARCHAR) AS value_cents_str
+FROM aged
+GROUP BY 1
+ORDER BY age_bucket
+"""
+
+
 # --- bit-exact portable HyperLogLog ----------------------------------------
 
 HLL_M = 64  # registers (b = 6)
@@ -5365,4 +5650,7 @@ QUERIES = {
         q_orders_seasonal_decompose,
         _SEASONAL_SQL,
     ),
+    "events_abtest_chi2": (q_events_abtest_chi2, _ABTEST_SQL),
+    "events_path_trigrams": (q_events_path_trigrams, _PATH_TRIGRAM_SQL),
+    "orders_backlog_aging": (q_orders_backlog_aging, _BACKLOG_SQL),
 }

@@ -41,6 +41,7 @@ _BNLJ_ALLOWED = frozenset(
         "dedup_bloom_fpr_audit",
         "orders_benford_audit",
         "events_hll_sketch",
+        "orders_backlog_aging",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

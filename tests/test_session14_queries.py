@@ -644,3 +644,148 @@ def test_record_linkage_reference(spark, tmp_path):
     assert tiers == {"match", "possible", "reject"} and truths == {True, False}
     # customer 9's own record is a MISS (its name was stolen): no pair
     assert not any(a == 9 and it for a, _, _, _, it in expect)
+
+
+def test_abtest_chi2_reference(spark, tmp_path):
+    """Exact rational chi-square on a constructed 2x2, plus the
+    degenerate-margin guard (everyone converts -> 0, not an error)."""
+    from ocr_intern_spark.operators.analytics import (
+        CHI2_CRIT_MILLI,
+        q_events_abtest_chi2,
+    )
+
+    ts = datetime.datetime
+
+    def mk(rows):
+        return [
+            (i, ts(2024, 6, 1 + i % 20), uid, et, 0.0, "{}")
+            for i, (uid, et) in enumerate(rows)
+        ]
+
+    # variant A (even uids): 30 users, 24 convert; B (odd): 30, 6
+    rows = []
+    for u in range(60):
+        uid = u * 2 if u < 30 else (u - 30) * 2 + 1
+        conv = (u < 24) or (u >= 30 and u < 36)
+        rows.append((uid, "purchase" if conv else "view"))
+        rows.append((uid, "click"))
+    sf = _write(
+        spark, tmp_path, "events", mk(rows),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    a, b, c, d = 24, 6, 6, 24
+    n = a + b + c + d
+    num = (a * d - b * c) ** 2 * n * 1000
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = num // den
+    expect = (
+        n, a, b, c, d,
+        a * 1_000_000 // (a + b),
+        c * 1_000_000 // (c + d),
+        c * 1_000_000 // (c + d) - a * 1_000_000 // (a + b),
+        chi2,
+        chi2 >= CHI2_CRIT_MILLI,
+    )
+    got = tuple(q_events_abtest_chi2(spark, sf).collect()[0])
+    assert got == expect
+    assert got[-1] is True  # 80% vs 20% on 60 users is significant
+
+    # degenerate: every user converts -> guard reports 0 / False
+    rows2 = [(u, "purchase") for u in range(8)]
+    sf2 = _write(
+        spark, tmp_path / "deg", "events", mk(rows2),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = q_events_abtest_chi2(spark, sf2).collect()[0]
+    assert row.chi2_milli == 0 and row.significant is False
+
+
+def test_path_trigrams_reference(spark, tmp_path):
+    """Trigram mining on controlled sessions: a >30-minute gap must
+    break the path, ties order by event_id, shares are floor ppm."""
+    from collections import Counter
+
+    from ocr_intern_spark.operators.analytics import q_events_path_trigrams
+
+    ts = datetime.datetime
+    rows = [
+        # user 1, session 1: view>click>purchase>click (2 trigrams)
+        (1, ts(2024, 7, 1, 10, 0), 1, "view", 0.0, "{}"),
+        (2, ts(2024, 7, 1, 10, 5), 1, "click", 0.0, "{}"),
+        (3, ts(2024, 7, 1, 10, 10), 1, "purchase", 0.0, "{}"),
+        (4, ts(2024, 7, 1, 10, 15), 1, "click", 0.0, "{}"),
+        # user 1, session 2 (41-minute gap): error>view>click
+        (5, ts(2024, 7, 1, 10, 56), 1, "error", 0.0, "{}"),
+        (6, ts(2024, 7, 1, 11, 0), 1, "view", 0.0, "{}"),
+        (7, ts(2024, 7, 1, 11, 1), 1, "click", 0.0, "{}"),
+        # user 2: same-timestamp tie ordered by event_id
+        (8, ts(2024, 7, 1, 9, 0), 2, "view", 0.0, "{}"),
+        (9, ts(2024, 7, 1, 9, 0), 2, "click", 0.0, "{}"),
+        (10, ts(2024, 7, 1, 9, 1), 2, "view", 0.0, "{}"),
+    ]
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    cnt = Counter(
+        ["view>click>purchase", "click>purchase>click", "error>view>click",
+         "view>click>view"]
+    )
+    total = sum(cnt.values())
+    expect = sorted(
+        ((p, n, n * 1_000_000 // total) for p, n in cnt.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+    got = [tuple(r) for r in q_events_path_trigrams(spark, sf).collect()]
+    assert got == expect
+    # the gap REALLY broke the path: no trigram crosses the sessions
+    assert not any("click>error" in p or "purchase>click>error" == p
+                   for p, _, _ in got)
+
+
+def test_backlog_aging_reference(spark, tmp_path):
+    """Aging buckets on controlled open orders: boundary ages land in
+    the lower bucket, closed orders excluded, cents exact."""
+    import math
+
+    from ocr_intern_spark.operators.analytics import q_orders_backlog_aging
+
+    ts = datetime.datetime
+    anchor = datetime.date(2024, 12, 31)
+    mk = lambda age: ts(*(anchor - datetime.timedelta(days=age)).timetuple()[:3])
+    orders = [  # (key, status, age, price)
+        (1, "O", 0, 10.00),
+        (2, "O", 30, 20.00),    # boundary -> 000-030
+        (3, "O", 31, 30.00),
+        (4, "O", 90, 40.00),    # boundary -> 031-090
+        (5, "O", 91, 50.55),
+        (6, "O", 365, 60.00),   # boundary -> 091-365
+        (7, "O", 366, 70.00),
+        (8, "F", 5, 99.99),     # closed: excluded
+        (9, "O", 400, 80.01),
+    ]
+    rows = [
+        (k, 1, st, p, mk(age), "1-URGENT") for k, st, age, p in orders
+    ]
+    # ensure the anchor comes from the corpus max date (a closed order)
+    rows.append((10, 1, "F", 1.0, ts(2024, 12, 31), "1-URGENT"))
+    sf = _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    buckets = {}
+    for k, st, age, p in orders:
+        if st != "O":
+            continue
+        lbl = ("000-030" if age <= 30 else "031-090" if age <= 90
+               else "091-365" if age <= 365 else "365+")
+        n, s = buckets.get(lbl, (0, 0))
+        buckets[lbl] = (n + 1, s + math.floor(p * 100))
+    expect = [(lbl, n, str(s)) for lbl, (n, s) in sorted(buckets.items())]
+    got = [tuple(r) for r in q_orders_backlog_aging(spark, sf).collect()]
+    assert got == expect
+    assert len(expect) == 4
