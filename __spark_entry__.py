@@ -410,6 +410,9 @@ _DEFERRED: list[str] = [
     "events_abtest_chi2",
     "events_path_trigrams",
     "orders_backlog_aging",
+    "events_cuped_adjust",
+    "stream_hll_sketch",
+    "graph_random_walks",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

@@ -4668,6 +4668,168 @@ FROM chi
 """
 
 
+# --- CUPED variance-reduced experiment readout ------------------------------
+
+
+def q_events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment-using-pre-experiment-data): the
+    variance-reduction adjustment every mature experimentation
+    platform applies before reading a lift. The corpus date range is
+    split at its midpoint; X_u = a user's PRE-period event count
+    (the covariate), Y_u = POST-period purchases (the metric),
+    variants by user_id parity. θ = cov(X,Y)/var(X) and the adjusted
+    lift mean_B(Y−θ(X−X̄)) − mean_A(…) are kept as EXACT RATIONALS:
+    every statistic is a cross-multiplied integer (C = n·ΣXY−ΣXΣY,
+    W = n·ΣX²−(ΣX)², adjusted-lift numerator/denominator over the
+    common denominator W·n·n_A·n_B), carried in decimal(38,0)/
+    HUGEINT and emitted as digit strings — no float ever enters, so
+    the hash certifies the adjustment algebra itself. ρ² (the
+    variance-reduction fraction) is the one emitted ratio, in ppm
+    (non-negative, so floor division agrees). Degenerate var(X)=0
+    falls back to θ=0 (adjusted ≡ unadjusted) identically.
+
+    Scale shape: one per-user aggregate (map-side combinable
+    conditional counts), one global 1-row moment aggregate + one
+    2-row variant aggregate, then single-row algebra. At 10^12
+    events: scan + one user-keyed exchange."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("day") < F.col("mid")).cast("long")).alias("x"),
+            F.sum(
+                (
+                    (F.col("day") >= F.col("mid"))
+                    & (F.col("event_type") == "purchase")
+                ).cast("long")
+            ).alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("v"), "x", "y")
+    )
+    moments = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("v") == 0, F.col("x")).otherwise(0)).alias("sxa"),
+        F.sum(F.when(F.col("v") == 0, F.col("y")).otherwise(0)).alias("sya"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("v") == 1, F.col("x")).otherwise(0)).alias("sxb"),
+        F.sum(F.when(F.col("v") == 1, F.col("y")).otherwise(0)).alias("syb"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    c_expr = f"({d.format('n')} * sxy - {d.format('sx')} * sy)"
+    w_expr = f"({d.format('n')} * sxx - {d.format('sx')} * sx)"
+    vy_expr = f"({d.format('n')} * syy - {d.format('sy')} * sy)"
+    cg = f"(IF({w_expr} = 0, CAST(0 AS DECIMAL(38,0)), {c_expr}))"
+    wg = f"(IF({w_expr} = 0, CAST(1 AS DECIMAL(38,0)), {w_expr}))"
+    num_a = (
+        f"({wg} * n * sya - {cg} * ({d.format('n')} * sxa - na * sx))"
+    )
+    num_b = (
+        f"({wg} * n * syb - {cg} * ({d.format('n')} * sxb - nb * sx))"
+    )
+    return moments.select(
+        F.col("n").alias("n_users"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr("CAST(IF(na = 0, 0, sya * 1000000 DIV na) AS BIGINT)").alias(
+            "mean_y_a_ppm"
+        ),
+        F.expr("CAST(IF(nb = 0, 0, syb * 1000000 DIV nb) AS BIGINT)").alias(
+            "mean_y_b_ppm"
+        ),
+        F.expr(
+            f"CAST(IF({w_expr} = 0 OR {vy_expr} = 0, 0, "
+            f"{c_expr} * {c_expr} * 1000000 DIV ({w_expr} * {vy_expr})) "
+            "AS BIGINT)"
+        ).alias("rho2_ppm"),
+        F.expr(
+            f"CAST(CAST(na AS DECIMAL(38,0)) * syb - "
+            f"CAST(nb AS DECIMAL(38,0)) * sya AS STRING)"
+        ).alias("lift_num_str"),
+        F.expr(
+            "CAST(CAST(na AS DECIMAL(38,0)) * nb AS STRING)"
+        ).alias("lift_den_str"),
+        F.expr(
+            f"CAST(CAST(na AS DECIMAL(38,0)) * {num_b} - "
+            f"CAST(nb AS DECIMAL(38,0)) * {num_a} AS STRING)"
+        ).alias("lift_adj_num_str"),
+        F.expr(
+            f"CAST({wg} * n * na * nb AS STRING)"
+        ).alias("lift_adj_den_str"),
+    )
+
+
+def _cuped_sql() -> str:
+    c = "(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)"
+    w = "(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)"
+    vy = "(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)"
+    cg = f"(CASE WHEN {w} = 0 THEN CAST(0 AS HUGEINT) ELSE {c} END)"
+    wg = f"(CASE WHEN {w} = 0 THEN CAST(1 AS HUGEINT) ELSE {w} END)"
+    num_a = f"({wg} * n * sya - {cg} * (CAST(n AS HUGEINT) * sxa - na * sx))"
+    num_b = f"({wg} * n * syb - {cg} * (CAST(n AS HUGEINT) * sxb - nb * sx))"
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+bounds AS (
+  SELECT min(day) + CAST(date_diff('day', min(day), max(day)) // 2
+                         AS INT) AS mid
+  FROM ev
+),
+per_user AS (
+  SELECT user_id % 2 AS v,
+         sum(CASE WHEN day < (SELECT mid FROM bounds)
+                  THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN day >= (SELECT mid FROM bounds)
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM ev GROUP BY user_id
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+         sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS sxa,
+         sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS sya,
+         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS sxb,
+         sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS syb
+  FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(CASE WHEN na = 0 THEN 0
+                 ELSE sya * 1000000 // na END AS BIGINT) AS mean_y_a_ppm,
+       CAST(CASE WHEN nb = 0 THEN 0
+                 ELSE syb * 1000000 // nb END AS BIGINT) AS mean_y_b_ppm,
+       CAST(CASE WHEN {w} = 0 OR {vy} = 0 THEN 0
+                 ELSE {c} * {c} * 1000000 // ({w} * {vy})
+            END AS BIGINT) AS rho2_ppm,
+       CAST(CAST(na AS HUGEINT) * syb
+            - CAST(nb AS HUGEINT) * sya AS VARCHAR) AS lift_num_str,
+       CAST(CAST(na AS HUGEINT) * nb AS VARCHAR) AS lift_den_str,
+       CAST(CAST(na AS HUGEINT) * {num_b}
+            - CAST(nb AS HUGEINT) * {num_a} AS VARCHAR) AS lift_adj_num_str,
+       CAST({wg} * n * na * nb AS VARCHAR) AS lift_adj_den_str
+FROM m
+"""
+
+
 # --- session path mining (trigrams) ----------------------------------------
 
 PATH_TOPK = 20
@@ -4863,6 +5025,13 @@ def q_events_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     register aggregate, one exact-distinct audit aggregate (the
     harness side, as with CMS), two 1-row broadcasts."""
     ev = _t(spark, sf_dir, "events").select("user_id")
+    regs = hll_decompose(ev).groupBy("j").agg(F.max("r").alias("m"))
+    return hll_finalize(regs, ev)
+
+
+def hll_decompose(ev: DataFrame) -> DataFrame:
+    """(bucket, rank) rows for the portable HLL spec — shared by the
+    batch query and the streaming max-merge variant."""
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
     ).cast("long")
@@ -4871,9 +5040,13 @@ def q_events_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"h DIV {HLL_M} % {HLL_W}").alias("w"),
     )
     rank = 33 - F.length(F.expr("trim(LEADING '0' FROM bin(w))"))
-    regs = rows.select("j", rank.alias("r")).groupBy("j").agg(
-        F.max("r").alias("m")
-    )
+    return rows.select("j", rank.alias("r"))
+
+
+def hll_finalize(regs: DataFrame, ev: DataFrame) -> DataFrame:
+    """Fold final (j, m) registers into the one-row sketch readout
+    (digest, scaled harmonic sum, raw estimate) plus the exact-
+    distinct audit column computed from `ev`."""
     sketch = regs.agg(
         F.count(F.lit(1)).alias("n_buckets_used"),
         F.sum(
@@ -5651,6 +5824,7 @@ QUERIES = {
         _SEASONAL_SQL,
     ),
     "events_abtest_chi2": (q_events_abtest_chi2, _ABTEST_SQL),
+    "events_cuped_adjust": (q_events_cuped_adjust, _cuped_sql()),
     "events_path_trigrams": (q_events_path_trigrams, _PATH_TRIGRAM_SQL),
     "orders_backlog_aging": (q_orders_backlog_aging, _BACKLOG_SQL),
 }

@@ -2420,7 +2420,196 @@ LIMIT {GEO_K}
 """
 
 
+# --- deterministic random walks (DeepWalk-style corpus sampling) -----------
+
+WALK_LEN = 4
+
+
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec-style random-walk corpus sampling over the
+    spatial neighbor graph, made fully DETERMINISTIC: the step-t
+    choice from node v on walk w is neighbor index
+    md5(w:t:v) mod deg(v) over the (d², id)-ranked adjacency — the
+    standard trick for reproducible walk corpora (hash-seeded
+    pseudo-randomness, no RNG state to synchronize across
+    executors). Walks of length 4 start at EVERY node; a walk that
+    reaches an isolated node simply ends (inner join against the
+    degree frame), exactly like real walk samplers at graph
+    boundaries.
+
+    Scale shape: the adjacency (grid-bucketed neighbor join, the
+    geo-grid shape) is built once and PERSISTED — it feeds the
+    degree frame and all 4 step joins; each step is one equi-join
+    on (node, picked-rank), i.e. L shuffles for L steps, the
+    documented cost of distributed walk sampling (at 10^12 edges
+    you batch many walks per join, same shape). The oracle unrolls
+    the identical walk recurrence with a recursive CTE over the
+    all-pairs adjacency, so the hash certifies every step choice."""
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def coord(axis: str) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(axis))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % GEO_SPAN
+        )
+
+    pts = doc.select(
+        "doc_id", coord("x").alias("x"), coord("y").alias("y")
+    ).select(
+        "doc_id",
+        "x",
+        "y",
+        F.expr(f"x DIV {GEO_R}").alias("cx"),
+        F.expr(f"y DIV {GEO_R}").alias("cy"),
+    )
+    probe = (
+        pts.select(
+            F.col("doc_id").alias("a"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            "cx",
+            "cy",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "a",
+            "ax",
+            "ay",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            "cy",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"),
+        )
+        .select("a", "ax", "ay", "jx", (F.col("cy") + F.col("dy")).alias("jy"))
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    edges = (
+        probe.join(
+            pts.select(
+                F.col("doc_id").alias("b"),
+                F.col("x").alias("bx"),
+                F.col("y").alias("by"),
+                F.col("cx").alias("jx"),
+                F.col("cy").alias("jy"),
+            ),
+            ["jx", "jy"],
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), d2.alias("d2")
+        )
+        .where(F.col("d2") <= GEO_R * GEO_R)
+    )
+    from pyspark.sql.window import Window
+
+    adj = edges.withColumn(
+        "r0",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy("d2", "dst")
+        )
+        - 1,
+    ).select("src", "dst", "r0").persist()
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    walks = pts.select(
+        F.col("doc_id").alias("start"),
+        F.lit(0).cast("int").alias("step"),
+        F.col("doc_id").alias("node"),
+    )
+    out = walks
+    cur = walks
+    for s in range(1, WALK_LEN + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("start").cast("string"),
+                            F.lit(":"),
+                            F.lit(s).cast("string"),
+                            F.lit(":"),
+                            F.col("node").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+        )
+        cur = (
+            cur.join(deg, cur.node == deg.src)
+            .withColumn("pick", pick)
+            .drop("src")
+            .join(
+                adj,
+                (adj.src == F.col("node")) & (adj.r0 == F.col("pick")),
+            )
+            .select(
+                "start",
+                F.lit(s).cast("int").alias("step"),
+                F.col("dst").alias("node"),
+            )
+        )
+        out = out.unionAll(cur)
+    return out.orderBy("start", "step")
+
+
+def _random_walks_sql() -> str:
+    coord = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{ax}'), 1, 8)) "
+        f"AS BIGINT) % {GEO_SPAN}"
+    )
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT doc_id,
+         {coord.format(ax="x")} AS x,
+         {coord.format(ax="y")} AS y
+  FROM documents
+),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.doc_id != b.doc_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {GEO_R * GEO_R}
+),
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY d2, dst) - 1 AS r0
+  FROM edges
+),
+deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+walk AS (
+  SELECT doc_id AS start, 0 AS step, doc_id AS node FROM pts
+  UNION ALL
+  SELECT w.start, w.step + 1, a.dst
+  FROM walk w
+  JOIN deg d ON d.src = w.node
+  JOIN adj a ON a.src = w.node
+   AND a.r0 = CAST(('0x' || substr(md5(
+         CAST(w.start AS VARCHAR) || ':' ||
+         CAST(w.step + 1 AS VARCHAR) || ':' ||
+         CAST(w.node AS VARCHAR)), 1, 8)) AS BIGINT) % d.deg
+  WHERE w.step < {WALK_LEN}
+)
+SELECT start, CAST(step AS INT) AS step, node
+FROM walk ORDER BY start, step
+"""
+
+
 QUERIES = {
+    "graph_random_walks": (q_graph_random_walks, _random_walks_sql()),
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_embedding_outliers": (q_embedding_outliers, _OUTLIER_SQL),
     "sim_mmr_select": (q_mmr_select, _mmr_sql()),

@@ -997,7 +997,64 @@ GROUP BY a.k ORDER BY batch
 """
 
 
+def q_stream_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable HLL sketch maintained INCREMENTALLY by a
+    streaming aggregation — the mergeable-summary contract executed
+    for real: each of the 8 file micro-batches folds its rows into
+    the per-bucket max-rank state (max is idempotent, commutative,
+    associative — the whole reason HLL registers stream), and the
+    final complete-mode registers are finalized into the exact same
+    one-row readout as the batch query. The oracle IS the batch HLL
+    SQL, so the driver hash PROVES streaming-max-merge ≡ batch
+    sketch (the LSH-swap proof pattern applied to streaming state).
+    The exact-distinct audit column is computed batch-side from the
+    staged files (distinct aggregations are unsupported in streaming
+    — and it is the harness column, not the sketch).
+
+    At 100 TB-ingest scale this is the shape that matters: the
+    sketch state is 64 BIGINTs per key regardless of stream volume,
+    and checkpoint recovery replays into the same registers."""
+    from ocr_intern_spark.operators.analytics import (
+        hll_decompose,
+        hll_finalize,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sq_hll_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        _stage(spark, sf_dir, "events", in_dir)
+        schema = spark.read.parquet(in_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        agg = (
+            hll_decompose(stream.select("user_id"))
+            .groupBy("j")
+            .agg(F.max("r").alias("m"))
+        )
+        regs = _run_to_memory_complete(agg, os.path.join(tmp, "ckpt"))
+        ev = spark.read.parquet(in_dir).select("user_id")
+        # materialize before the tmp dir vanishes (hll_finalize's
+        # exact-distinct audit re-reads ev lazily)
+        out = hll_finalize(regs, ev)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_hll_sql() -> str:
+    from ocr_intern_spark.operators.analytics import _HLL_SQL
+
+    return _HLL_SQL
+
+
 QUERIES = {
+    # oracle = the BATCH HLL SQL on purpose: hash equality proves the
+    # streaming max-merge produced the identical sketch
+    "stream_hll_sketch": (q_stream_hll_sketch, _stream_hll_sql()),
     "stream_events_summary": (q_stream_events_summary, _STREAM_EVENTS_SUMMARY_SQL),
     "stream_static_enrich": (q_stream_static_enrich, _STREAM_ENRICH_SQL),
     "stream_stream_join": (q_stream_stream_join, _STREAM_SSJ_SQL),

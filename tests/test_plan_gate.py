@@ -42,6 +42,7 @@ _BNLJ_ALLOWED = frozenset(
         "orders_benford_audit",
         "events_hll_sketch",
         "orders_backlog_aging",
+        "events_cuped_adjust",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

@@ -789,3 +789,159 @@ def test_backlog_aging_reference(spark, tmp_path):
     got = [tuple(r) for r in q_orders_backlog_aging(spark, sf).collect()]
     assert got == expect
     assert len(expect) == 4
+
+
+def test_stream_hll_equals_batch(spark, tmp_path):
+    """The streaming max-merge sketch must equal the batch sketch
+    row-for-row (the swap proof the oracle also enforces), on a
+    corpus large enough to span several micro-batches."""
+    from ocr_intern_spark.operators.analytics import q_events_hll_sketch
+    from ocr_intern_spark.streaming.stream_queries import q_stream_hll_sketch
+
+    ts = datetime.datetime
+    rows = [
+        (i, ts(2024, 8, 1 + i % 25), i % 97, "click", 0.0, "{}")
+        for i in range(400)
+    ]
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    batch = [tuple(r) for r in q_events_hll_sketch(spark, sf).collect()]
+    stream = [tuple(r) for r in q_stream_hll_sketch(spark, sf).collect()]
+    assert stream == batch
+    assert batch[0][1] == 97  # n_exact audit column
+
+
+def test_cuped_reference(spark, tmp_path):
+    """CUPED algebra recomputed with Fractions on a planted
+    correlated corpus: theta, rho-squared, and the adjusted-lift
+    rational must match the digit strings exactly."""
+    from fractions import Fraction
+
+    from ocr_intern_spark.operators.analytics import q_events_cuped_adjust
+
+    ts = datetime.datetime
+    # 10 users over days 1..10 (mid = day 6): pre activity x_u drives
+    # post purchases y_u (strong covariate), variant = parity
+    rows = []
+    eid = 0
+    import hashlib
+
+    for u in range(10):
+        x = 2 + (u * 7) % 5                      # pre-period events
+        y = x // 2 + (1 if u % 2 else 0)         # post purchases
+        for i in range(x):
+            eid += 1
+            rows.append((eid, ts(2024, 9, 1 + (i % 5), 8), u, "view"))
+        for i in range(y):
+            eid += 1
+            rows.append((eid, ts(2024, 9, 6 + (i % 5), 8), u, "purchase"))
+    rows = [(e, t, u, k, 0.0, "{}") for e, t, u, k in rows]
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    # mirror the spec: mid = min_day + span DIV 2 (here Sep 1 + 4)
+    days = [t.date() for _, t, *_ in rows]
+    d0, d1 = min(days), max(days)
+    mid = d0 + datetime.timedelta(days=(d1 - d0).days // 2)
+    xs, ys = {}, {}
+    for _, t, u, k, _, _ in rows:
+        if t.date() < mid:
+            xs[u] = xs.get(u, 0) + 1
+        elif k == "purchase":
+            ys[u] = ys.get(u, 0) + 1
+        xs.setdefault(u, 0)
+        ys.setdefault(u, 0)
+    users = sorted(xs)
+    n = len(users)
+    sx = sum(xs[u] for u in users)
+    sy = sum(ys[u] for u in users)
+    C = n * sum(xs[u] * ys[u] for u in users) - sx * sy
+    W = n * sum(xs[u] ** 2 for u in users) - sx * sx
+    VY = n * sum(ys[u] ** 2 for u in users) - sy * sy
+    theta = Fraction(C, W)
+    xbar = Fraction(sx, n)
+    adj = {u: ys[u] - theta * (xs[u] - xbar) for u in users}
+    A = [u for u in users if u % 2 == 0]
+    B = [u for u in users if u % 2 == 1]
+    lift_adj = sum(adj[u] for u in B) / len(B) - sum(
+        adj[u] for u in A
+    ) / len(A)
+
+    row = q_events_cuped_adjust(spark, sf).collect()[0]
+    assert (row.n_users, row.n_a, row.n_b) == (n, len(A), len(B))
+    assert row.rho2_ppm == (C * C * 1_000_000) // (W * VY)
+    got_adj = Fraction(int(row.lift_adj_num_str), int(row.lift_adj_den_str))
+    assert got_adj == lift_adj
+    got_raw = Fraction(int(row.lift_num_str), int(row.lift_den_str))
+    assert got_raw == Fraction(sum(ys[u] for u in B), len(B)) - Fraction(
+        sum(ys[u] for u in A), len(A)
+    )
+    # the covariate really reduces variance here
+    assert row.rho2_ppm > 500_000
+
+
+def test_random_walks_reference(spark, tmp_path):
+    """Walk recurrence recomputed serially: md5 picks over the
+    (d2, id)-ranked adjacency, early stop at isolated nodes."""
+    import hashlib
+
+    from ocr_intern_spark.operators.similarity import (
+        GEO_R,
+        GEO_SPAN,
+        WALK_LEN,
+        q_graph_random_walks,
+    )
+
+    ids = list(range(60))
+    rows = [(d, f"t{d}", "en", "s", 2) for d in ids]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def coord(d, ax):
+        return int(hashlib.md5(f"{d}{ax}".encode()).hexdigest()[:8], 16) % GEO_SPAN
+
+    pts = {d: (coord(d, "x"), coord(d, "y")) for d in ids}
+    adj = {}
+    for a in ids:
+        nbrs = []
+        for b in ids:
+            if a == b:
+                continue
+            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+            if d2 <= GEO_R * GEO_R:
+                nbrs.append((d2, b))
+        adj[a] = [b for _, b in sorted(nbrs)]
+
+    expect = []
+    for start in ids:
+        node = start
+        expect.append((start, 0, node))
+        for step in range(1, WALK_LEN + 1):
+            nbrs = adj[node]
+            if not nbrs:
+                break
+            h = int(
+                hashlib.md5(f"{start}:{step}:{node}".encode()).hexdigest()[:8],
+                16,
+            )
+            node = nbrs[h % len(nbrs)]
+            expect.append((start, step, node))
+    expect.sort(key=lambda r: (r[0], r[1], r[2]))
+    got = [tuple(r) for r in q_graph_random_walks(spark, sf).collect()]
+    assert sorted(got) == expect
+    # non-vacuous: at least one truncated walk and one real choice
+    lens = {}
+    for s, st, _ in expect:
+        lens[s] = max(lens.get(s, 0), st)
+    assert any(v < WALK_LEN for v in lens.values()) or all(
+        adj[d] for d in ids
+    )
+    assert any(len(adj[d]) > 1 for d in ids)
