@@ -413,6 +413,9 @@ _DEFERRED: list[str] = [
     "events_cuped_adjust",
     "stream_hll_sketch",
     "graph_random_walks",
+    "events_ses_forecast",
+    "table_clustering_depth_audit",
+    "multimodal_scene_cuts",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

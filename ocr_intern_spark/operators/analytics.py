@@ -4668,6 +4668,109 @@ FROM chi
 """
 
 
+# --- simple exponential smoothing forecast ----------------------------------
+
+SES_ALPHA_DEN = 4   # α = 1/4
+SES_SCALE = 1000    # level carried in milli-units
+
+
+def q_events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing over the daily event series —
+    the workhorse short-horizon forecaster (the h-step forecast IS
+    the final level). The level recurrence S_t = S_{t-1} +
+    α·(x_t − S_{t-1}) runs in SCALED INTEGERS (milli-units, α=1/4)
+    with an explicit FLOOR at each step via the pmod identity, so
+    the two engines walk the identical sequence even when the
+    innovation is negative (truncating DIV would diverge there).
+    Emits per day the observation, the updated level, and the
+    one-step-ahead innovation x_t·K − S_{t-1} — the residual series
+    a monitoring rule (CUSUM over innovations) consumes.
+
+    Scale shape: one day-grain aggregate, then everything is the
+    calendar-bounded fold-inside-Catalyst class (CUSUM's shape):
+    collect the ≤date-span series into one array, F.aggregate,
+    re-explode; recursive-CTE oracle."""
+    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("x"))
+    dense = spine.join(counts, "day", "left").select(
+        "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    series = dense.agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("arr")
+    )
+    innov = f"(e.x * {SES_SCALE} - acc.s)"
+    step = (
+        f"acc.s + ({innov} - pmod({innov}, {SES_ALPHA_DEN})) "
+        f"DIV {SES_ALPHA_DEN}"
+    )
+    folded = series.select(
+        F.expr(
+            f"""aggregate(
+              slice(arr, 2, size(arr) - 1),
+              struct(CAST(arr[0].x * {SES_SCALE} AS BIGINT) AS s,
+                     CAST(array(struct(arr[0].day AS day,
+                                       arr[0].x AS x,
+                                       CAST(arr[0].x * {SES_SCALE} AS BIGINT) AS s,
+                                       CAST(0 AS BIGINT) AS e))
+                          AS array<struct<day:date,x:bigint,
+                                          s:bigint,e:bigint>>) AS out),
+              (acc, e) -> struct(
+                {step} AS s,
+                concat(acc.out, array(struct(
+                  e.day AS day, e.x AS x, {step} AS s,
+                  {innov} AS e))) AS out
+              ),
+              acc -> acc.out
+            )"""
+        ).alias("out")
+    )
+    return (
+        folded.select(F.explode("out").alias("o"))
+        .select(
+            F.col("o.day").cast("string").alias("day"),
+            F.col("o.x").alias("x"),
+            F.col("o.s").alias("level_scaled"),
+            F.col("o.e").alias("innovation_scaled"),
+        )
+        .orderBy("day")
+    )
+
+
+_SES_SQL = f"""
+WITH RECURSIVE ev AS (SELECT CAST(ts AS DATE) AS day FROM events),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+counts AS (SELECT day, count(*) AS x FROM ev GROUP BY day),
+dense AS (
+  SELECT s.day, COALESCE(c.x, 0) AS x,
+         row_number() OVER (ORDER BY s.day) AS i
+  FROM spine s LEFT JOIN counts c ON c.day = s.day
+),
+rec AS (
+  SELECT i, day, x, CAST(x * {SES_SCALE} AS BIGINT) AS s,
+         CAST(0 AS BIGINT) AS e
+  FROM dense WHERE i = 1
+  UNION ALL
+  SELECT d.i, d.day, d.x,
+         r.s + ((d.x * {SES_SCALE} - r.s)
+                - (((d.x * {SES_SCALE} - r.s) % {SES_ALPHA_DEN}
+                    + {SES_ALPHA_DEN}) % {SES_ALPHA_DEN}))
+               // {SES_ALPHA_DEN},
+         d.x * {SES_SCALE} - r.s
+  FROM dense d JOIN rec r ON d.i = r.i + 1
+)
+SELECT CAST(day AS VARCHAR) AS day, x,
+       CAST(s AS BIGINT) AS level_scaled,
+       CAST(e AS BIGINT) AS innovation_scaled
+FROM rec ORDER BY day
+"""
+
+
 # --- CUPED variance-reduced experiment readout ------------------------------
 
 
@@ -5825,6 +5928,7 @@ QUERIES = {
     ),
     "events_abtest_chi2": (q_events_abtest_chi2, _ABTEST_SQL),
     "events_cuped_adjust": (q_events_cuped_adjust, _cuped_sql()),
+    "events_ses_forecast": (q_events_ses_forecast, _SES_SQL),
     "events_path_trigrams": (q_events_path_trigrams, _PATH_TRIGRAM_SQL),
     "orders_backlog_aging": (q_orders_backlog_aging, _BACKLOG_SQL),
 }

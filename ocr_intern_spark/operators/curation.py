@@ -442,6 +442,97 @@ ORDER BY media_id, frame_idx
 """
 
 
+SCENE_CUT_HAMMING = 30  # consecutive-frame signature distance cut
+
+
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection over the REAL frame-sampling stage:
+    frames flow through the mapInPandas Arrow stage (the fake codec
+    behind the MediaCodec seam — same honest-sandbox policy as
+    frame_sample/phash), each frame gets a 60-bit signature from its
+    content sha, and a cut fires where the Hamming distance between
+    consecutive signatures crosses the threshold; scenes are the
+    running count of cuts. This is the shot-segmentation pass a
+    video-curation pipeline runs before per-scene captioning/
+    sampling — the real codec would emit a perceptual signature,
+    the plumbing (Arrow stage → lag window → running sum) is
+    identical.
+
+    Scale shape: one mapInPandas pass over the wide payload rows
+    (hash-repartitioned by media), then ALL windows partition by
+    media_id with ≤frames_per_video rows per frame — bounded. The
+    signature is 15 hex chars (60 bits) so it stays inside signed
+    BIGINT in both engines; Hamming = bit_count(xor)."""
+    from ocr_intern_spark.operators.multimodal import sample_video_frames
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(48).alias("height"),
+            F.lit(4000).alias("duration_ms"),
+            (F.lit(2) + F.col("doc_id") % 7).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    frames = sample_video_frames(media, frames_per_video=4)
+    sig = F.conv(F.substring("frame_sha", 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    sigged = frames.select("media_id", "frame_idx", sig.alias("sig"))
+    ham = F.expr("bit_count(sig ^ prev_sig)")
+    return (
+        sigged.withColumn("prev_sig", F.lag("sig").over(w))
+        .select(
+            "media_id",
+            "frame_idx",
+            F.coalesce(ham, F.lit(-1)).cast("int").alias("hamming"),
+            (
+                F.col("prev_sig").isNull()
+                | (ham >= SCENE_CUT_HAMMING)
+            ).alias("is_cut"),
+        )
+        .withColumn(
+            "scene_id",
+            F.sum(F.col("is_cut").cast("int")).over(w).cast("int"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+_SCENE_CUTS_SQL = f"""
+WITH frames AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(u.i AS INT) AS frame_idx,
+         CAST(('0x' || substr(md5(text || chr(CAST(u.i AS INT))), 1, 15))
+              AS BIGINT) AS sig
+  FROM documents, unnest(range(least(4, 2 + doc_id % 7))) AS u(i)
+),
+lagged AS (
+  SELECT media_id, frame_idx, sig,
+         lag(sig) OVER (PARTITION BY media_id ORDER BY frame_idx)
+           AS prev_sig
+  FROM frames
+),
+cuts AS (
+  SELECT media_id, frame_idx,
+         CAST(COALESCE(bit_count(xor(sig, prev_sig)), -1) AS INT)
+           AS hamming,
+         (prev_sig IS NULL
+          OR bit_count(xor(sig, prev_sig)) >= {SCENE_CUT_HAMMING})
+           AS is_cut
+  FROM lagged
+)
+SELECT media_id, frame_idx, hamming, is_cut,
+       CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+            OVER (PARTITION BY media_id ORDER BY frame_idx) AS INT)
+         AS scene_id
+FROM cuts
+ORDER BY media_id, frame_idx
+"""
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup through the REAL multimodal aHash
     stage (operators/multimodal.image_ahash: hash-repartitioned
@@ -3331,6 +3422,7 @@ QUERIES = {
     "text_source_mix_weights": (q_source_mix_weights, _MIX_SQL),
     "multimodal_interleaved_pack": (q_interleaved_pack, _INTERLEAVED_SQL),
     "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
+    "multimodal_scene_cuts": (q_scene_cuts, _SCENE_CUTS_SQL),
     "multimodal_phash_dedup": (q_phash_dedup, _PHASH_DEDUP_SQL),
     "multimodal_caption_align": (q_caption_align, _CAPTION_ALIGN_SQL),
     "text_contrastive_views": (q_contrastive_views, _CONTRASTIVE_SQL),

@@ -609,6 +609,128 @@ ORDER BY shard_id
 """
 
 
+# --- clustering-depth audit (zonemap overlap health) -----------------------
+
+DEPTH_FILE_ROWS = 20  # docs per synthesized data file
+
+
+def q_clustering_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit — the metric OPTIMIZE planners
+    (Delta/Iceberg) use to decide whether a table needs re-
+    clustering: for each data file's [min, max] zonemap on the sort
+    column, DEPTH = how many file ranges overlap it; avg/max depth
+    near 1 means scans prune cleanly, high depth means every filter
+    touches many files. Two layouts of the SAME rows are audited
+    side by side: the NATURAL ingest layout (file = doc_id DIV 20)
+    and a CLUSTERED layout where files are carved from the
+    skew.global_rank order on (n_chars, doc_id) — the TeraSort-
+    shaped rewrite an OPTIMIZE would run — so the output is the
+    before/after readout that justifies the rewrite.
+
+    Depth per file avoids the quadratic interval join: depth(f) =
+    n_files − #files entirely right of f − #files entirely left of
+    f, computed against the SORTED endpoint arrays collected into
+    one metadata-sized row (n_files is manifest-scale, ≤10⁷ at
+    100 TB — and the per-file probe is a filter over that bounded
+    array, not a file×file join).
+
+    Scale shape: the clustered carve is one global_rank pass over
+    the corpus (range exchange); everything after the per-file
+    min/max aggregate is metadata-plane."""
+    from ocr_intern_spark.operators.skew import global_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("long").alias("k")
+    )
+    natural = docs.select(
+        F.expr(f"doc_id DIV {DEPTH_FILE_ROWS}").alias("file_id"), "k"
+    )
+    ranked = global_rank(docs, F.asc("k"), F.asc("doc_id")).select(
+        F.expr(f"(rank - 1) DIV {DEPTH_FILE_ROWS}").alias("file_id"),
+        "k",
+    )
+
+    def depth(layout: DataFrame, name: str) -> DataFrame:
+        zm = layout.groupBy("file_id").agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        )
+        ends = zm.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.array_sort(F.collect_list("lo")).alias("los"),
+            F.array_sort(F.collect_list("hi")).alias("his"),
+        )
+        per = zm.crossJoin(F.broadcast(ends)).select(
+            "file_id",
+            (
+                F.col("n_files")
+                - F.expr("size(filter(los, v -> v > hi))")
+                - F.expr("size(filter(his, v -> v < lo))")
+            ).alias("depth"),
+            "n_files",
+        )
+        return per.groupBy().agg(
+            F.lit(name).alias("layout"),
+            F.max("n_files").alias("n_files"),
+            F.max("depth").alias("max_depth"),
+            F.sum("depth").alias("sum_depth"),
+            F.expr(
+                "CAST(sum(depth) * 100 DIV max(n_files) AS BIGINT)"
+            ).alias("avg_depth_centi"),
+        )
+
+    return (
+        depth(natural, "natural")
+        .unionAll(depth(ranked, "clustered"))
+        .select(
+            "layout", "n_files", "max_depth", "sum_depth", "avg_depth_centi"
+        )
+        .orderBy("layout")
+    )
+
+
+_DEPTH_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS k FROM documents
+),
+nat AS (
+  SELECT doc_id // {DEPTH_FILE_ROWS} AS file_id, k FROM docs
+),
+rk AS (
+  SELECT k, row_number() OVER (ORDER BY k, doc_id) AS rank FROM docs
+),
+clu AS (
+  SELECT (rank - 1) // {DEPTH_FILE_ROWS} AS file_id, k FROM rk
+),
+depth_nat AS (
+  SELECT z.file_id,
+         (SELECT count(*) FROM (SELECT file_id, min(k) lo, max(k) hi
+                                FROM nat GROUP BY file_id) g
+          WHERE g.lo <= z.hi AND g.hi >= z.lo) AS depth
+  FROM (SELECT file_id, min(k) lo, max(k) hi
+        FROM nat GROUP BY file_id) z
+),
+depth_clu AS (
+  SELECT z.file_id,
+         (SELECT count(*) FROM (SELECT file_id, min(k) lo, max(k) hi
+                                FROM clu GROUP BY file_id) g
+          WHERE g.lo <= z.hi AND g.hi >= z.lo) AS depth
+  FROM (SELECT file_id, min(k) lo, max(k) hi
+        FROM clu GROUP BY file_id) z
+)
+SELECT 'clustered' AS layout, count(*) AS n_files,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       CAST(sum(depth) AS BIGINT) AS sum_depth,
+       CAST(sum(depth) * 100 // count(*) AS BIGINT) AS avg_depth_centi
+FROM depth_clu
+UNION ALL
+SELECT 'natural', count(*),
+       CAST(max(depth) AS BIGINT), CAST(sum(depth) AS BIGINT),
+       CAST(sum(depth) * 100 // count(*) AS BIGINT)
+FROM depth_nat
+ORDER BY layout
+"""
+
+
 # --- Hilbert-curve clustering key (vs Z-order) -----------------------------
 
 HILBERT_ORDER = 8                 # 8 bits/axis → 256×256 grid
@@ -883,4 +1005,5 @@ QUERIES = {
     "table_shard_manifest": (q_shard_manifest, _SHARD_MANIFEST_SQL),
     "table_delete_vector_apply": (q_delete_vector_apply, _DV_SQL),
     "table_hilbert_order": (q_hilbert_order, _hilbert_sql()),
+    "table_clustering_depth_audit": (q_clustering_depth_audit, _DEPTH_SQL),
 }

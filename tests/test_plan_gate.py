@@ -43,6 +43,9 @@ _BNLJ_ALLOWED = frozenset(
         "events_hll_sketch",
         "orders_backlog_aging",
         "events_cuped_adjust",
+        # clustering-depth audit: 1-row endpoint-ARRAY frame broadcast
+        # (n_files is manifest-scale metadata, bounded):
+        "table_clustering_depth_audit",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

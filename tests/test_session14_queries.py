@@ -945,3 +945,123 @@ def test_random_walks_reference(spark, tmp_path):
         adj[d] for d in ids
     )
     assert any(len(adj[d]) > 1 for d in ids)
+
+
+def test_ses_forecast_reference(spark, tmp_path):
+    """SES recurrence recomputed serially with floor at every step,
+    including a gap day (x=0 -> strongly negative innovation)."""
+    from ocr_intern_spark.operators.analytics import (
+        SES_ALPHA_DEN,
+        SES_SCALE,
+        q_events_ses_forecast,
+    )
+
+    ts = datetime.datetime
+    counts = {1: 5, 2: 2, 4: 7, 5: 1}  # day 3 gap
+    rows = []
+    eid = 0
+    for day, n in counts.items():
+        for i in range(n):
+            eid += 1
+            rows.append((eid, ts(2024, 10, day, 9, i)))
+    sf = _write(spark, tmp_path, "events", rows, "event_id long, ts timestamp")
+
+    series = [counts.get(d, 0) for d in range(1, 6)]
+    s = series[0] * SES_SCALE
+    expect = [("2024-10-01", series[0], s, 0)]
+    import math
+
+    for t in range(1, 5):
+        e = series[t] * SES_SCALE - s
+        s = s + math.floor(e / SES_ALPHA_DEN)
+        expect.append((f"2024-10-0{t + 1}", series[t], s, e))
+    got = [tuple(r) for r in q_events_ses_forecast(spark, sf).collect()]
+    assert got == expect
+    assert any(e < 0 for *_, e in expect)  # negative innovation floored
+
+
+def test_clustering_depth_reference(spark, tmp_path):
+    """Depth audit recomputed serially on a corpus whose natural
+    layout interleaves two value bands (deep overlap) while the
+    clustered carve separates them (depth collapses)."""
+    from ocr_intern_spark.operators.maintenance import (
+        DEPTH_FILE_ROWS,
+        q_clustering_depth_audit,
+    )
+
+    n = 80
+    rows = [
+        (d, f"t{d}", "en", "s", (d % 2) * 1000 + d)  # interleaved bands
+        for d in range(n)
+    ]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def audit(assign):
+        zm = {}
+        for d, _, _, _, k in rows:
+            f = assign(d, k)
+            lo, hi = zm.get(f, (k, k))
+            zm[f] = (min(lo, k), max(hi, k))
+        depths = {
+            f: sum(
+                1
+                for g in zm.values()
+                if g[0] <= zm[f][1] and g[1] >= zm[f][0]
+            )
+            for f in zm
+        }
+        nf = len(zm)
+        sd = sum(depths.values())
+        return (nf, max(depths.values()), sd, sd * 100 // nf)
+
+    nat = audit(lambda d, k: d // DEPTH_FILE_ROWS)
+    order = sorted((k, d) for d, _, _, _, k in rows)
+    rank_of = {d: i + 1 for i, (k, d) in enumerate(order)}
+    clu = audit(lambda d, k: (rank_of[d] - 1) // DEPTH_FILE_ROWS)
+    expect = [("clustered",) + clu, ("natural",) + nat]
+    got = [tuple(r) for r in q_clustering_depth_audit(spark, sf).collect()]
+    assert got == expect
+    # the rewrite actually helps: clustered depth strictly lower
+    assert clu[1] < nat[1] and clu[3] < nat[3]
+
+
+def test_scene_cuts_reference(spark, tmp_path):
+    """Scene segmentation recomputed with hashlib over the fake-codec
+    frame shas: signature, hamming, cuts, and running scene ids."""
+    import hashlib
+
+    from ocr_intern_spark.operators.curation import (
+        SCENE_CUT_HAMMING,
+        q_scene_cuts,
+    )
+
+    rows = [(d, f"video payload {d} xyz", "en", "s", 2) for d in range(12)]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    expect = []
+    for d, text, *_ in rows:
+        nf = min(4, 2 + d % 7)
+        prev = None
+        scene = 0
+        for i in range(nf):
+            sha = hashlib.md5(text.encode() + bytes([i])).hexdigest()
+            sig = int(sha[:15], 16)
+            if prev is None:
+                ham, cut = -1, True
+            else:
+                ham = bin(sig ^ prev).count("1")
+                cut = ham >= SCENE_CUT_HAMMING
+            scene += 1 if cut else 0
+            expect.append((str(d), i, ham, cut, scene))
+            prev = sig
+    expect.sort(key=lambda r: (r[0], r[1]))
+    got = [tuple(r) for r in q_scene_cuts(spark, sf).collect()]
+    assert got == expect
+    # non-vacuous: at least one non-cut continuation and one real cut
+    flags = [c for _, i, _, c, _ in expect if i > 0]
+    assert True in flags and False in flags
