@@ -416,6 +416,7 @@ _DEFERRED: list[str] = [
     "events_ses_forecast",
     "table_clustering_depth_audit",
     "multimodal_scene_cuts",
+    "events_bootstrap_ci",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

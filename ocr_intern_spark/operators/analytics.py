@@ -4668,6 +4668,150 @@ FROM chi
 """
 
 
+# --- Poisson bootstrap confidence interval ----------------------------------
+
+BOOT_B = 200  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds on a 12-bit hash (4096 grain):
+# P(0)=P(1)=e⁻¹≈.3679→1507 each, P(2)≈.1839→753, P(3)≈.0613→251,
+# tail mass → w=4. Fixed integer constants so both engines draw the
+# identical weight for the identical (replicate, user) hash.
+BOOT_T0, BOOT_T1, BOOT_T2, BOOT_T3 = 1507, 3014, 3767, 4018
+
+
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean events/user —
+    THE distributed resampling method (each replicate re-weights
+    every unit by an independent Poisson(1) draw, so no replicate
+    ever needs a shuffled global sample), made fully DETERMINISTIC:
+    the weight for (replicate b, user u) is the Poisson(1)
+    inverse-CDF bucket of md5(b:u) mod 4096 under fixed integer
+    thresholds. Replicate means are exact rationals Σwx/Σw compared
+    by their floor-ppm value (tie-broken by replicate id), and the
+    interval is the 2.5%/97.5% order statistics of the B=200
+    replicate distribution — no variance formula, no normality
+    assumption, no float.
+
+    Scale shape: the corpus is touched ONCE (per-user counts); the
+    bootstrap explodes the USER-GRAIN frame ×B (users × 200 — unit
+    grain, not event grain), one (replicate) aggregate, and the
+    order statistics run on the B-row frame (bounded by config).
+    At 10^12 events this is exactly how production bootstraps run:
+    resampling happens at the aggregate grain, weighted, in one
+    pass."""
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    weighted = per_user.select(
+        "user_id",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+    ).select(
+        "b",
+        "x",
+        F.expr(
+            f"""CASE
+              WHEN conv(substring(md5(concat(CAST(b AS STRING), ':',
+                        CAST(user_id AS STRING))), 1, 8), 16, 10)
+                   % 4096 < {BOOT_T0} THEN 0
+              WHEN conv(substring(md5(concat(CAST(b AS STRING), ':',
+                        CAST(user_id AS STRING))), 1, 8), 16, 10)
+                   % 4096 < {BOOT_T1} THEN 1
+              WHEN conv(substring(md5(concat(CAST(b AS STRING), ':',
+                        CAST(user_id AS STRING))), 1, 8), 16, 10)
+                   % 4096 < {BOOT_T2} THEN 2
+              WHEN conv(substring(md5(concat(CAST(b AS STRING), ':',
+                        CAST(user_id AS STRING))), 1, 8), 16, 10)
+                   % 4096 < {BOOT_T3} THEN 3
+              ELSE 4 END"""
+        ).alias("w"),
+    )
+    reps = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "b",
+            F.expr(
+                "CAST(IF(sw = 0, 0, swx * 1000000 DIV sw) AS BIGINT)"
+            ).alias("mean_ppm"),
+        )
+    )
+    # bounded-window: rank runs on the B-row replicate frame
+    # (config-sized, 200 rows at any corpus size)
+    ranked = reps.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy("mean_ppm", "b")),
+    )
+    point = per_user.agg(
+        F.expr("CAST(sum(x) * 1000000 DIV count(*) AS BIGINT)").alias(
+            "point_ppm"
+        )
+    )
+    lo_r = max(1, int(BOOT_B * 25 // 1000))
+    hi_r = int(BOOT_B * 975 // 1000)
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_replicates"),
+            F.min(F.when(F.col("r") == lo_r, F.col("mean_ppm"))).alias(
+                "ci_lo_ppm"
+            ),
+            F.min(F.when(F.col("r") == hi_r, F.col("mean_ppm"))).alias(
+                "ci_hi_ppm"
+            ),
+        )
+        .crossJoin(F.broadcast(point))
+        .select("n_replicates", "point_ppm", "ci_lo_ppm", "ci_hi_ppm")
+    )
+
+
+def _bootstrap_sql() -> str:
+    h = (
+        "CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' || "
+        "CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4096"
+    )
+    lo_r = max(1, BOOT_B * 25 // 1000)
+    hi_r = BOOT_B * 975 // 1000
+    return f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+),
+weighted AS (
+  SELECT b.b, x,
+         CASE WHEN {h} < {BOOT_T0} THEN 0
+              WHEN {h} < {BOOT_T1} THEN 1
+              WHEN {h} < {BOOT_T2} THEN 2
+              WHEN {h} < {BOOT_T3} THEN 3
+              ELSE 4 END AS w
+  FROM per_user, (SELECT unnest(range(1, {BOOT_B} + 1)) AS b) AS b
+),
+reps AS (
+  SELECT b,
+         CAST(CASE WHEN sum(w) = 0 THEN 0
+                   ELSE sum(w * x) * 1000000 // sum(w)
+              END AS BIGINT) AS mean_ppm
+  FROM weighted GROUP BY b
+),
+ranked AS (
+  SELECT mean_ppm,
+         row_number() OVER (ORDER BY mean_ppm, b) AS r
+  FROM reps
+),
+point AS (
+  SELECT CAST(sum(x) * 1000000 // count(*) AS BIGINT) AS point_ppm
+  FROM per_user
+)
+SELECT (SELECT count(*) FROM reps) AS n_replicates,
+       p.point_ppm,
+       (SELECT mean_ppm FROM ranked WHERE r = {lo_r}) AS ci_lo_ppm,
+       (SELECT mean_ppm FROM ranked WHERE r = {hi_r}) AS ci_hi_ppm
+FROM point p
+"""
+
+
 # --- simple exponential smoothing forecast ----------------------------------
 
 SES_ALPHA_DEN = 4   # α = 1/4
@@ -5929,6 +6073,7 @@ QUERIES = {
     "events_abtest_chi2": (q_events_abtest_chi2, _ABTEST_SQL),
     "events_cuped_adjust": (q_events_cuped_adjust, _cuped_sql()),
     "events_ses_forecast": (q_events_ses_forecast, _SES_SQL),
+    "events_bootstrap_ci": (q_events_bootstrap_ci, _bootstrap_sql()),
     "events_path_trigrams": (q_events_path_trigrams, _PATH_TRIGRAM_SQL),
     "orders_backlog_aging": (q_orders_backlog_aging, _BACKLOG_SQL),
 }

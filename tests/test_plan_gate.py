@@ -46,6 +46,7 @@ _BNLJ_ALLOWED = frozenset(
         # clustering-depth audit: 1-row endpoint-ARRAY frame broadcast
         # (n_files is manifest-scale metadata, bounded):
         "table_clustering_depth_audit",
+        "events_bootstrap_ci",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

@@ -1065,3 +1065,56 @@ def test_scene_cuts_reference(spark, tmp_path):
     # non-vacuous: at least one non-cut continuation and one real cut
     flags = [c for _, i, _, c, _ in expect if i > 0]
     assert True in flags and False in flags
+
+
+def test_bootstrap_ci_reference(spark, tmp_path):
+    """Poisson bootstrap recomputed with hashlib: identical weights,
+    replicate means, order statistics, and the weight distribution
+    really is Poisson-ish (all five buckets drawn)."""
+    import hashlib
+
+    from ocr_intern_spark.operators.analytics import (
+        BOOT_B,
+        BOOT_T0,
+        BOOT_T1,
+        BOOT_T2,
+        BOOT_T3,
+        q_events_bootstrap_ci,
+    )
+
+    ts = datetime.datetime
+    counts = {u: 1 + (u * 13) % 9 for u in range(40)}
+    rows = []
+    eid = 0
+    for u, n in counts.items():
+        for i in range(n):
+            eid += 1
+            rows.append((eid, ts(2024, 11, 1 + i % 20), u, "click", 0.0, "{}"))
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    def weight(b, u):
+        h = int(hashlib.md5(f"{b}:{u}".encode()).hexdigest()[:8], 16) % 4096
+        return 0 if h < BOOT_T0 else 1 if h < BOOT_T1 else \
+            2 if h < BOOT_T2 else 3 if h < BOOT_T3 else 4
+
+    means = []
+    seen_w = set()
+    for b in range(1, BOOT_B + 1):
+        swx = sw = 0
+        for u, x in counts.items():
+            w = weight(b, u)
+            seen_w.add(w)
+            swx += w * x
+            sw += w
+        means.append((swx * 1_000_000 // sw if sw else 0, b))
+    means.sort()
+    lo = means[max(1, BOOT_B * 25 // 1000) - 1][0]
+    hi = means[BOOT_B * 975 // 1000 - 1][0]
+    point = sum(counts.values()) * 1_000_000 // len(counts)
+    got = tuple(q_events_bootstrap_ci(spark, sf).collect()[0])
+    assert got == (BOOT_B, point, lo, hi)
+    assert lo < point < hi and seen_w == {0, 1, 2, 3, 4}
