@@ -417,6 +417,9 @@ _DEFERRED: list[str] = [
     "table_clustering_depth_audit",
     "multimodal_scene_cuts",
     "events_bootstrap_ci",
+    "text_cdc_shift_certificate",
+    "multimodal_phash_band_neardup",
+    "table_vacuum_orphans",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

@@ -2499,10 +2499,27 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp → counts, both map-side combinable. The md5-of-joined-words
     chunk fingerprint never ships more than one chunk's words through
     a shuffle."""
+    d = _docs(spark, sf_dir).where(F.length(F.trim(F.col("text"))) > 0)
+    chunks = cdc_doc_chunks(d)
+    return (
+        chunks.groupBy("fp")
+        .agg(
+            F.min("n_words").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("fp")
+    )
+
+
+def cdc_doc_chunks(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, n_words, fp) rows for the CDC cut rule —
+    shared by the chunk-dedup view and the shift-resilience
+    certificate (which chunks the same docs twice)."""
     from ocr_intern_spark.functions.hashing import fnv1a64_spark
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf_dir).where(F.length(F.trim(F.col("text"))) > 0)
     toks = d.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
@@ -2530,7 +2547,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.coalesce(F.sum("_b").over(w_doc), F.lit(0)).alias("chunk_id"),
     )
-    chunks = ch.groupBy("doc_id", "chunk_id").agg(
+    return ch.groupBy("doc_id", "chunk_id").agg(
         F.count("*").alias("n_words"),
         F.md5(
             F.concat_ws(
@@ -2541,16 +2558,6 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("fp"),
-    )
-    return (
-        chunks.groupBy("fp")
-        .agg(
-            F.min("n_words").cast("long").alias("n_words"),
-            F.count("*").cast("long").alias("n_occ"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.min("doc_id").cast("long").alias("first_doc"),
-        )
-        .orderBy("fp")
     )
 
 
@@ -2600,9 +2607,186 @@ FROM chunks GROUP BY fp ORDER BY fp
 """
 
 
+CDC_SHIFT_PREFIX = "zshiftz"   # one-word prefix insert (the edit)
+CDC_FIXED_W = 16               # fixed-size comparison: 16-word blocks
+
+
+def q_cdc_shift_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shift-resilience LAW of content-defined chunking,
+    measured as a certificate: insert ONE word at the front of every
+    document, re-chunk, and report what fraction of each document's
+    chunk fingerprints survive — for the CDC cut rule AND for
+    fixed-size blocks of the same expected length. CDC survives the
+    edit (only the chunk containing the insertion changes — the
+    whole reason dedup stores use rolling-hash cuts), while the
+    fixed-size grid shifts every block by one word and loses
+    essentially everything. Both numbers come from the identical
+    pipeline, so the output row pair IS the experimental proof of
+    the design choice q_cdc_chunks narrates.
+
+    Scale shape: the corpus is chunked twice per method (original +
+    shifted — a constant ×2), fingerprint sets are (doc, fp) hash
+    aggregates, and survival is one equi-join on (doc_id, fp); no
+    windows beyond the per-doc chunkers'."""
+    d = _docs(spark, sf_dir).where(F.length(F.trim(F.col("text"))) > 0)
+    shifted = d.select(
+        "doc_id",
+        F.concat(F.lit(CDC_SHIFT_PREFIX + " "), F.col("text")).alias("text"),
+    )
+
+    def fixed_fps(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("pos", "w"),
+        )
+        return (
+            toks.groupBy(
+                "doc_id", F.expr(f"pos DIV {CDC_FIXED_W}").alias("seg")
+            )
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.expr(
+                            "transform(array_sort(collect_list("
+                            "struct(pos, w))), s -> s.w)"
+                        ),
+                    )
+                ).alias("fp")
+            )
+            .select("doc_id", "fp")
+            .distinct()
+        )
+
+    def cdc_fps(frame: DataFrame) -> DataFrame:
+        return cdc_doc_chunks(frame).select("doc_id", "fp").distinct()
+
+    def audit(base: DataFrame, shift: DataFrame, name: str) -> DataFrame:
+        nb = base.groupBy().agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        ns = shift.groupBy().agg(F.count(F.lit(1)).alias("n_shift"))
+        sh = base.join(shift, ["doc_id", "fp"]).agg(
+            F.count(F.lit(1)).alias("n_shared")
+        )
+        return (
+            nb.crossJoin(F.broadcast(ns))
+            .crossJoin(F.broadcast(sh))
+            .select(
+                F.lit(name).alias("method"),
+                "n_docs",
+                "n_base",
+                "n_shift",
+                "n_shared",
+                F.expr(
+                    "CAST(n_shared * 1000000 DIV n_base AS BIGINT)"
+                ).alias("survival_ppm"),
+            )
+        )
+
+    return (
+        audit(cdc_fps(d), cdc_fps(shifted), "cdc")
+        .unionAll(audit(fixed_fps(d), fixed_fps(shifted), "fixed"))
+        .orderBy("method")
+    )
+
+
+def _cdc_shift_sql() -> str:
+    from ocr_intern_spark.functions.hashing import fnv1a64_duckdb
+
+    h = fnv1a64_duckdb("_pair")
+
+    def cdc_fps(src: str, p: str) -> str:
+        return f"""
+{p}tok AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS w
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM {src}),
+       LATERAL (SELECT unnest(range(0, len(toks))) AS i)
+),
+{p}bnd AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN _pair IS NOT NULL
+                   AND (({h}) % {CDC_MOD} + {CDC_MOD}) % {CDC_MOD}
+                       = {CDC_CUT}
+              THEN 1 ELSE 0 END AS b
+  FROM (SELECT doc_id, pos, w,
+               lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || w AS _pair
+        FROM {p}tok)
+),
+{p}fps AS (
+  SELECT DISTINCT doc_id,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+  FROM (
+    SELECT doc_id, pos, w,
+           coalesce(sum(b) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS chunk_id
+    FROM {p}bnd
+  )
+  GROUP BY doc_id, chunk_id
+)"""
+
+    def fixed_fps(src: str, p: str) -> str:
+        return f"""
+{p}fps AS (
+  SELECT DISTINCT doc_id,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+  FROM (
+    SELECT doc_id, i AS pos, toks[i + 1] AS w,
+           i // {CDC_FIXED_W} AS seg
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM {src}),
+         LATERAL (SELECT unnest(range(0, len(toks))) AS i)
+  )
+  GROUP BY doc_id, seg
+)"""
+
+    def audit(pb: str, ps: str, name: str) -> str:
+        return f"""
+SELECT '{name}' AS method,
+       (SELECT count(DISTINCT doc_id) FROM {pb}fps) AS n_docs,
+       (SELECT count(*) FROM {pb}fps) AS n_base,
+       (SELECT count(*) FROM {ps}fps) AS n_shift,
+       (SELECT count(*) FROM {pb}fps a JOIN {ps}fps b
+        USING (doc_id, fp)) AS n_shared,
+       CAST((SELECT count(*) FROM {pb}fps a JOIN {ps}fps b
+             USING (doc_id, fp)) * 1000000
+            // (SELECT count(*) FROM {pb}fps) AS BIGINT) AS survival_ppm"""
+
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+),
+docs1 AS (
+  SELECT doc_id, '{CDC_SHIFT_PREFIX} ' || text AS text FROM docs0
+),
+{cdc_fps('docs0', 'cb')},
+{cdc_fps('docs1', 'cs')},
+{fixed_fps('docs0', 'fb')},
+{fixed_fps('docs1', 'fs')}
+{audit('cb', 'cs', 'cdc')}
+UNION ALL
+{audit('fb', 'fs', 'fixed')}
+ORDER BY method
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, _TOKEN_STATS_SQL),
     "text_cdc_chunks": (q_cdc_chunks, _cdc_sql()),
+    # certificate: CDC survives a prefix edit, the fixed grid doesn't
+    "text_cdc_shift_certificate": (
+        q_cdc_shift_certificate,
+        _cdc_shift_sql(),
+    ),
     "text_readability_fk": (q_readability_fk, _FK_SQL),
     "text_allpairs_cosine": (q_allpairs_cosine, _ALLPAIRS_SQL),
     "text_gopher_quality_flags": (q_gopher_quality_flags, _GOPHER_QUALITY_SQL),

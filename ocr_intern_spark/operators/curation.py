@@ -585,6 +585,96 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHBAND_T = 3   # Hamming radius the 4×16-bit banding must cover
+PHBAND_N = 4   # bands
+PHBAND_W = 16  # bits per band
+
+
+def q_phash_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-dup pairs via Hamming-space banding —
+    the scale path q_phash_dedup's docstring promises, executed: the
+    64-bit aHash splits into 4×16-bit bands, candidate pairs share
+    at least one band (pigeonhole: any pair within Hamming ≤ 3 must
+    agree on ≥1 of 4 bands — the MinHash-LSH band argument in
+    Hamming space), and candidates verify with the exact
+    bit_count(xor) distance. Band extraction is (code >> 16·i) &
+    0xFFFF — the mask makes arithmetic-vs-logical shift moot, so
+    the key is engine-portable even for negative signed codes.
+
+    Certification (content-level, the phash_dedup pattern): the
+    fake-codec codes are full-entropy functions of the 64-char
+    payload prefix, so the only pairs within Hamming ≤ 3 are exact
+    payload duplicates (a random distinct pair lands there with
+    p ≈ 4·10⁴/2⁶⁴; corpus-wide ≈ 3·10⁻¹¹ — negligible), and the
+    oracle emits exactly the equal-prefix pairs at distance 0.
+    Hash equality therefore proves the band join found every exact
+    dup and admitted zero spurious near-collisions.
+
+    Scale shape: the band join runs on (band_idx, 16-bit key) —
+    map-side-combinable candidate generation, ×4 constant expansion,
+    never an all-pairs Hamming scan; verification joins the ≤dup-
+    sized candidate set back to the 8-byte codes."""
+    from ocr_intern_spark.operators.multimodal import (
+        ChainedFakeCodec,
+        image_ahash,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"),
+    )
+    codes = (
+        image_ahash(media, codec=ChainedFakeCodec())
+        .select(F.col("media_id").cast("long").alias("doc"), "ahash")
+        .persist()
+    )
+    bands = codes.select(
+        "doc",
+        "ahash",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(PHBAND_N - 1))
+        ).alias("i"),
+    ).select(
+        "doc",
+        "i",
+        F.expr(f"shiftright(ahash, i * {PHBAND_W}) & 65535").alias("bv"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .distinct()
+    )
+    ca = codes.select(F.col("doc").alias("da"), F.col("ahash").alias("ha"))
+    cb = codes.select(F.col("doc").alias("db"), F.col("ahash").alias("hb"))
+    return (
+        cand.join(ca, "da")
+        .join(cb, "db")
+        .select(
+            F.col("da").alias("a"),
+            F.col("db").alias("b"),
+            F.expr("bit_count(ha ^ hb)").cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= PHBAND_T)
+        .orderBy("a", "b")
+    )
+
+
+_PHBAND_SQL = """
+SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS INT) AS hamming
+FROM documents a JOIN documents b
+  ON substr(a.text, 1, 64) = substr(b.text, 1, 64)
+ AND a.doc_id < b.doc_id
+ORDER BY a, b
+"""
+
+
 CAP_W = 4  # caption window: words kept on each side of the media unit
 
 
@@ -3423,6 +3513,9 @@ QUERIES = {
     "multimodal_interleaved_pack": (q_interleaved_pack, _INTERLEAVED_SQL),
     "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
     "multimodal_scene_cuts": (q_scene_cuts, _SCENE_CUTS_SQL),
+    # content-level ground-truth oracle: hash equality proves the
+    # 4x16 Hamming banding found every exact dup, nothing spurious
+    "multimodal_phash_band_neardup": (q_phash_band_neardup, _PHBAND_SQL),
     "multimodal_phash_dedup": (q_phash_dedup, _PHASH_DEDUP_SQL),
     "multimodal_caption_align": (q_caption_align, _CAPTION_ALIGN_SQL),
     "text_contrastive_views": (q_contrastive_views, _CONTRASTIVE_SQL),

@@ -609,6 +609,83 @@ ORDER BY shard_id
 """
 
 
+# --- VACUUM orphan-file scan -----------------------------------------------
+
+VACUUM_RETENTION_DAYS = 30
+
+
+def q_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning (Delta VACUUM / Iceberg remove_orphan_files):
+    reconcile the PHYSICAL storage listing against the manifest's
+    live file set — files on disk but unreferenced are orphans
+    (failed writers, compacted-away inputs, aborted snapshots), and
+    only orphans OLDER than the retention window are delete-eligible
+    (younger ones may belong to in-flight commits — deleting them is
+    the classic vacuum-too-aggressive corruption). Synthesis: every
+    doc is a storage file with age doc_id mod 90 days; the manifest
+    references all but the doc_id ≡ 3 (mod 7) files (standing in for
+    rewrite leftovers).
+
+    Output: one row per class (live / orphan_retained /
+    orphan_delete) with file count and byte totals (digit string).
+
+    Scale shape: metadata-plane — one anti-join of two manifest-
+    sized listings + ONE ≤3-group aggregate. At 100 TB the storage
+    listing is the only big input (10⁷ rows) and the join is keyed
+    on file path."""
+    storage = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("data/f"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        (F.col("doc_id") % 90).cast("long").alias("age_days"),
+        F.col("n_chars").cast("long").alias("bytes"),
+        (F.col("doc_id") % 7 == 3).alias("_orphan"),
+    )
+    live = storage.where(~F.col("_orphan")).select("path")
+    status = (
+        storage.join(live.withColumn("_live", F.lit(True)), "path", "left")
+        .select(
+            "path",
+            "bytes",
+            F.when(F.col("_live"), "live")
+            .when(
+                F.col("age_days") > VACUUM_RETENTION_DAYS, "orphan_delete"
+            )
+            .otherwise("orphan_retained")
+            .alias("status"),
+        )
+    )
+    return (
+        status.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.col("bytes").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("bytes_str"),
+        )
+        .orderBy("status")
+    )
+
+
+_VACUUM_SQL = f"""
+WITH storage AS (
+  SELECT 'data/f' || CAST(doc_id AS VARCHAR) AS path,
+         doc_id % 90 AS age_days,
+         CAST(n_chars AS BIGINT) AS bytes,
+         (doc_id % 7 = 3) AS _orphan
+  FROM documents
+)
+SELECT CASE WHEN NOT _orphan THEN 'live'
+            WHEN age_days > {VACUUM_RETENTION_DAYS} THEN 'orphan_delete'
+            ELSE 'orphan_retained' END AS status,
+       count(*) AS n_files,
+       CAST(sum(bytes) AS VARCHAR) AS bytes_str
+FROM storage
+GROUP BY 1
+ORDER BY status
+"""
+
+
 # --- clustering-depth audit (zonemap overlap health) -----------------------
 
 DEPTH_FILE_ROWS = 20  # docs per synthesized data file
@@ -1006,4 +1083,5 @@ QUERIES = {
     "table_delete_vector_apply": (q_delete_vector_apply, _DV_SQL),
     "table_hilbert_order": (q_hilbert_order, _hilbert_sql()),
     "table_clustering_depth_audit": (q_clustering_depth_audit, _DEPTH_SQL),
+    "table_vacuum_orphans": (q_vacuum_orphans, _VACUUM_SQL),
 }

@@ -47,6 +47,7 @@ _BNLJ_ALLOWED = frozenset(
         # (n_files is manifest-scale metadata, bounded):
         "table_clustering_depth_audit",
         "events_bootstrap_ci",
+        "text_cdc_shift_certificate",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

@@ -1118,3 +1118,131 @@ def test_bootstrap_ci_reference(spark, tmp_path):
     got = tuple(q_events_bootstrap_ci(spark, sf).collect()[0])
     assert got == (BOOT_B, point, lo, hi)
     assert lo < point < hi and seen_w == {0, 1, 2, 3, 4}
+
+
+def test_cdc_shift_certificate_reference(spark, tmp_path):
+    """Shift-resilience law recomputed serially: CDC chunk sets
+    survive a one-word prefix insert, the fixed grid does not."""
+    from ocr_intern_spark.functions.text import (
+        CDC_CUT,
+        CDC_FIXED_W,
+        CDC_MOD,
+        CDC_SHIFT_PREFIX,
+        q_cdc_shift_certificate,
+    )
+    import hashlib
+
+    w = [f"word{i:02d}" for i in range(140)]
+    docs = {d: " ".join(w[(d * 17) % 40 : (d * 17) % 40 + 90]) for d in range(6)}
+    rows = [(d, t, "en", "s", len(t)) for d, t in docs.items()]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def fnv1a64_py(s):
+        h = 14695981039346656037
+        for ch in s:
+            h ^= ord(ch)
+            h = (h * 1099511628211) % (1 << 64)
+        return h  # CDC uses pmod, so the unsigned residue is right
+
+    def cdc_fps(text):
+        # boundary falls AFTER the flagged word (the engine's chunk_id
+        # sums b over STRICTLY EARLIER positions)
+        toks = text.strip().lower().split()
+        fps, cur = set(), []
+        prev = None
+        for t in toks:
+            hit = (
+                prev is not None
+                and fnv1a64_py(f"{prev} {t}") % CDC_MOD == CDC_CUT
+            )
+            cur.append(t)
+            if hit:
+                fps.add(hashlib.md5(" ".join(cur).encode()).hexdigest())
+                cur = []
+            prev = t
+        if cur:
+            fps.add(hashlib.md5(" ".join(cur).encode()).hexdigest())
+        return fps
+
+    def fixed_fps(text):
+        toks = text.strip().lower().split()
+        return {
+            hashlib.md5(
+                " ".join(toks[i : i + CDC_FIXED_W]).encode()
+            ).hexdigest()
+            for i in range(0, len(toks), CDC_FIXED_W)
+        }
+
+    def audit(fn):
+        nb = ns = sh = 0
+        for t in docs.values():
+            base, shift = fn(t), fn(CDC_SHIFT_PREFIX + " " + t)
+            nb += len(base)
+            ns += len(shift)
+            sh += len(base & shift)
+        return (len(docs), nb, ns, sh, sh * 1_000_000 // nb)
+
+    expect = [("cdc",) + audit(cdc_fps), ("fixed",) + audit(fixed_fps)]
+    got = [tuple(r) for r in q_cdc_shift_certificate(spark, sf).collect()]
+    assert got == expect
+    # the law itself: CDC survives, the grid loses (almost) everything
+    assert got[0][5] > 300_000 and got[1][5] < got[0][5] // 3
+
+
+def test_vacuum_orphans_reference(spark, tmp_path):
+    """Orphan classification recomputed serially, all three classes
+    present including a young retained orphan."""
+    from ocr_intern_spark.operators.maintenance import (
+        VACUUM_RETENTION_DAYS,
+        q_vacuum_orphans,
+    )
+
+    # doc_ids chosen so orphans (id%7==3) land both sides of the
+    # retention cut (age = id%90): 3 -> age 3 (retained), 38 -> 38
+    ids = [0, 1, 3, 10, 17, 38, 45, 80]
+    rows = [(d, f"t{d}", "en", "s", 100 + d) for d in ids]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    buckets = {}
+    for d in ids:
+        orphan = d % 7 == 3
+        st = (
+            "live" if not orphan
+            else "orphan_delete" if d % 90 > VACUUM_RETENTION_DAYS
+            else "orphan_retained"
+        )
+        n, b = buckets.get(st, (0, 0))
+        buckets[st] = (n + 1, b + 100 + d)
+    expect = sorted((s, n, str(b)) for s, (n, b) in buckets.items())
+    got = [tuple(r) for r in q_vacuum_orphans(spark, sf).collect()]
+    assert got == expect
+    assert len(expect) == 3  # all classes exercised
+
+
+def test_phash_band_neardup_reference(spark, tmp_path):
+    """Band-join output == exact payload-prefix dup pairs at distance
+    0 (the pigeonhole cover catches them; full-entropy codes admit
+    nothing else)."""
+    from ocr_intern_spark.operators.curation import q_phash_band_neardup
+
+    base = "x" * 64
+    texts = {
+        1: base + " tail one",
+        2: base + " other tail",      # same 64-prefix as 1 and 5
+        3: "y" * 64 + " unique",
+        4: "distinct prefix " + "z" * 60,
+        5: base,                      # exactly the prefix
+    }
+    rows = [(d, t, "en", "s", len(t)) for d, t in texts.items()]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    expect = [(1, 2, 0), (1, 5, 0), (2, 5, 0)]
+    got = [tuple(r) for r in q_phash_band_neardup(spark, sf).collect()]
+    assert got == expect
