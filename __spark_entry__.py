@@ -420,6 +420,7 @@ _DEFERRED: list[str] = [
     "text_cdc_shift_certificate",
     "multimodal_phash_band_neardup",
     "table_vacuum_orphans",
+    "events_markov_stationary",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

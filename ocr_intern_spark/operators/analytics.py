@@ -4668,6 +4668,161 @@ FROM chi
 """
 
 
+# --- Markov stationary distribution -----------------------------------------
+
+MARKOV_ITERS = 20  # power-iteration steps (5-state chain mixes fast)
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain —
+    "where does a user END UP spending their events" — by power
+    iteration over the per-user transition matrix, entirely in
+    integer ppm: transition probabilities are floor-ppm
+    row-normalized counts, the iterate v·P floors each component,
+    and 20 fixed iterations run INSIDE Catalyst as a fold over the
+    5-element state vector (both the matrix — ≤25 cells — and the
+    vector are alphabet-bounded, so the sequential part never
+    touches corpus-grain data). The oracle unrolls the identical
+    iteration with a recursive CTE over LIST columns.
+
+    Scale shape: ONE user-keyed exchange for the consecutive-pair
+    window (the transition-matrix query's shape), one ≤25-cell
+    aggregate, then single-row array algebra. (The k = alphabet-size
+    probe is a driver-side metadata count — the bounded-scalar class,
+    like the MMR picks.)"""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("t1"),
+        )
+        .withColumn("t2", F.lead("t1").over(w))
+        .where(F.col("t2").isNotNull())
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    states = (
+        ev.select(F.col("event_type").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .withColumn(
+            # bounded-window: the frame is the event-type alphabet
+            # (5 rows here, bounded by the domain at any corpus size)
+            "i",
+            F.row_number().over(Window.orderBy("s")) - 1,
+        )
+    )
+    k = states.count()  # alphabet size: bounded domain metadata
+    cells = (
+        states.select(F.col("s").alias("t1"), F.col("i").alias("i1"))
+        .crossJoin(
+            F.broadcast(
+                states.select(
+                    F.col("s").alias("t2"), F.col("i").alias("i2")
+                )
+            )
+        )
+        .join(pairs, ["t1", "t2"], "left")
+        .select(
+            "i1", "i2", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    rows_tot = cells.groupBy("i1").agg(F.sum("c").alias("rt"))
+    pmat = cells.join(rows_tot, "i1").select(
+        "i1",
+        "i2",
+        F.expr("CAST(IF(rt = 0, 0, c * 1000000 DIV rt) AS BIGINT)").alias(
+            "p"
+        ),
+    )
+    one = pmat.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i1, i2, p))), "
+            "e -> e.p)"
+        ).alias("pm")
+    )
+    sum_j = (
+        f"aggregate(sequence(0, {0} + kk - 1), CAST(0 AS BIGINT), "
+        "(s, i) -> s + element_at(v, i + 1) "
+        "* element_at(pm, i * kk + j + 1)) DIV 1000000"
+    )
+    folded = one.select(
+        F.expr(
+            f"""aggregate(
+              sequence(1, {MARKOV_ITERS}),
+              transform(sequence(1, {0} + kk), x ->
+                        CAST(1000000 DIV kk AS BIGINT)),
+              (v, it) -> transform(sequence(0, kk - 1), j ->
+                         CAST({sum_j} AS BIGINT)),
+              v -> v
+            )""".replace("kk", str(k))
+        ).alias("v")
+    )
+    return (
+        states.crossJoin(F.broadcast(folded))
+        .select(
+            "s",
+            F.col("i").cast("int").alias("i"),
+            F.expr("element_at(v, i + 1)").alias("stationary_ppm"),
+        )
+        .orderBy("i")
+    )
+
+
+def _markov_sql() -> str:
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+),
+pairs AS (
+  SELECT t1, t2, count(*) AS c FROM (
+    SELECT event_type AS t1,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t2
+    FROM ev
+  ) WHERE t2 IS NOT NULL GROUP BY t1, t2
+),
+states AS (
+  SELECT s, row_number() OVER (ORDER BY s) - 1 AS i
+  FROM (SELECT DISTINCT event_type AS s FROM ev)
+),
+kk AS (SELECT count(*) AS k FROM states),
+cells AS (
+  SELECT a.i AS i1, b.i AS i2, COALESCE(p.c, 0) AS c
+  FROM states a CROSS JOIN states b
+  LEFT JOIN pairs p ON p.t1 = a.s AND p.t2 = b.s
+),
+rt AS (SELECT i1, sum(c) AS rt FROM cells GROUP BY i1),
+pmat AS (
+  SELECT list(CAST(CASE WHEN r.rt = 0 THEN 0
+                        ELSE c.c * 1000000 // r.rt END AS BIGINT)
+              ORDER BY c.i1, c.i2) AS pm
+  FROM cells c JOIN rt r ON r.i1 = c.i1
+),
+it AS (
+  SELECT 0 AS n, kk.k AS k, pmat.pm AS pm,
+         list_transform(range(kk.k),
+                        x -> CAST(1000000 // kk.k AS BIGINT)) AS v
+  FROM kk, pmat
+  UNION ALL
+  SELECT n + 1, k, pm,
+         list_transform(range(k), j ->
+           CAST(list_sum(list_transform(range(k), i ->
+                  v[i + 1] * pm[i * k + j + 1]))
+                // 1000000 AS BIGINT))
+  FROM it WHERE n < {MARKOV_ITERS}
+)
+SELECT s.s, CAST(s.i AS INT) AS i,
+       CAST((SELECT v FROM it WHERE n = {MARKOV_ITERS})[s.i + 1]
+            AS BIGINT) AS stationary_ppm
+FROM states s
+ORDER BY s.i
+"""
+
+
 # --- Poisson bootstrap confidence interval ----------------------------------
 
 BOOT_B = 200  # bootstrap replicates
@@ -6074,6 +6229,10 @@ QUERIES = {
     "events_cuped_adjust": (q_events_cuped_adjust, _cuped_sql()),
     "events_ses_forecast": (q_events_ses_forecast, _SES_SQL),
     "events_bootstrap_ci": (q_events_bootstrap_ci, _bootstrap_sql()),
+    "events_markov_stationary": (
+        q_events_markov_stationary,
+        _markov_sql(),
+    ),
     "events_path_trigrams": (q_events_path_trigrams, _PATH_TRIGRAM_SQL),
     "orders_backlog_aging": (q_orders_backlog_aging, _BACKLOG_SQL),
 }

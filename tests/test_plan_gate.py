@@ -48,6 +48,9 @@ _BNLJ_ALLOWED = frozenset(
         "table_clustering_depth_audit",
         "events_bootstrap_ci",
         "text_cdc_shift_certificate",
+        # Markov stationary: alphabet-frame (≤5-row) broadcasts for
+        # the cell grid and the folded vector:
+        "events_markov_stationary",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

@@ -1246,3 +1246,50 @@ def test_phash_band_neardup_reference(spark, tmp_path):
     expect = [(1, 2, 0), (1, 5, 0), (2, 5, 0)]
     got = [tuple(r) for r in q_phash_band_neardup(spark, sf).collect()]
     assert got == expect
+
+
+def test_markov_stationary_reference(spark, tmp_path):
+    """Power iteration recomputed serially on a 3-state chain with a
+    zero-row state (guarded) and floors at every step."""
+    from ocr_intern_spark.operators.analytics import (
+        MARKOV_ITERS,
+        q_events_markov_stationary,
+    )
+
+    ts = datetime.datetime
+    # one user, a fixed journey; 'view' never transitions out at the
+    # end -> its row is NOT all-zero (it appears mid-stream too)
+    journey = ["a_click", "b_buy", "a_click", "c_view", "a_click",
+               "b_buy", "c_view", "c_view", "a_click"]
+    rows = [
+        (i, ts(2024, 12, 1, 10, i), 1, t, 0.0, "{}")
+        for i, t in enumerate(journey)
+    ]
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    states = sorted(set(journey))
+    k = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    c = [[0] * k for _ in range(k)]
+    for a, b in zip(journey, journey[1:]):
+        c[idx[a]][idx[b]] += 1
+    p = [
+        [
+            (c[i][j] * 1_000_000 // sum(c[i])) if sum(c[i]) else 0
+            for j in range(k)
+        ]
+        for i in range(k)
+    ]
+    v = [1_000_000 // k] * k
+    for _ in range(MARKOV_ITERS):
+        v = [
+            sum(v[i] * p[i][j] for i in range(k)) // 1_000_000
+            for j in range(k)
+        ]
+    expect = [(s, i, v[i]) for i, s in enumerate(states)]
+    got = [tuple(r) for r in q_events_markov_stationary(spark, sf).collect()]
+    assert got == expect
+    assert max(v) > min(v)  # non-uniform: the chain has structure
