@@ -421,6 +421,7 @@ _DEFERRED: list[str] = [
     "multimodal_phash_band_neardup",
     "table_vacuum_orphans",
     "events_markov_stationary",
+    "sim_centroid_drift",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

@@ -2420,6 +2420,117 @@ LIMIT {GEO_K}
 """
 
 
+# --- embedding centroid drift monitoring ------------------------------------
+
+DRIFT_Q = 1_000_000  # per-element quantization (micro-units)
+
+
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between two corpus halves
+    (vec_id parity) — the embedding-space monitoring readout that
+    catches encoder regressions and distribution shift ("did class
+    k's centroid move between snapshots?"). Exactness discipline:
+    every embedding element is QUANTIZED to integer micro-units
+    BEFORE any aggregation (floor(x·10⁶) — identical IEEE
+    float→double→floor in both engines), so the per-half element
+    sums are exact integers and the squared centroid displacement
+    Σ_d (n_b·s_a,d − n_a·s_b,d)² / (n_a·n_b)² is a pure rational:
+    the numerator rides decimal(38)/HUGEINT into a digit string and
+    the scaled mean-squared displacement divides exactly (floor,
+    non-negative). Float summation ORDER never matters because no
+    float is ever summed.
+
+    Scale shape: one explode to (label, half, dim) element rows →
+    ONE map-side-combinable sum aggregate (labels × halves × dims
+    cells — domain-bounded); the drift algebra runs on the ≤(labels
+    × dims) cell frame. At 10^12 vectors this is a scan + one keyed
+    aggregate."""
+    emb = _emb(spark, sf_dir).select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("d", "x"),
+    )
+    cells = emb.groupBy("label", "half", "d").agg(
+        F.sum(
+            F.floor(F.col("x").cast("double") * DRIFT_Q).cast("long")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    halves = (
+        cells.groupBy("label", "d")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("s"))).alias("sa"),
+            F.sum(F.when(F.col("half") == 1, F.col("s"))).alias("sb"),
+            F.max(F.when(F.col("half") == 0, F.col("n"))).alias("na"),
+            F.max(F.when(F.col("half") == 1, F.col("n"))).alias("nb"),
+        )
+        .where(F.col("na").isNotNull() & F.col("nb").isNotNull())
+    )
+    per_label = halves.groupBy("label").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(
+            F.expr(
+                "(CAST(nb AS DECIMAL(38,0)) * sa "
+                "- CAST(na AS DECIMAL(38,0)) * sb) "
+                "* (CAST(nb AS DECIMAL(38,0)) * sa "
+                "- CAST(na AS DECIMAL(38,0)) * sb)"
+            )
+        ).alias("num"),
+    )
+    return per_label.select(
+        F.col("label").cast("int").alias("label"),
+        "n_a",
+        "n_b",
+        "n_dims",
+        F.col("num").cast("string").alias("drift_num_str"),
+        F.expr(
+            "CAST(num DIV (CAST(n_a AS DECIMAL(38,0)) * n_a * n_b * n_b) "
+            "AS BIGINT)"
+        ).alias("msd_scaled"),
+    ).orderBy("label")
+
+
+_CENTROID_DRIFT_SQL = f"""
+WITH el AS (
+  SELECT label, vec_id % 2 AS half, u.d AS d,
+         CAST(floor(CAST(embedding[u.d + 1] AS DOUBLE) * {DRIFT_Q})
+              AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) u
+),
+cells AS (
+  SELECT label, half, d, sum(q) AS s, count(*) AS n
+  FROM el GROUP BY label, half, d
+),
+halves AS (
+  SELECT label, d,
+         sum(CASE WHEN half = 0 THEN s END) AS sa,
+         sum(CASE WHEN half = 1 THEN s END) AS sb,
+         max(CASE WHEN half = 0 THEN n END) AS na,
+         max(CASE WHEN half = 1 THEN n END) AS nb
+  FROM cells GROUP BY label, d
+),
+ok AS (SELECT * FROM halves WHERE na IS NOT NULL AND nb IS NOT NULL),
+per_label AS (
+  SELECT label, max(na) AS n_a, max(nb) AS n_b, count(*) AS n_dims,
+         sum((CAST(nb AS HUGEINT) * sa - CAST(na AS HUGEINT) * sb)
+             * (CAST(nb AS HUGEINT) * sa - CAST(na AS HUGEINT) * sb))
+           AS num
+  FROM ok GROUP BY label
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_dims AS BIGINT) AS n_dims,
+       CAST(num AS VARCHAR) AS drift_num_str,
+       CAST(num // (CAST(n_a AS HUGEINT) * n_a * n_b * n_b)
+            AS BIGINT) AS msd_scaled
+FROM per_label
+ORDER BY label
+"""
+
+
 # --- deterministic random walks (DeepWalk-style corpus sampling) -----------
 
 WALK_LEN = 4
@@ -2610,6 +2721,7 @@ FROM walk ORDER BY start, step
 
 QUERIES = {
     "graph_random_walks": (q_graph_random_walks, _random_walks_sql()),
+    "sim_centroid_drift": (q_centroid_drift, _CENTROID_DRIFT_SQL),
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_embedding_outliers": (q_embedding_outliers, _OUTLIER_SQL),
     "sim_mmr_select": (q_mmr_select, _mmr_sql()),

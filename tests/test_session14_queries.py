@@ -1293,3 +1293,58 @@ def test_markov_stationary_reference(spark, tmp_path):
     got = [tuple(r) for r in q_events_markov_stationary(spark, sf).collect()]
     assert got == expect
     assert max(v) > min(v)  # non-uniform: the chain has structure
+
+
+def test_centroid_drift_reference(spark, tmp_path):
+    """Centroid drift recomputed serially with quantized integers on
+    a controlled embedding set with a planted per-label shift."""
+    import math
+
+    from ocr_intern_spark.operators.similarity import (
+        DRIFT_Q,
+        q_centroid_drift,
+    )
+
+    import numpy as np
+
+    rows = []
+    vecs = {}
+    labels = {}
+    for v in range(12):
+        label = v // 6  # label DECOUPLED from the vec_id-parity halves
+        # label 1's odd half is shifted -> real drift; label 0 is not
+        shift = 0.2 if (label == 1 and v % 2 == 1) else 0.0
+        vec = [
+            float(np.float32(0.5 + shift + 0.01 * ((v * 7 + d) % 5)))
+            for d in range(4)
+        ]
+        rows.append((v, vec, label))
+        vecs[v] = vec
+        labels[v] = label
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    expect = []
+    for label in (0, 1):
+        ids = [v for v in vecs if labels[v] == label]
+        a = [v for v in ids if v % 2 == 0]
+        b = [v for v in ids if v % 2 == 1]
+        # halves are vec_id parity; for odd labels a is empty -> the
+        # query drops dims with a missing half, i.e. the whole label
+        if not a or not b:
+            continue
+        dims = len(vecs[ids[0]])
+        na, nb = len(a), len(b)
+        num = 0
+        for d in range(dims):
+            sa = sum(math.floor(vecs[v][d] * DRIFT_Q) for v in a)
+            sb = sum(math.floor(vecs[v][d] * DRIFT_Q) for v in b)
+            num += (nb * sa - na * sb) ** 2
+        expect.append(
+            (label, na, nb, dims, str(num), num // (na * na * nb * nb))
+        )
+    got = [tuple(r) for r in q_centroid_drift(spark, sf).collect()]
+    assert got == expect
+    # non-vacuous: both labels present, and the planted shift shows
+    assert len(expect) == 2 and expect[1][5] > 10 * max(1, expect[0][5])
