@@ -422,6 +422,8 @@ _DEFERRED: list[str] = [
     "table_vacuum_orphans",
     "events_markov_stationary",
     "sim_centroid_drift",
+    "events_did_estimator",
+    "orders_price_index",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

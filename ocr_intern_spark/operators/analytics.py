@@ -4668,6 +4668,243 @@ FROM chi
 """
 
 
+# --- difference-in-differences estimator ------------------------------------
+
+
+def q_events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-inference workhorse
+    when assignment isn't random over time: per-user purchases in
+    the pre/post halves of the corpus window (the CUPED midpoint
+    rule), variants by user parity, and the DiD estimate
+    (ΔB − ΔA) kept as an EXACT RATIONAL over the common denominator
+    n_A·n_B — numerator and denominator ride as digit strings, and
+    the ppm rendering uses the pmod floor identity because the
+    estimate is signed. The pre-period gap (the parallel-trends
+    diagnostic every DiD readout must show) is emitted as its own
+    rational.
+
+    Scale shape: ONE per-user aggregate with conditional sums (four
+    cells in one pass, map-side combinable), one 1-row variant
+    aggregate, single-row algebra — scan + one user-keyed exchange
+    at any size."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                ((F.col("day") < F.col("mid")) & is_p).cast("long")
+            ).alias("pre"),
+            F.sum(
+                ((F.col("day") >= F.col("mid")) & is_p).cast("long")
+            ).alias("post"),
+        )
+        .select((F.col("user_id") % 2).alias("v"), "pre", "post")
+    )
+    cells = per_user.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("v") == 0, F.col("pre")).otherwise(0)).alias(
+            "sa_pre"
+        ),
+        F.sum(F.when(F.col("v") == 0, F.col("post")).otherwise(0)).alias(
+            "sa_post"
+        ),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("v") == 1, F.col("pre")).otherwise(0)).alias(
+            "sb_pre"
+        ),
+        F.sum(F.when(F.col("v") == 1, F.col("post")).otherwise(0)).alias(
+            "sb_post"
+        ),
+    )
+    did_num = "(na * (sb_post - sb_pre) - nb * (sa_post - sa_pre))"
+    return cells.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "sa_pre",
+        "sa_post",
+        "sb_pre",
+        "sb_post",
+        F.expr(f"CAST({did_num} AS STRING)").alias("did_num_str"),
+        F.expr("CAST(na * nb AS STRING)").alias("did_den_str"),
+        F.expr(
+            f"CAST(({did_num} * 1000000 "
+            f"- pmod({did_num} * 1000000, na * nb)) "
+            "DIV (na * nb) AS BIGINT)"
+        ).alias("did_ppm"),
+        F.expr(
+            "CAST(na * sb_pre - nb * sa_pre AS STRING)"
+        ).alias("pre_gap_num_str"),
+        F.expr("CAST(na * nb AS STRING)").alias("pre_gap_den_str"),
+    )
+
+
+_DID_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+bounds AS (
+  SELECT min(day) + CAST(date_diff('day', min(day), max(day)) // 2
+                         AS INT) AS mid
+  FROM ev
+),
+per_user AS (
+  SELECT user_id % 2 AS v,
+         sum(CASE WHEN day < (SELECT mid FROM bounds)
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pre,
+         sum(CASE WHEN day >= (SELECT mid FROM bounds)
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS post
+  FROM ev GROUP BY user_id
+),
+cells AS (
+  SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN v = 0 THEN pre ELSE 0 END) AS sa_pre,
+         sum(CASE WHEN v = 0 THEN post ELSE 0 END) AS sa_post,
+         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN v = 1 THEN pre ELSE 0 END) AS sb_pre,
+         sum(CASE WHEN v = 1 THEN post ELSE 0 END) AS sb_post
+  FROM per_user
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(sa_pre AS BIGINT) AS sa_pre,
+       CAST(sa_post AS BIGINT) AS sa_post,
+       CAST(sb_pre AS BIGINT) AS sb_pre,
+       CAST(sb_post AS BIGINT) AS sb_post,
+       CAST(na * (sb_post - sb_pre) - nb * (sa_post - sa_pre)
+            AS VARCHAR) AS did_num_str,
+       CAST(na * nb AS VARCHAR) AS did_den_str,
+       CAST(((na * (sb_post - sb_pre) - nb * (sa_post - sa_pre))
+             * 1000000
+             - (((na * (sb_post - sb_pre) - nb * (sa_post - sa_pre))
+                 * 1000000 % (na * nb)) + (na * nb)) % (na * nb))
+            // (na * nb) AS BIGINT) AS did_ppm,
+       CAST(na * sb_pre - nb * sa_pre AS VARCHAR) AS pre_gap_num_str,
+       CAST(na * nb AS VARCHAR) AS pre_gap_den_str
+FROM cells
+"""
+
+
+# --- Laspeyres / Paasche price index -----------------------------------------
+
+PI_BASE_YEAR = 1995
+PI_CURR_YEAR = 1996
+
+
+def q_orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres and Paasche price indexes between two ship years —
+    the econ-stats classic ("how much more do the SAME goods cost"):
+    per-part unit prices are floored integer MILLI-CENTS
+    (Σ price-cents · 1000 DIV Σ qty — the floor is part of the spec,
+    so both engines quantize identically), quantity weights come
+    from the base year (Laspeyres) or current year (Paasche), and
+    each index is an integer-ppm ratio of the weighted sums. Parts
+    must trade in BOTH years (inner join) — the matched-basket rule.
+
+    Scale shape: one (part, year) aggregate (map-side combinable) →
+    a part-keyed self-merge of the two year slices → ONE 1-row
+    weighted-sum aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("y"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    per = (
+        li.where(F.col("y").isin(PI_BASE_YEAR, PI_CURR_YEAR))
+        .groupBy("l_partkey", "y")
+        .agg(F.sum("cents").alias("s"), F.sum("qty").alias("q"))
+        .select(
+            "l_partkey",
+            "y",
+            F.expr("CAST(s * 1000 DIV q AS BIGINT)").alias("p_milli"),
+            "q",
+        )
+    )
+    base = per.where(F.col("y") == PI_BASE_YEAR).select(
+        "l_partkey",
+        F.col("p_milli").alias("p0"),
+        F.col("q").alias("q0"),
+    )
+    curr = per.where(F.col("y") == PI_CURR_YEAR).select(
+        "l_partkey",
+        F.col("p_milli").alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    return (
+        base.join(curr, "l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            # weighted sums ride decimal(38,0): p_milli·qty reaches
+            # ~5·10⁹/part and the Σ·10⁶ ppm step passes BIGINT
+            F.sum(
+                F.expr("CAST(p1 AS DECIMAL(38,0)) * q0")
+            ).alias("l_num"),
+            F.sum(
+                F.expr("CAST(p0 AS DECIMAL(38,0)) * q0")
+            ).alias("l_den"),
+            F.sum(
+                F.expr("CAST(p1 AS DECIMAL(38,0)) * q1")
+            ).alias("p_num"),
+            F.sum(
+                F.expr("CAST(p0 AS DECIMAL(38,0)) * q1")
+            ).alias("p_den"),
+        )
+        .select(
+            "n_parts",
+            F.expr("CAST(l_num * 1000000 DIV l_den AS BIGINT)").alias(
+                "laspeyres_ppm"
+            ),
+            F.expr("CAST(p_num * 1000000 DIV p_den AS BIGINT)").alias(
+                "paasche_ppm"
+            ),
+            F.col("l_num").cast("string").alias("l_num_str"),
+            F.col("l_den").cast("string").alias("l_den_str"),
+        )
+    )
+
+
+_PRICE_INDEX_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, year(l_shipdate) AS y,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+  WHERE year(l_shipdate) IN ({PI_BASE_YEAR}, {PI_CURR_YEAR})
+),
+per AS (
+  SELECT l_partkey, y,
+         CAST(sum(cents) * 1000 // sum(qty) AS BIGINT) AS p_milli,
+         sum(qty) AS q
+  FROM li GROUP BY l_partkey, y
+),
+m AS (
+  SELECT b.l_partkey, b.p_milli AS p0, b.q AS q0,
+         c.p_milli AS p1, c.q AS q1
+  FROM per b JOIN per c
+    ON c.l_partkey = b.l_partkey AND b.y = {PI_BASE_YEAR}
+   AND c.y = {PI_CURR_YEAR}
+)
+SELECT count(*) AS n_parts,
+       CAST(sum(p1 * q0) * 1000000 // sum(p0 * q0) AS BIGINT)
+         AS laspeyres_ppm,
+       CAST(sum(p1 * q1) * 1000000 // sum(p0 * q1) AS BIGINT)
+         AS paasche_ppm,
+       CAST(sum(p1 * q0) AS VARCHAR) AS l_num_str,
+       CAST(sum(p0 * q0) AS VARCHAR) AS l_den_str
+FROM m
+"""
+
+
 # --- Markov stationary distribution -----------------------------------------
 
 MARKOV_ITERS = 20  # power-iteration steps (5-state chain mixes fast)
@@ -6235,4 +6472,6 @@ QUERIES = {
     ),
     "events_path_trigrams": (q_events_path_trigrams, _PATH_TRIGRAM_SQL),
     "orders_backlog_aging": (q_orders_backlog_aging, _BACKLOG_SQL),
+    "events_did_estimator": (q_events_did_estimator, _DID_SQL),
+    "orders_price_index": (q_orders_price_index, _PRICE_INDEX_SQL),
 }

@@ -51,6 +51,8 @@ _BNLJ_ALLOWED = frozenset(
         # Markov stationary: alphabet-frame (≤5-row) broadcasts for
         # the cell grid and the folded vector:
         "events_markov_stationary",
+        # DiD: the CUPED-style 1-row midpoint broadcast:
+        "events_did_estimator",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

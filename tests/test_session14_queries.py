@@ -1348,3 +1348,111 @@ def test_centroid_drift_reference(spark, tmp_path):
     assert got == expect
     # non-vacuous: both labels present, and the planted shift shows
     assert len(expect) == 2 and expect[1][5] > 10 * max(1, expect[0][5])
+
+
+def test_did_estimator_reference(spark, tmp_path):
+    """DiD recomputed with Fractions on a planted treatment effect,
+    including the signed-ppm floor and the pre-period gap."""
+    from fractions import Fraction
+
+    from ocr_intern_spark.operators.analytics import q_events_did_estimator
+
+    ts = datetime.datetime
+    # days 1..10, mid = 5 (1 + 9//2): pre < day 5, post >= day 5.
+    # A users (even): flat 1 purchase per period. B users (odd):
+    # 1 pre, 3 post -> DiD = +2 per user
+    rows = []
+    eid = 0
+    for u in range(6):
+        pre_n = 1
+        post_n = 1 if u % 2 == 0 else 3
+        for i in range(pre_n):
+            eid += 1
+            rows.append((eid, ts(2024, 3, 1 + i, 9), u, "purchase", 0.0, "{}"))
+        for i in range(post_n):
+            eid += 1
+            rows.append((eid, ts(2024, 3, 6 + i, 9), u, "purchase", 0.0, "{}"))
+        eid += 1  # pin the corpus range with a non-purchase each end
+        rows.append((eid, ts(2024, 3, 10, 23), u, "view", 0.0, "{}"))
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    na = nb = 3
+    sa_pre, sa_post, sb_pre, sb_post = 3, 3, 3, 9
+    did = Fraction(na * (sb_post - sb_pre) - nb * (sa_post - sa_pre), na * nb)
+    row = q_events_did_estimator(spark, sf).collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert (row.sa_pre, row.sa_post, row.sb_pre, row.sb_post) == (
+        sa_pre, sa_post, sb_pre, sb_post,
+    )
+    from fractions import Fraction as Fr
+
+    assert Fr(int(row.did_num_str), int(row.did_den_str)) == did == 2
+    assert row.did_ppm == 2_000_000
+    assert Fr(int(row.pre_gap_num_str), int(row.pre_gap_den_str)) == 0
+
+
+def test_price_index_reference(spark, tmp_path):
+    """Laspeyres/Paasche recomputed serially with the milli-cent
+    floor quantization and matched-basket join (a part trading in
+    only one year is excluded)."""
+    import math
+
+    from ocr_intern_spark.operators.analytics import (
+        PI_BASE_YEAR,
+        PI_CURR_YEAR,
+        q_orders_price_index,
+    )
+
+    ts = datetime.datetime
+    # (partkey, year, extendedprice, qty)
+    lines = [
+        (1, PI_BASE_YEAR, 100.00, 10.0),
+        (1, PI_BASE_YEAR, 55.50, 5.0),
+        (1, PI_CURR_YEAR, 130.00, 10.0),
+        (2, PI_BASE_YEAR, 20.00, 4.0),
+        (2, PI_CURR_YEAR, 18.00, 6.0),
+        (3, PI_CURR_YEAR, 99.0, 9.0),   # current-only: excluded
+        (4, PI_BASE_YEAR, 77.0, 7.0),   # base-only: excluded
+    ]
+    rows = [
+        (i, i, 1, i, p, 0.0, 0.0, "N", "O", ts(y, 6, 1))
+        for i, (k, y, p, q) in enumerate(lines)
+    ]
+    rows = [
+        (i, k, 1, int(q), q, p, 0.0, 0.0, "N", "O", ts(y, 6, 1))
+        for i, (k, y, p, q) in enumerate(lines)
+    ]
+    sf = _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    agg = {}
+    for k, y, p, q in lines:
+        s, qq = agg.get((k, y), (0, 0))
+        agg[(k, y)] = (s + math.floor(p * 100), qq + int(q))
+    pm = {ky: (s * 1000) // q for ky, (s, q) in agg.items()}
+    parts = [
+        k
+        for k in {k for k, _ in agg}
+        if (k, PI_BASE_YEAR) in agg and (k, PI_CURR_YEAR) in agg
+    ]
+    l_num = sum(pm[(k, PI_CURR_YEAR)] * agg[(k, PI_BASE_YEAR)][1] for k in parts)
+    l_den = sum(pm[(k, PI_BASE_YEAR)] * agg[(k, PI_BASE_YEAR)][1] for k in parts)
+    p_num = sum(pm[(k, PI_CURR_YEAR)] * agg[(k, PI_CURR_YEAR)][1] for k in parts)
+    p_den = sum(pm[(k, PI_BASE_YEAR)] * agg[(k, PI_CURR_YEAR)][1] for k in parts)
+    expect = (
+        len(parts),
+        l_num * 1_000_000 // l_den,
+        p_num * 1_000_000 // p_den,
+        str(l_num),
+        str(l_den),
+    )
+    got = tuple(q_orders_price_index(spark, sf).collect()[0])
+    assert got == expect
+    assert len(parts) == 2  # the matched basket excluded parts 3, 4
