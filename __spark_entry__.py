@@ -424,6 +424,8 @@ _DEFERRED: list[str] = [
     "sim_centroid_drift",
     "events_did_estimator",
     "orders_price_index",
+    "orders_returns_shrinkage",
+    "stream_cms_sketch",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

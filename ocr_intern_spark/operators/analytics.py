@@ -3617,6 +3617,27 @@ CMS_W = 256    # count-min width (buckets per row)
 CMS_TOPK = 20  # heavy hitters reported
 
 
+def _cms_bucket(row_i: Column, key: Column) -> Column:
+    """md5-derived CMS bucket — shared by the batch query and the
+    streaming sum-merge variant."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        row_i.cast("string"), F.lit(":"), key.cast("string")
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
 def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters, BIT-EXACTLY certified: the
     sketch is built with md5-derived hash rows (portable across
@@ -3639,18 +3660,7 @@ def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch side plus a candidate set (the exact side here is the
     audit harness, as with the HLL contract)."""
     ev = _t(spark, sf_dir, "events").select("user_id")
-
-    def bucket(row_i: Column, key: Column) -> Column:
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(row_i.cast("string"), F.lit(":"), key.cast("string"))),
-                1,
-                6,
-            ),
-            16,
-            10,
-        ).cast("long") % CMS_W
-
+    bucket = _cms_bucket
     rows_i = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("i")
     cells = ev.select("user_id", rows_i).select(
         "i", bucket(F.col("i"), F.col("user_id")).alias("b")
@@ -4665,6 +4675,65 @@ SELECT CAST(a + b + c + d AS BIGINT) AS n_users,
        chi2_milli,
        (chi2_milli >= {CHI2_CRIT_MILLI}) AS significant
 FROM chi
+"""
+
+
+# --- empirical-Bayes shrinkage of return rates -------------------------------
+
+EB_ALPHA, EB_BETA = 1, 4  # Beta(1,4) prior: corpus-typical ~20% returns
+EB_TOPK = 50
+
+
+def q_orders_returns_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-part return
+    rates — the small-sample correction every marketplace quality
+    score needs: a part with 1 return in 2 sales must NOT outrank
+    one with 30 in 100, so the posterior mean (x+α)/(n+α+β) pulls
+    low-volume parts toward the prior. Integer-exact: both the raw
+    and shrunk rates are floor-ppm ratios, and the output is the
+    top-50 by SHRUNK rate (tie-break by partkey) with the raw rate
+    alongside so the shrinkage effect is visible in the hash.
+
+    Scale shape: one (part) aggregate over the scan (map-side
+    combinable conditional count), then TakeOrderedAndProject
+    top-K — at 10^12 rows this is a scan plus one part-keyed
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_partkey").alias("part")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("x"),
+    )
+    rated = li.select(
+        "part",
+        "n",
+        "x",
+        F.expr("CAST(x * 1000000 DIV n AS BIGINT)").alias("raw_ppm"),
+        F.expr(
+            f"CAST((x + {EB_ALPHA}) * 1000000 "
+            f"DIV (n + {EB_ALPHA} + {EB_BETA}) AS BIGINT)"
+        ).alias("shrunk_ppm"),
+    )
+    return (
+        rated.orderBy(F.desc("shrunk_ppm"), F.asc("part"))
+        .limit(EB_TOPK)
+        .orderBy(F.desc("shrunk_ppm"), F.asc("part"))
+    )
+
+
+_EB_SHRINK_SQL = f"""
+WITH per AS (
+  SELECT l_partkey AS part, count(*) AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT part, n, CAST(x AS BIGINT) AS x,
+       CAST(x * 1000000 // n AS BIGINT) AS raw_ppm,
+       CAST((x + {EB_ALPHA}) * 1000000
+            // (n + {EB_ALPHA} + {EB_BETA}) AS BIGINT) AS shrunk_ppm
+FROM per
+ORDER BY shrunk_ppm DESC, part ASC
+LIMIT {EB_TOPK}
 """
 
 
@@ -6474,4 +6543,8 @@ QUERIES = {
     "orders_backlog_aging": (q_orders_backlog_aging, _BACKLOG_SQL),
     "events_did_estimator": (q_events_did_estimator, _DID_SQL),
     "orders_price_index": (q_orders_price_index, _PRICE_INDEX_SQL),
+    "orders_returns_shrinkage": (
+        q_orders_returns_shrinkage,
+        _EB_SHRINK_SQL,
+    ),
 }

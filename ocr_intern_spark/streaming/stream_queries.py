@@ -1051,10 +1051,84 @@ def _stream_hll_sql() -> str:
     return _HLL_SQL
 
 
+def q_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable count-min sketch maintained INCREMENTALLY by a
+    streaming aggregation — the second half of the mergeable-sketch
+    pair (HLL merges by MAX, CMS by SUM): each micro-batch folds its
+    md5-derived (row, bucket) cells into the running counter matrix,
+    and the final complete-mode counters feed the same heavy-hitter
+    estimation as the batch query. The oracle IS the batch CMS SQL,
+    so the driver hash proves streaming-sum-merge ≡ batch sketch —
+    every one of the 1,024 counters identical, not merely the
+    top-k. The exact side (true counts) is the audit harness,
+    computed batch-side from the staged files as with the HLL."""
+    from ocr_intern_spark.operators.analytics import (
+        CMS_D,
+        CMS_TOPK,
+        _cms_bucket,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sq_cms_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        _stage(spark, sf_dir, "events", in_dir)
+        schema = spark.read.parquet(in_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        rows_i = F.explode(
+            F.sequence(F.lit(0), F.lit(CMS_D - 1))
+        ).alias("i")
+        cells = stream.select("user_id", rows_i).select(
+            "i", _cms_bucket(F.col("i"), F.col("user_id")).alias("b")
+        )
+        agg = cells.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cnt"))
+        sketch = _run_to_memory_complete(
+            agg, os.path.join(tmp, "ckpt")
+        ).persist()
+        ev = spark.read.parquet(in_dir).select("user_id")
+        exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+        probes = exact.select("user_id", rows_i).select(
+            "user_id",
+            "i",
+            _cms_bucket(F.col("i"), F.col("user_id")).alias("b"),
+        )
+        est = (
+            probes.join(F.broadcast(sketch), ["i", "b"])
+            .groupBy("user_id")
+            .agg(F.min("cnt").alias("n_cms"))
+        )
+        out = (
+            exact.join(est, "user_id")
+            .select(
+                "user_id",
+                "n_exact",
+                "n_cms",
+                (F.col("n_cms") - F.col("n_exact")).alias("overestimate"),
+            )
+            .orderBy(F.desc("n_exact"), F.asc("user_id"))
+            .limit(CMS_TOPK)
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_cms_sql() -> str:
+    from ocr_intern_spark.operators.analytics import _CMS_SQL
+
+    return _CMS_SQL
+
+
 QUERIES = {
     # oracle = the BATCH HLL SQL on purpose: hash equality proves the
     # streaming max-merge produced the identical sketch
     "stream_hll_sketch": (q_stream_hll_sketch, _stream_hll_sql()),
+    # oracle = the BATCH CMS SQL: hash equality proves sum-merge ≡ batch
+    "stream_cms_sketch": (q_stream_cms_sketch, _stream_cms_sql()),
     "stream_events_summary": (q_stream_events_summary, _STREAM_EVENTS_SUMMARY_SQL),
     "stream_static_enrich": (q_stream_static_enrich, _STREAM_ENRICH_SQL),
     "stream_stream_join": (q_stream_stream_join, _STREAM_SSJ_SQL),

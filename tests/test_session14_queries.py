@@ -1456,3 +1456,78 @@ def test_price_index_reference(spark, tmp_path):
     got = tuple(q_orders_price_index(spark, sf).collect()[0])
     assert got == expect
     assert len(parts) == 2  # the matched basket excluded parts 3, 4
+
+
+def test_returns_shrinkage_reference(spark, tmp_path):
+    """Beta-binomial shrinkage recomputed serially: the 1-of-2 part
+    outranks the 30-of-100 part RAW but not SHRUNK (the correction
+    the operator exists for)."""
+    from ocr_intern_spark.operators.analytics import (
+        EB_ALPHA,
+        EB_BETA,
+        q_orders_returns_shrinkage,
+    )
+
+    ts = datetime.datetime
+    lines = []
+    # part 1: 1 return of 2; part 2: 30 of 100; part 3: 0 of 5
+    for i in range(2):
+        lines.append((1, "R" if i < 1 else "N"))
+    for i in range(100):
+        lines.append((2, "R" if i < 30 else "N"))
+    for i in range(5):
+        lines.append((3, "N"))
+    rows = [
+        (i, k, 1, 1, 1.0, 10.0, 0.0, 0.0, rf, "O", ts(1996, 1, 1))
+        for i, (k, rf) in enumerate(lines)
+    ]
+    sf = _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    stats = {1: (2, 1), 2: (100, 30), 3: (5, 0)}
+    expect = []
+    for part, (n, x) in stats.items():
+        expect.append(
+            (
+                part,
+                n,
+                x,
+                x * 1_000_000 // n,
+                (x + EB_ALPHA) * 1_000_000 // (n + EB_ALPHA + EB_BETA),
+            )
+        )
+    expect.sort(key=lambda r: (-r[4], r[0]))
+    got = [tuple(r) for r in q_orders_returns_shrinkage(spark, sf).collect()]
+    assert got == expect
+    raw = {r[0]: r[3] for r in got}
+    shrunk = {r[0]: r[4] for r in got}
+    assert raw[1] > raw[2] and shrunk[1] < shrunk[2]  # the flip
+
+
+def test_stream_cms_equals_batch(spark, tmp_path):
+    """The streaming sum-merged CMS must equal the batch sketch
+    row-for-row (the swap proof the oracle also enforces)."""
+    from ocr_intern_spark.operators.analytics import (
+        q_events_cms_heavy_hitters,
+    )
+    from ocr_intern_spark.streaming.stream_queries import (
+        q_stream_cms_sketch,
+    )
+
+    ts = datetime.datetime
+    rows = [
+        (i, ts(2024, 8, 1 + i % 25), i % 37, "click", 0.0, "{}")
+        for i in range(300)
+    ]
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    batch = [tuple(r) for r in q_events_cms_heavy_hitters(spark, sf).collect()]
+    stream = [tuple(r) for r in q_stream_cms_sketch(spark, sf).collect()]
+    assert stream == batch and len(batch) > 0
