@@ -426,6 +426,7 @@ _DEFERRED: list[str] = [
     "orders_price_index",
     "orders_returns_shrinkage",
     "stream_cms_sketch",
+    "events_power_analysis",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

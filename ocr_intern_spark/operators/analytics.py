@@ -4678,6 +4678,96 @@ FROM chi
 """
 
 
+# --- A/B power analysis ------------------------------------------------------
+
+# (z_{0.975} + z_{0.80})² in micro-units = (1.9599640 + 0.8416212)²:
+# the fixed constant for two-sided α=0.05 at 80% power — precomputed
+# so neither engine evaluates a normal quantile
+POWER_Z2_MICRO = 7_848_880
+POWER_MDE_PCT = (2, 5, 10)  # minimum detectable effects, % of mean
+
+
+def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size calculation for the A/B family — "how many users
+    per arm to detect an X% lift in events/user at 80% power" — as
+    EXACT integer algebra: with per-user metric sums S = Σx and
+    V = n·Σx² − S² (n²-scaled variance), the relative-MDE formula
+    n_req = 2·z²·σ²/δ² collapses to ceil(2·z²·V·10⁴ / (p²·S²))
+    for an MDE of p% of the mean — every factor an integer, the z
+    constant precomputed in micro-units, ceil via (a + b − 1) DIV b,
+    the cross-products riding decimal(38)/HUGEINT. One row per MDE
+    level (2/5/10%), so the readout is the planning table every
+    experiment review starts from.
+
+    Scale shape: one per-user aggregate, one 1-row moment
+    aggregate, 3-row literal spine, single-row algebra."""
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in POWER_MDE_PCT])
+        ).alias("mde_pct")
+    )
+    num = (
+        f"2 * CAST({POWER_Z2_MICRO} AS DECIMAL(38,0)) "
+        "* (CAST(n AS DECIMAL(38,0)) * sxx - CAST(s AS DECIMAL(38,0)) * s) "
+        "* 10000"
+    )
+    den = (
+        "CAST(mde_pct AS DECIMAL(38,0)) * mde_pct "
+        "* s * s * 1000000"
+    )
+    return (
+        m.crossJoin(spine)
+        .select(
+            F.col("mde_pct").cast("int").alias("mde_pct"),
+            F.col("n").alias("n_users"),
+            F.expr("CAST(s * 1000000 DIV n AS BIGINT)").alias("mean_ppm"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * sxx "
+                "- CAST(s AS DECIMAL(38,0)) * s AS STRING)"
+            ).alias("var_num_str"),
+            F.expr(
+                f"CAST(({num} + {den} - 1) DIV ({den}) AS BIGINT)"
+            ).alias("required_n_per_arm"),
+        )
+        .orderBy("mde_pct")
+    )
+
+
+_POWER_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS sxx FROM per_user
+),
+spine(mde_pct) AS (VALUES {", ".join(f"({p})" for p in POWER_MDE_PCT)})
+SELECT CAST(sp.mde_pct AS INT) AS mde_pct,
+       CAST(m.n AS BIGINT) AS n_users,
+       CAST(m.s * 1000000 // m.n AS BIGINT) AS mean_ppm,
+       CAST(CAST(m.n AS HUGEINT) * m.sxx
+            - CAST(m.s AS HUGEINT) * m.s AS VARCHAR) AS var_num_str,
+       CAST((2 * CAST({POWER_Z2_MICRO} AS HUGEINT)
+             * (CAST(m.n AS HUGEINT) * m.sxx
+                - CAST(m.s AS HUGEINT) * m.s) * 10000
+             + CAST(sp.mde_pct AS HUGEINT) * sp.mde_pct
+               * m.s * m.s * 1000000 - 1)
+            // (CAST(sp.mde_pct AS HUGEINT) * sp.mde_pct
+                * m.s * m.s * 1000000) AS BIGINT) AS required_n_per_arm
+FROM m, spine sp
+ORDER BY mde_pct
+"""
+
+
 # --- empirical-Bayes shrinkage of return rates -------------------------------
 
 EB_ALPHA, EB_BETA = 1, 4  # Beta(1,4) prior: corpus-typical ~20% returns
@@ -6547,4 +6637,5 @@ QUERIES = {
         q_orders_returns_shrinkage,
         _EB_SHRINK_SQL,
     ),
+    "events_power_analysis": (q_events_power_analysis, _POWER_SQL),
 }

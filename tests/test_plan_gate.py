@@ -53,6 +53,8 @@ _BNLJ_ALLOWED = frozenset(
         "events_markov_stationary",
         # DiD: the CUPED-style 1-row midpoint broadcast:
         "events_did_estimator",
+        # power analysis: 1-row moments × 3-row MDE spine:
+        "events_power_analysis",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

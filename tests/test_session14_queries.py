@@ -1531,3 +1531,46 @@ def test_stream_cms_equals_batch(spark, tmp_path):
     batch = [tuple(r) for r in q_events_cms_heavy_hitters(spark, sf).collect()]
     stream = [tuple(r) for r in q_stream_cms_sketch(spark, sf).collect()]
     assert stream == batch and len(batch) > 0
+
+
+def test_power_analysis_reference(spark, tmp_path):
+    """Sample-size algebra recomputed with Fractions: the integer
+    ceil formula equals ceil(2 z^2 sigma^2 / delta^2) exactly, and
+    smaller MDEs demand quadratically more users."""
+    from fractions import Fraction
+
+    from ocr_intern_spark.operators.analytics import (
+        POWER_MDE_PCT,
+        POWER_Z2_MICRO,
+        q_events_power_analysis,
+    )
+
+    import math
+
+    ts = datetime.datetime
+    counts = {u: 3 + (u * 11) % 7 for u in range(20)}
+    rows = []
+    eid = 0
+    for u, n in counts.items():
+        for i in range(n):
+            eid += 1
+            rows.append((eid, ts(2024, 4, 1 + i % 20), u, "click", 0.0, "{}"))
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    n = len(counts)
+    s = sum(counts.values())
+    sxx = sum(x * x for x in counts.values())
+    V = n * sxx - s * s
+    expect = []
+    for p in sorted(POWER_MDE_PCT):
+        exact = Fraction(2 * POWER_Z2_MICRO * V * 10_000,
+                         p * p * s * s * 1_000_000)
+        req = math.ceil(exact)
+        expect.append((p, n, s * 1_000_000 // n, str(V), req))
+    got = [tuple(r) for r in q_events_power_analysis(spark, sf).collect()]
+    assert got == expect
+    reqs = [r[4] for r in got]
+    assert reqs[0] > reqs[1] > reqs[2]  # 2% >> 5% >> 10%
