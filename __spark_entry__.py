@@ -427,6 +427,8 @@ _DEFERRED: list[str] = [
     "orders_returns_shrinkage",
     "stream_cms_sketch",
     "events_power_analysis",
+    "text_term_burstiness",
+    "events_interarrival_cv",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

@@ -2607,6 +2607,87 @@ FROM chunks GROUP BY fp ORDER BY fp
 """
 
 
+# --- term burstiness (variance-to-mean dispersion) --------------------------
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the variance-to-mean dispersion index
+    (Church & Gale's burstiness diagnostic): content words CLUMP
+    (high dispersion — a doc about a topic repeats its terms) while
+    function words spread uniformly (dispersion ≈ 1, the Poisson
+    baseline). Per term over per-doc counts c_d (zero-filled across
+    all N docs): D = Var/Mean = (N·Σc² − (Σc)²) / (N·Σc), kept as
+    an exact rational — numerator/denominator digit strings plus a
+    floor-ppm rendering (non-negative: N·Σc² ≥ (Σc)² by
+    Cauchy-Schwarz, so plain DIV agrees). Zero-filling never
+    materializes zero rows: Σc and Σc² over all docs equal the sums
+    over PRESENT rows, and N rides a 1-row broadcast.
+
+    Scale shape: one (term, doc) aggregate → one term aggregate
+    (both map-side combinable) — two hash aggregations over the
+    token stream, no windows, no joins beyond the 1-row N."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).where(F.length("tok") > 0)
+    per_doc = toks.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_term = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_term.crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            "n_docs",
+            F.col("sc").alias("total_occ"),
+            F.expr("CAST(n * scc - sc * sc AS STRING)").alias(
+                "disp_num_str"
+            ),
+            F.expr("CAST(n * sc AS STRING)").alias("disp_den_str"),
+            F.expr(
+                "CAST((n * scc - sc * sc) * 1000000 DIV (n * sc) "
+                "AS BIGINT)"
+            ).alias("dispersion_ppm"),
+        )
+        .orderBy(F.desc("dispersion_ppm"), F.asc("tok"))
+    )
+
+
+_BURSTINESS_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.t AS tok
+  FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(t)
+  WHERE length(t.t) > 0
+),
+per_doc AS (
+  SELECT tok, doc_id, count(*) AS c FROM toks GROUP BY tok, doc_id
+),
+per_term AS (
+  SELECT tok, count(*) AS n_docs, sum(c) AS sc, sum(c * c) AS scc
+  FROM per_doc GROUP BY tok
+),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT tok,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sc AS BIGINT) AS total_occ,
+       CAST(n.n * scc - sc * sc AS VARCHAR) AS disp_num_str,
+       CAST(n.n * sc AS VARCHAR) AS disp_den_str,
+       CAST((n.n * scc - sc * sc) * 1000000 // (n.n * sc)
+            AS BIGINT) AS dispersion_ppm
+FROM per_term, n
+ORDER BY dispersion_ppm DESC, tok ASC
+"""
+
+
 CDC_SHIFT_PREFIX = "zshiftz"   # one-word prefix insert (the edit)
 CDC_FIXED_W = 16               # fixed-size comparison: 16-word blocks
 
@@ -2787,6 +2868,7 @@ QUERIES = {
         q_cdc_shift_certificate,
         _cdc_shift_sql(),
     ),
+    "text_term_burstiness": (q_term_burstiness, _BURSTINESS_SQL),
     "text_readability_fk": (q_readability_fk, _FK_SQL),
     "text_allpairs_cosine": (q_allpairs_cosine, _ALLPAIRS_SQL),
     "text_gopher_quality_flags": (q_gopher_quality_flags, _GOPHER_QUALITY_SQL),

@@ -4678,6 +4678,80 @@ FROM chi
 """
 
 
+# --- inter-arrival burstiness (CV²) ------------------------------------------
+
+
+def q_events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness: the squared coefficient of
+    variation of event gaps — CV² ≈ 1 is the Poisson (memoryless)
+    baseline, CV² > 1 means bursty sessions, CV² < 1 means
+    pacemaker-regular traffic (bot signature). Gaps are exact
+    integer MICROSECONDS via the zone-free NTZ interval subtraction
+    (the TWAP idiom), and CV² = (n·Σd² − (Σd)²)/(Σd)² rides as an
+    exact rational — digit strings (Σd² reaches ~10²⁵) plus a
+    floor-ppm rendering (numerator non-negative by Cauchy-Schwarz,
+    so plain DIV agrees). Users need ≥ 2 gaps.
+
+    Scale shape: ONE user-keyed exchange drives the lead() window
+    AND the per-user aggregate (same key — one shuffle), then a
+    narrow projection. The decimal(38)/HUGEINT ride is mandatory:
+    day-scale gaps square past BIGINT."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (
+        (F.lead("ts").over(w) - F.col("ts")).cast("decimal(20,6)")
+        * 1_000_000
+    ).cast("long")
+    gaps = e.select("user_id", dt.alias("d")).where(F.col("d").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("sd"),
+        F.sum(
+            F.expr("CAST(d AS DECIMAL(38,0)) * d")
+        ).alias("sdd"),
+    )
+    return (
+        agg.where(F.col("n") >= 2)
+        .select(
+            "user_id",
+            F.col("n").alias("n_gaps"),
+            F.expr("CAST(n * sdd - sd * sd AS STRING)").alias(
+                "cv2_num_str"
+            ),
+            F.expr("CAST(sd * sd AS STRING)").alias("cv2_den_str"),
+            F.expr(
+                "CAST((n * sdd - sd * sd) * 1000000 DIV (sd * sd) "
+                "AS BIGINT)"
+            ).alias("cv2_ppm"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS d
+  FROM events
+),
+agg AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(d AS HUGEINT)) AS sd,
+         sum(CAST(d AS HUGEINT) * d) AS sdd
+  FROM gaps WHERE d IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       CAST(n * sdd - sd * sd AS VARCHAR) AS cv2_num_str,
+       CAST(sd * sd AS VARCHAR) AS cv2_den_str,
+       CAST((n * sdd - sd * sd) * 1000000 // (sd * sd) AS BIGINT)
+         AS cv2_ppm
+FROM agg WHERE n >= 2
+ORDER BY user_id
+"""
+
+
 # --- A/B power analysis ------------------------------------------------------
 
 # (z_{0.975} + z_{0.80})² in micro-units = (1.9599640 + 0.8416212)²:
@@ -6638,4 +6712,8 @@ QUERIES = {
         _EB_SHRINK_SQL,
     ),
     "events_power_analysis": (q_events_power_analysis, _POWER_SQL),
+    "events_interarrival_cv": (
+        q_events_interarrival_cv,
+        _INTERARRIVAL_SQL,
+    ),
 }

@@ -55,6 +55,8 @@ _BNLJ_ALLOWED = frozenset(
         "events_did_estimator",
         # power analysis: 1-row moments × 3-row MDE spine:
         "events_power_analysis",
+        # burstiness: the 1-row corpus-count broadcast:
+        "text_term_burstiness",
         "sim_cluster_topterms",
         "market_basket_pairs",
         "graph_link_predict",

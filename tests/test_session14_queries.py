@@ -1574,3 +1574,77 @@ def test_power_analysis_reference(spark, tmp_path):
     assert got == expect
     reqs = [r[4] for r in got]
     assert reqs[0] > reqs[1] > reqs[2]  # 2% >> 5% >> 10%
+
+
+def test_term_burstiness_reference(spark, tmp_path):
+    """Dispersion index recomputed with Counter: a clumped term beats
+    a uniformly spread term of the same total occurrences."""
+    from collections import Counter
+
+    from ocr_intern_spark.functions.text import q_term_burstiness
+
+    docs = {
+        1: "bursty bursty bursty flat filler",
+        2: "flat filler other",
+        3: "flat filler other",
+        4: "filler other pad",
+    }
+    rows = [(d, t, "en", "s", len(t)) for d, t in docs.items()]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    per = {}
+    for d, t in docs.items():
+        for tok, c in Counter(t.split()).items():
+            per.setdefault(tok, []).append(c)
+    n = len(docs)
+    expect = []
+    for tok, cs in per.items():
+        sc, scc = sum(cs), sum(c * c for c in cs)
+        num, den = n * scc - sc * sc, n * sc
+        expect.append(
+            (tok, len(cs), sc, str(num), str(den), num * 1_000_000 // den)
+        )
+    expect.sort(key=lambda r: (-r[5], r[0]))
+    got = [tuple(r) for r in q_term_burstiness(spark, sf).collect()]
+    assert got == expect
+    ranks = {r[0]: i for i, r in enumerate(got)}
+    # "bursty" (3 in one doc) disperses more than "flat" (1 in three)
+    assert ranks["bursty"] < ranks["flat"]
+
+
+def test_interarrival_cv_reference(spark, tmp_path):
+    """CV² recomputed serially: a regular user sits below the bursty
+    user, exact rationals match."""
+    from ocr_intern_spark.operators.analytics import q_events_interarrival_cv
+
+    ts = datetime.datetime
+    rows = []
+    eid = 0
+    # user 1: regular 10-minute gaps; user 2: 1s,1s,2h bursts;
+    # user 3: single event (no gaps -> excluded)
+    for i in range(4):
+        eid += 1
+        rows.append((eid, ts(2024, 5, 1, 9, 10 * i), 1, "click", 0.0, "{}"))
+    for t in [ts(2024, 5, 1, 9, 0, 0), ts(2024, 5, 1, 9, 0, 1),
+              ts(2024, 5, 1, 9, 0, 2), ts(2024, 5, 1, 11, 0, 2)]:
+        eid += 1
+        rows.append((eid, t, 2, "click", 0.0, "{}"))
+    eid += 1
+    rows.append((eid, ts(2024, 5, 1, 12), 3, "click", 0.0, "{}"))
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    expect = []
+    gaps = {1: [600_000_000] * 3, 2: [1_000_000, 1_000_000, 7_200_000_000]}
+    for u in (1, 2):
+        d = gaps[u]
+        n, sd, sdd = len(d), sum(d), sum(x * x for x in d)
+        num, den = n * sdd - sd * sd, sd * sd
+        expect.append((u, n, str(num), str(den), num * 1_000_000 // den))
+    got = [tuple(r) for r in q_events_interarrival_cv(spark, sf).collect()]
+    assert got == expect
+    assert got[0][4] == 0 and got[1][4] > 1_000_000  # regular vs bursty
