@@ -429,6 +429,7 @@ _DEFERRED: list[str] = [
     "events_power_analysis",
     "text_term_burstiness",
     "events_interarrival_cv",
+    "graph_local_clustering",
     "late_order_priority",
     "part_supplier_variety",
     "bracket_revenue",

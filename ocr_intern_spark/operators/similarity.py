@@ -2420,6 +2420,161 @@ LIMIT {GEO_K}
 """
 
 
+# --- per-vertex local clustering coefficient --------------------------------
+
+
+def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex LOCAL clustering coefficient over the spatial
+    neighbor graph — the vertex-grain companion to the global
+    triangle census: c_v = 2·T_v / (deg_v·(deg_v−1)) in floor ppm,
+    where T_v counts closed wedges at v. High-c vertices sit inside
+    tight dup-cliques; low-c high-degree vertices are hubs — the
+    per-node signal cluster-cleanup pipelines rank by.
+
+    Scale shape: the standard distributed triangle count — directed
+    adjacency persisted once; wedges from the (v)-keyed self-join
+    (fan-out deg², bounded by grid-cell occupancy); closure via ONE
+    equi-join against the canonical a<b edge list; then a per-vertex
+    aggregate. Never an all-pairs pass; the oracle recomputes from
+    the all-pairs edge set.
+
+    Vertices need deg ≥ 2 (the coefficient is undefined below)."""
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def coord(axis: str) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(axis))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % GEO_SPAN
+        )
+
+    pts = doc.select(
+        "doc_id", coord("x").alias("x"), coord("y").alias("y")
+    ).select(
+        "doc_id",
+        "x",
+        "y",
+        F.expr(f"x DIV {GEO_R}").alias("cx"),
+        F.expr(f"y DIV {GEO_R}").alias("cy"),
+    )
+    probe = (
+        pts.select(
+            F.col("doc_id").alias("a"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            "cx",
+            "cy",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "a",
+            "ax",
+            "ay",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            "cy",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"),
+        )
+        .select("a", "ax", "ay", "jx", (F.col("cy") + F.col("dy")).alias("jy"))
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    directed = (
+        probe.join(
+            pts.select(
+                F.col("doc_id").alias("b"),
+                F.col("x").alias("bx"),
+                F.col("y").alias("by"),
+                F.col("cx").alias("jx"),
+                F.col("cy").alias("jy"),
+            ),
+            ["jx", "jy"],
+        )
+        .where((F.col("a") != F.col("b")) & (d2 <= GEO_R * GEO_R))
+        .select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .persist()
+    )
+    deg = directed.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    canon = directed.where(F.col("v") < F.col("u")).select(
+        F.col("v").alias("e1"), F.col("u").alias("e2")
+    )
+    wedges = (
+        directed.alias("l")
+        .join(
+            directed.alias("r"),
+            (F.col("l.v") == F.col("r.v")) & (F.col("l.u") < F.col("r.u")),
+        )
+        .select(
+            F.col("l.v").alias("v"),
+            F.col("l.u").alias("e1"),
+            F.col("r.u").alias("e2"),
+        )
+    )
+    tri = wedges.join(canon, ["e1", "e2"]).groupBy("v").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            "deg",
+            F.coalesce(F.col("t"), F.lit(0)).alias("triangles"),
+            F.expr(
+                "CAST(2 * coalesce(t, 0) * 1000000 "
+                "DIV (deg * (deg - 1)) AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _local_clustering_sql() -> str:
+    coord = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{ax}'), 1, 8)) "
+        f"AS BIGINT) % {GEO_SPAN}"
+    )
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         {coord.format(ax="x")} AS x,
+         {coord.format(ax="y")} AS y
+  FROM documents
+),
+directed AS (
+  SELECT a.doc_id AS v, b.doc_id AS u
+  FROM pts a JOIN pts b ON a.doc_id != b.doc_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {GEO_R * GEO_R}
+),
+deg AS (SELECT v, count(*) AS deg FROM directed GROUP BY v),
+canon AS (SELECT v AS e1, u AS e2 FROM directed WHERE v < u),
+wedges AS (
+  SELECT l.v, l.u AS e1, r.u AS e2
+  FROM directed l JOIN directed r ON r.v = l.v AND l.u < r.u
+),
+tri AS (
+  SELECT w.v, count(*) AS t
+  FROM wedges w JOIN canon c ON c.e1 = w.e1 AND c.e2 = w.e2
+  GROUP BY w.v
+)
+SELECT d.v AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS triangles,
+       CAST(2 * COALESCE(t.t, 0) * 1000000 // (d.deg * (d.deg - 1))
+            AS BIGINT) AS clustering_ppm
+FROM deg d LEFT JOIN tri t ON t.v = d.v
+WHERE d.deg >= 2
+ORDER BY doc_id
+"""
+
+
 # --- embedding centroid drift monitoring ------------------------------------
 
 DRIFT_Q = 1_000_000  # per-element quantization (micro-units)
@@ -2722,6 +2877,10 @@ FROM walk ORDER BY start, step
 QUERIES = {
     "graph_random_walks": (q_graph_random_walks, _random_walks_sql()),
     "sim_centroid_drift": (q_centroid_drift, _CENTROID_DRIFT_SQL),
+    "graph_local_clustering": (
+        q_graph_local_clustering,
+        _local_clustering_sql(),
+    ),
     "sim_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "sim_embedding_outliers": (q_embedding_outliers, _OUTLIER_SQL),
     "sim_mmr_select": (q_mmr_select, _mmr_sql()),

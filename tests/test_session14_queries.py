@@ -1648,3 +1648,54 @@ def test_interarrival_cv_reference(spark, tmp_path):
     got = [tuple(r) for r in q_events_interarrival_cv(spark, sf).collect()]
     assert got == expect
     assert got[0][4] == 0 and got[1][4] > 1_000_000  # regular vs bursty
+
+
+def test_local_clustering_reference(spark, tmp_path):
+    """Per-vertex clustering coefficient recomputed serially from
+    the md5 coordinates; includes a vertex in a closed triangle and
+    an open hub."""
+    import hashlib
+
+    from ocr_intern_spark.operators.similarity import (
+        GEO_R,
+        GEO_SPAN,
+        q_graph_local_clustering,
+    )
+
+    ids = list(range(80))
+    rows = [(d, f"t{d}", "en", "s", 2) for d in ids]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def coord(d, ax):
+        return int(hashlib.md5(f"{d}{ax}".encode()).hexdigest()[:8], 16) % GEO_SPAN
+
+    pts = {d: (coord(d, "x"), coord(d, "y")) for d in ids}
+    adj = {d: set() for d in ids}
+    for a in ids:
+        for b in ids:
+            if a < b:
+                d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+                if d2 <= GEO_R * GEO_R:
+                    adj[a].add(b)
+                    adj[b].add(a)
+    expect = []
+    for v in ids:
+        deg = len(adj[v])
+        if deg < 2:
+            continue
+        t = sum(
+            1
+            for u in adj[v]
+            for w in adj[v]
+            if u < w and w in adj[u]
+        )
+        expect.append(
+            (v, deg, t, 2 * t * 1_000_000 // (deg * (deg - 1)))
+        )
+    got = [tuple(r) for r in q_graph_local_clustering(spark, sf).collect()]
+    assert got == expect
+    cs = [c for *_, c in expect]
+    assert len(expect) > 3 and max(cs) > 0 and min(cs) < max(cs)
