@@ -269,132 +269,23 @@ def _q_span_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 entries of queries() per
 # round, so ordering is rotated each round to give every name a driver
-# row. Round-4 window (VERDICT r3 "Next round" #1-#3, in order):
-#   1. the two r3 hash-fails, re-run after type canonicalization
-#      (dsir score → canonical digit string; table grid row/col → INT);
-#   2. the 18 names that had never received a driver row through
-#      r01+r02+r03 (all 18 hash-exact/rows-green in the judge's own
-#      local replica run, per VERDICT r3);
-#   3. the 5 formerly rows-only entries, now carrying materialized
-#      pure-Python-oracle goldens (tools/make_goldens.py →
-#      tests/goldens/*.parquet) so they get real hash rows;
-#   4. remaining slots: r3-green names kept in module order.
-# Union of r02+r03+r04 driver rows then covers EVERY registered name.
+# row. Round-5 window (VERDICT r4 "Next round" #1, verbatim):
+#   1. extract_span_regression — the standing north-rule gate (per-doc
+#      span-sequence equality vs the golden fixtures) gets its first
+#      driver row;
+#   2. the first 49 never-driver-checked names from the r4 _DEFERRED
+#      backlog, in their original registration order (session-14 set
+#      first — newest, least externally verified; every name carries a
+#      builder-recorded ×3-sf local hash-exact check and a serial
+#      reference pin in tests/test_session1N_queries.py).
+# All 50 r4-window names (hash-green in CORRECTNESS_r04.json) rotate to
+# _BACK. Union of r01..r05 driver rows then covers 193/256 names; the
+# remaining 63 stay in _DEFERRED with local ×3-sf verification.
 _FRONT = [
-    # (1) the r3 hash-fails, fixed:
-    "text_dsir_select",
-    "extract_table_grid",
-    # (2) the 18 never-driver-checked names:
-    "dedup_incremental_batch",
-    "dedup_lsh_quality",
-    "events_twap",
-    "graph_triangle_stats",
-    "sim_int8_quant_recall",
-    "sim_knn_join_topk",
-    "sim_mmr_select",
-    "text_bigram_logprob",
-    "text_langid_ngram",
-    "text_length_histogram",
-    "text_pack_sequences",
-    "text_quality_curriculum_bins",
-    "text_stratified_sample",
-    "text_unigram_logprob",
-    "text_winnow_fingerprints",
-    "text_winnow_shared_pairs",
-    "export_fanout",
-    "extract_template_fields_auto",
-    # (3) formerly rows-only, now golden-backed:
-    "extract_full_pipeline",
-    "extract_doc_confidence",
-    "extract_template_fields",
-    # (4) fill with r3-green names (keeps the window dense;
-    # text_zipf_fit stays because its rank was rewritten to the
-    # distributed two-pass form this round and deserves a fresh row):
-    "text_zipf_fit",
-    # (9) session-8 NEW queries — the two subtlest of the five new
-    # TPC-H decorrelation shapes (Q2 argmin-with-ties join-back in
-    # integer cents; Q20 nested two-grain aggregate threshold) take
-    # the last two fill slots, displacing r3-hash-green
-    # events_rate_anomaly and text_pmi_collocations to _BACK; the
-    # other three (Q4/Q16/Q19 shapes) are _DEFERRED to the r5 window
-    # with local ×3-sf hash-exact verification recorded in COVERAGE.md:
-    "min_cost_supplier",
-    "dominant_part_suppliers",
-    # (8) session-7 NEW queries (PII scrubbing, canonical-URL dedup,
-    # OBELICS-style interleave filter, PDF de-hyphenation repair) —
-    # registered this round, so they take window slots immediately;
-    # the four r3-hash-green fills they displace (text_quality_ensemble,
-    # text_bpe_apply_fertility, graph_kcore, text_char_entropy) keep
-    # their r03 driver rows and move to _BACK:
-    "text_pii_redact",
-    "dedup_url_canonical",
-    "multimodal_interleave_filter",
-    "extract_dehyphenate",
-    # (7) session-6 NEW queries — registered this round, so they take
-    # window slots immediately; the six r3-hash-green fills they
-    # displace (text_source_kl_drift, text_source_vocab_overlap,
-    # text_heaps_fit, events_transition_matrix, sim_embedding_outliers,
-    # text_rrf_fusion) keep their r03 driver rows and move to _BACK:
-    "unshipped_order_revenue",
-    "nation_trade_volume",
-    "returned_item_customers",
-    "late_sole_supplier",
-    "text_line_dedup",
-    "text_source_cap",
-    # (4d) asymmetric n-gram containment (quote / test-set
-    # contamination detector) — displaces r3-hash-green
-    # text_bm25_search to _BACK:
-    "dedup_ngram_containment",
-    # (4c) the session's four new queries (Q13/Q11/Q18 shapes + the
-    # multimodal frame-sample through the real mapInPandas stage) —
-    # displacing four more r3-hash-green fills (text_quality_classifier,
-    # sim_pq_adc_recall, graph_label_propagation, events_funnel) to
-    # _BACK:
-    "customer_order_distribution",
-    "major_revenue_parts",
-    "large_order_customers",
-    "multimodal_frame_sample",
-    # (4b) the three Structured Streaming queries (complete-mode
-    # incremental aggregation ×2 + the checkpoint-resume exactly-once
-    # proof) — first-ever driver rows for the streaming path; the
-    # three r3-hash-green fills they displace (events_state_history,
-    # text_bpe_learn_merges, sim_hard_negatives) keep their r03 rows
-    # and move to _BACK:
-    "stream_events_summary",
-    "stream_dedup_fingerprint",
-    "stream_resume_checkpoint",
-    # (5) the xxhash64 fast paths: r01-r03 rows were rows-only
-    # (err: no_oracle); they now carry XXH64-spec goldens and take
-    # window slots so the driver finally records HASH rows for them
-    # (displacing r3-hash-green text_gopher_quality_flags and
-    # text_allpairs_cosine to _BACK):
-    "dedup_minhash_fast",
-    "dedup_minhash_fast_lsh_buckets",
-    # (6) round-4 NEW queries (Q8-style 7-table market share, Q15-style
-    # broadcast-argmax top supplier, interval/range join, and the
-    # global_rank-backed spend deciles) — registered this round, so
-    # they take window slots immediately; the four r3-green names they
-    # displace (dedup_fuzzy_vocab_pairs, dedup_split_leakage_safe,
-    # graph_provenance_rank, text_span_dedup) keep their r03 driver
-    # rows and move to _BACK, so the r01-r04 union still covers every
-    # registered name:
-    "market_share_by_year",
-    "top_supplier_revenue",
-    "events_error_follows_click",
-    "customer_spend_deciles",
-]
-
-# Names intentionally outside this round's 50-slot window. The three
-# session-8 TPC-H shapes below were registered after the window filled
-# (50 slots, 146 names); each carries a DuckDB oracle verified
-# hash-exact locally at sf0.001/sf0.01/sf0.1 this session and is first
-# in line for the round-5 window.
-_DEFERRED: list[str] = [
-    # session-14 NEW queries — the r4 window is full, so all twelve
-    # are deferred to the r5 window with local ×3-sf hash-exact
-    # verification recorded in COVERAGE.md (check_oracle at
-    # sf0.001/0.01/0.1 this session) plus serial reference pins in
-    # tests/test_session14_queries.py:
+    # (1) the north-rule span-sequence regression gate:
+    "extract_span_regression",
+    # (2) the 49 oldest-registered never-driver-checked names
+    # (session-14 registrations, in registration order):
     "customer_survival_km",
     "events_acf",
     "events_attribution",
@@ -444,22 +335,31 @@ _DEFERRED: list[str] = [
     "events_daily_gap_fill",
     "product_profit_by_nation",
     "events_daily_type_unpivot",
+]
+
+# Names intentionally outside this round's 50-slot window: the driver
+# checks 50 of 256 per round, and 113 names entered r5 with no driver
+# row, so 63 necessarily remain deferred. Each carries a DuckDB oracle
+# verified hash-exact locally at sf0.001/0.01/0.1 (tools/check_oracle.py
+# sweeps recorded in COVERAGE.md: 247/247 and 255/255 full-registry
+# runs) plus a serial reference pin in its session test file. Ordering
+# is registration order; these lead _BACK so they head the r6 window.
+_DEFERRED: list[str] = [
+    # session-14 registrations not drained by the r5 window (6 names):
     "sim_margin_pair_mining",
     "stream_session_window",
     "graph_knn_bfs_hops",
     "forecast_revenue_change",
     "events_peak_concurrency",
     "events_nearest_error_gap",
-    # session-10 additions (CDC MERGE, anchor-text graph, incremental
-    # IVF maintenance) — registered after the window filled; oracles
-    # verified hash-exact locally at ×3 sfs this session:
+    # session-10 registrations (CDC MERGE, anchor-text graph,
+    # incremental IVF maintenance):
     "events_merge_upsert",
     "graph_anchor_text",
     "sim_ivf_delta_assign",
-    # session-11 additions (table-maintenance planning, binary-quant
-    # recall, 64-bit SimHash hamming pairs, HITS) — registered after
-    # the window filled; oracles verified hash-exact locally at ×3 sfs
-    # this session:
+    # session-11 registrations (table-maintenance planning, quantized
+    # recall, SimHash-64, HITS, streaming joins, modularity, CCNet
+    # buckets, LSH sweeps, pack/quality/expectation audits):
     "table_compaction_plan",
     "sim_binary_quant_recall",
     "dedup_simhash_hamming64",
@@ -485,10 +385,10 @@ _DEFERRED: list[str] = [
     "graph_degree_assortativity",
     "dedup_minhash_est_error",
     "text_langid_confusion",
+    # session-12/13 registrations (snapshot expiry, column stats, CDC
+    # chunks, salted dim join, phash dedup, pareto front, IVM retract,
+    # CMS heavy hitters, bitemporal as-of, RFM, Gini, ROUGE, WAU):
     "text_bm25_eval",
-    # session-12 additions — registered after the window filled;
-    # oracles verified hash-exact locally at ×3 sfs this session:
-    "extract_span_regression",
     "table_snapshot_expiry_plan",
     "table_column_stats",
     "text_cdc_chunks",
@@ -520,42 +420,84 @@ _DEFERRED: list[str] = [
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.
+# After the deferred block: the 50 r4-window names (every one
+# hash-green in CORRECTNESS_r04.json), then the older rotated-out
+# names, all green in r01-r03.
 _BACK = _DEFERRED + [
-    # displaced from the r4 fill by the session-8 Q2/Q20 shapes; both
-    # are hash-green in CORRECTNESS_r03.json:
+    # the full r4 window, rotated out with fresh r04 hash rows:
+    "text_dsir_select",
+    "extract_table_grid",
+    "dedup_incremental_batch",
+    "dedup_lsh_quality",
+    "events_twap",
+    "graph_triangle_stats",
+    "sim_int8_quant_recall",
+    "sim_knn_join_topk",
+    "sim_mmr_select",
+    "text_bigram_logprob",
+    "text_langid_ngram",
+    "text_length_histogram",
+    "text_pack_sequences",
+    "text_quality_curriculum_bins",
+    "text_stratified_sample",
+    "text_unigram_logprob",
+    "text_winnow_fingerprints",
+    "text_winnow_shared_pairs",
+    "export_fanout",
+    "extract_template_fields_auto",
+    "extract_full_pipeline",
+    "extract_doc_confidence",
+    "extract_template_fields",
+    "text_zipf_fit",
+    "min_cost_supplier",
+    "dominant_part_suppliers",
+    "text_pii_redact",
+    "dedup_url_canonical",
+    "multimodal_interleave_filter",
+    "extract_dehyphenate",
+    "unshipped_order_revenue",
+    "nation_trade_volume",
+    "returned_item_customers",
+    "late_sole_supplier",
+    "text_line_dedup",
+    "text_source_cap",
+    "dedup_ngram_containment",
+    "customer_order_distribution",
+    "major_revenue_parts",
+    "large_order_customers",
+    "multimodal_frame_sample",
+    "stream_events_summary",
+    "stream_dedup_fingerprint",
+    "stream_resume_checkpoint",
+    "dedup_minhash_fast",
+    "dedup_minhash_fast_lsh_buckets",
+    "market_share_by_year",
+    "top_supplier_revenue",
+    "events_error_follows_click",
+    "customer_spend_deciles",
+    # older rotated-out names (green in r01-r03):
     "events_rate_anomaly",
     "text_pmi_collocations",
-    # displaced from the r4 fill by the six session-6 queries; all six
-    # are hash-green in CORRECTNESS_r03.json:
     "text_source_kl_drift",
     "text_source_vocab_overlap",
     "text_heaps_fit",
     "events_transition_matrix",
     "sim_embedding_outliers",
     "text_rrf_fusion",
-    # displaced from the r4 fill by the three streaming queries; all
-    # three are hash-green in CORRECTNESS_r03.json:
     "events_state_history",
     "text_bpe_learn_merges",
     "sim_hard_negatives",
-    # displaced from the r4 fill by the Q13/Q11/Q18 + frame-sample
-    # queries; all four are hash-green in CORRECTNESS_r03.json:
     "text_quality_classifier",
     "sim_pq_adc_recall",
     "graph_label_propagation",
     "events_funnel",
     "text_bm25_search",
-    # displaced from the r4 fill by the four new round-4 queries and
-    # the two newly-golden-oracled fast paths; all six are hash-green
-    # in CORRECTNESS_r03.json:
     "dedup_fuzzy_vocab_pairs",
     "dedup_split_leakage_safe",
     "graph_provenance_rank",
     "text_span_dedup",
     "text_gopher_quality_flags",
     "text_allpairs_cosine",
-    # displaced from the r4 fill by the session-7 web-curation queries;
-    # all four are hash-green in CORRECTNESS_r03.json:
     "text_quality_ensemble",
     "text_bpe_apply_fertility",
     "graph_kcore",

@@ -489,6 +489,25 @@ def main() -> None:
         spark = _session(CPUS)
         try:
             times, q_attempts = run_headline(spark)
+            # North-rule span gate, recorded in the bench artifact too
+            # (VERDICT r4 #6): live flagship vs the committed golden,
+            # per-doc (kind, text, order) fingerprint equality at the
+            # bench SF. 100.0 means every golden doc matched exactly.
+            import __spark_entry__ as entrymod
+            from pyspark.sql import functions as F
+
+            sr = entrymod.queries()["extract_span_regression"](spark, SF_DIR)
+            agg = sr.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.col("span_match").cast("long")).alias("matched"),
+            ).collect()[0]
+            result["span_match"] = {
+                "docs": agg["docs"],
+                "matched": int(agg["matched"] or 0),
+                "pct": round(100.0 * (agg["matched"] or 0) / agg["docs"], 3)
+                if agg["docs"]
+                else None,
+            }
         finally:
             _shutdown_jvm(spark)
         result["queries"] = times
@@ -498,7 +517,35 @@ def main() -> None:
         result["queries"] = {}
         result["value"] = 0.0
 
-    print(json.dumps(result))
+    # The r4 driver artifact recorded "parsed": null because the full
+    # result line (query_attempts + per-attempt scaling audit) outgrew
+    # the driver's tail capture and the line's HEAD was truncated. Fix
+    # (VERDICT r4 #4): the verbose record goes whole into
+    # BENCH/last_run.json, and stdout ends with a COMPACT result line —
+    # small enough that any tail capture gets it intact — carrying the
+    # metric, per-query bests, scaling summary, and span gate.
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH"), exist_ok=True)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("query_attempts", "scaling")
+    }
+    if "scaling" in result:
+        compact["scaling"] = {
+            k: v
+            for k, v in result["scaling"].items()
+            if k.startswith(("docs_per_sec", "scaling_efficiency"))
+            or k in ("corpus_docs", "gate_violated", "trampled_draws_kept")
+        }
+    compact["detail"] = "BENCH/last_run.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

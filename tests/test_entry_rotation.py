@@ -48,39 +48,32 @@ def test_rotated_out_names_have_prior_rows_or_are_deferred():
     assert not missing, f"rotated-out queries with no driver row ever: {missing}"
 
 
-def test_r3_redlist_heads_the_window():
-    """VERDICT r3 next-round #1/#2: the two fixed hash-fails lead the
-    window, and all 18 never-driver-checked names sit inside it."""
+def test_r5_window_is_span_gate_plus_fresh_backlog():
+    """VERDICT r4 next-round #1: extract_span_regression (the standing
+    north-rule span-sequence gate) leads the window, and every other
+    slot goes to a name with NO prior driver row — the window drains
+    the backlog instead of re-checking green names."""
     m = _entry()
     names = list(m.queries())
-    assert names[0] == "text_dsir_select"
-    assert names[1] == "extract_table_grid"
-    never_checked = [
-        "dedup_incremental_batch", "dedup_lsh_quality", "events_twap",
-        "graph_triangle_stats", "sim_int8_quant_recall",
-        "sim_knn_join_topk", "sim_mmr_select", "text_bigram_logprob",
-        "text_langid_ngram", "text_length_histogram",
-        "text_pack_sequences", "text_quality_curriculum_bins",
-        "text_stratified_sample", "text_unigram_logprob",
-        "text_winnow_fingerprints", "text_winnow_shared_pairs",
-        "export_fanout", "extract_template_fields_auto",
-    ]
-    for n in never_checked:
-        assert names.index(n) < 50, f"{n} outside the 50-slot window"
+    prior = _prior_rows()
+    assert names[0] == "extract_span_regression"
+    rechecked = [n for n in names[1:50] if n in prior]
+    assert not rechecked, (
+        f"r5 window slots wasted on already-driver-green names: {rechecked}"
+    )
 
 
-def test_golden_backed_entries_have_oracles_in_window():
-    """VERDICT r3 next-round #3: the formerly rows-only entries now
-    carry materialized-golden oracle SQL and sit inside the window."""
+def test_golden_backed_entries_keep_oracles():
+    """VERDICT r3 next-round #3 (carried): the formerly rows-only
+    entries keep their materialized-golden oracle SQL. They earned
+    hash rows in CORRECTNESS_r04 and have rotated out of the window."""
     m = _entry()
-    names = list(m.queries())
     oracles = m.oracle_sql()
     for n in (
         "extract_full_pipeline", "extract_doc_confidence",
         "extract_template_fields", "extract_template_fields_auto",
         "export_fanout",
     ):
-        assert names.index(n) < 50, f"{n} outside the 50-slot window"
         assert n in oracles, f"{n} has no oracle SQL"
         assert "tests/goldens" in oracles[n]
 

@@ -1,0 +1,95 @@
+"""Round-5 regression pins.
+
+1. text_ccnet_buckets derives its bucket denominator `n` from the
+   PERSISTED global_rank frame (max(rk)), not from a re-derivation of
+   the bigram-LM scoring DAG — VERDICT r4 "What's wrong" #1.
+2. bench.py emits a compact, tail-capture-safe result line and writes
+   the verbose record to BENCH/last_run.json — VERDICT r4 #4.
+"""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_ccnet_n_comes_from_persisted_rank_frame(spark):
+    """The broadcast scalar `n` must be max(rk) off global_rank's
+    materialized intermediate (the cached lineage reprints under
+    InMemoryTableScan with the SAME plan_ids). The old shape — a
+    count(1) aggregate over a second, independently-planned copy of
+    the bigram scoring subtree — was a potential 2× of the dominant
+    LM pass at scale."""
+    from ocr_intern_spark.functions.text import q_ccnet_buckets
+
+    df = q_ccnet_buckets(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "max(rk" in plan, "n is no longer derived from the rank frame"
+    # the persisted two-pass rank intermediate is present
+    assert "InMemoryTableScan" in plan
+
+
+def test_ccnet_values_unchanged_by_n_source(spark):
+    """max(rk) == count(base) by construction (dense 1..N rank);
+    spot-check bucket boundaries stay exact."""
+    from ocr_intern_spark.functions.text import q_ccnet_buckets
+
+    rows = q_ccnet_buckets(spark, SF).collect()
+    n = len(rows)
+    assert n == 500
+    buckets = [r["bucket"] for r in rows]
+    assert set(buckets) == {"head", "middle", "tail"}
+    # tertile sizes: ((rk-1)*3) div n over 1..500 → 167/167/166
+    from collections import Counter
+
+    c = Counter(buckets)
+    assert c["head"] == 167 and c["middle"] == 167 and c["tail"] == 166
+
+
+def test_bench_fast_emits_compact_parseable_tail_line():
+    """Driver contract: BENCH_r{N}.json records the LAST line of
+    bench.py output; r4 recorded "parsed": null because the single
+    result line outgrew the tail capture. The compact line must stay
+    small and parse on its own, with the verbose record in
+    BENCH/last_run.json."""
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py", "--fast"],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        env={
+            **__import__("os").environ,
+            "SPARK_GRAFT_SF_DIR": SF,
+            "SPARK_GRAFT_CPUS": "4",
+        },
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    last = out.stdout.strip().splitlines()[-1]
+    parsed = json.loads(last)  # must parse as-is
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert "queries" in parsed and parsed["queries"]
+    assert "query_attempts" not in parsed  # verbose keys stay off the line
+    assert parsed["detail"] == "BENCH/last_run.json"
+    assert len(last) < 4000, f"compact line too long: {len(last)} bytes"
+    detail = json.load(open("/root/repo/BENCH/last_run.json"))
+    assert detail["queries"] == parsed["queries"]
+    assert "query_attempts" in detail
+    # north-rule span gate recorded in the bench artifact (VERDICT r4 #6)
+    assert parsed["span_match"]["pct"] == 100.0
