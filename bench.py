@@ -169,6 +169,12 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     # first-run cost inside another query's attempt 1).
     for name in HEADLINE:
         _materialize(qs[name](spark, "/root/testdata/sf0.001"))
+        # each invocation builds FRESH lineage objects, so caches from
+        # the previous query are dead weight, never reused — drop them
+        # after the terminal action (safe point: the frame is consumed)
+        # so a long sweep's MEMORY_AND_DISK footprint stays one query
+        # deep instead of growing monotonically
+        spark.catalog.clearCache()
 
     # Best-of-2 per query (like the scaling section): host noise only
     # ever INFLATES wall time, so min-of-attempts converges on the
@@ -184,6 +190,10 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
             attempts.setdefault(name, []).append(
                 round(time.perf_counter() - t0, 3)
             )
+            # dead caches from this attempt are never reused by the
+            # next (fresh lineage per invocation) — release outside
+            # the timed span
+            spark.catalog.clearCache()
     for name in HEADLINE:
         times[name] = min(attempts[name])
     return times, attempts

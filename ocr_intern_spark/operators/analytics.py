@@ -3533,9 +3533,6 @@ def q_events_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "ts", "event_id", "event_type", "value"
     )
-    n = ev.count()  # scalar used only to cut base/delta; the driver
-    # equivalent at scale is the ingest offset, not a count job
-    cut = n * _IVM_SPLIT_PCT // 100
     # base/delta carve via the DISTRIBUTED two-pass rank (production
     # deltas arrive pre-labelled by the changelog; this rank is the
     # test harness's stand-in and still never runs a global window)
@@ -3549,8 +3546,18 @@ def q_events_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_r") - 1).alias("rn"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # the carve scalar FOLDED INTO THE PLAN as a 1-row broadcast off
+    # the persisted rank frame (max(rn)+1 == n), instead of a driver-
+    # side ev.count() that ran an extra full scan at plan-build time;
+    # the production equivalent at scale is the ingest offset either
+    # way. Empty-corpus edge: empty → _cut null → both filters emit
+    # 0 rows, same as the old n=0 path.
+    cutdf = labelled.agg(
+        F.expr(f"(max(rn) + 1) * {_IVM_SPLIT_PCT} DIV 100").alias("_cut")
+    )
+    labelled = labelled.crossJoin(F.broadcast(cutdf))
     key = [F.to_date("ts").alias("day"), F.col("event_type")]
-    base = labelled.where(F.col("rn") < cut)
+    base = labelled.where(F.col("rn") < F.col("_cut"))
     base_view = base.groupBy(*key).agg(
         F.count("*").alias("n"), F.sum("cents").alias("cents")
     )
@@ -3559,7 +3566,7 @@ def q_events_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("op"),
         F.col("cents"),
     )
-    insert = labelled.where(F.col("rn") >= cut).select(
+    insert = labelled.where(F.col("rn") >= F.col("_cut")).select(
         *key, F.lit(1).alias("op"), F.col("cents")
     )
     delta = retract.unionByName(insert)
@@ -4241,14 +4248,17 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "spend_cents",
     ).persist()
-    n = base.count()
+    # customer count FOLDED INTO THE PLAN as a 1-row broadcast off the
+    # persisted base (no driver-side base.count() at plan-build time —
+    # building the frame no longer runs a Spark job)
+    n1 = base.agg(F.count("*").alias("_n"))
 
     def quintile(df: DataFrame, *order: Column, name: str) -> DataFrame:
         ranked = global_rank(df, *order, rank_name="_rk")
-        return ranked.select(
+        return ranked.crossJoin(F.broadcast(n1)).select(
             "c",
             (
-                F.expr(f"CAST((_rk - 1) * {RFM_Q} DIV {n} AS INT)") + 1
+                F.expr(f"CAST((_rk - 1) * {RFM_Q} DIV _n AS INT)") + 1
             ).alias(name),
         )
 

@@ -524,13 +524,18 @@ def q_events_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "event_id", "user_id",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
-    n = ev.count()  # ingest-offset stand-in, as in events_ivm_retract
     ranked = global_rank(ev, F.col("ts"), F.col("event_id"), rank_name="_r")
+    # ingest-offset stand-in, as in events_ivm_retract — the row count
+    # FOLDED INTO THE PLAN as a 1-row broadcast off the persisted rank
+    # frame (max(_r) == n) instead of a driver-side ev.count() that
+    # ran an extra full scan at plan-build time
+    nf = ranked.agg(F.max("_r").alias("_n"))
+    ranked = ranked.crossJoin(F.broadcast(nf))
     # all-INTEGER epoch carve: double-cast would round on DuckDB and
     # truncate on Spark (the session-13 slice-arithmetic trap)
     epoch = F.least(
         F.expr(
-            f"CAST(((_r - 1) * {BITEMP_EPOCHS}) DIV {n} AS INT)"
+            f"CAST(((_r - 1) * {BITEMP_EPOCHS}) DIV _n AS INT)"
         )
         + 1,
         F.lit(BITEMP_EPOCHS),

@@ -6,10 +6,20 @@ checked against the two plan classes that kill a 100 TB run:
 
 * `CartesianProduct` — never allowed, anywhere;
 * `BroadcastNestedLoopJoin` — allowed ONLY for the documented
-  1-row/tiny-build scalar-broadcast class (corpus totals, centroid
-  frames, query vectors, idf stats…), frozen in _BNLJ_ALLOWED. A new
-  query that picks up a BNLJ must either justify itself onto the
-  list or restructure the join.
+  scalar/bounded-build class, and since round 5 the allowlist is
+  ASSERTED, not just audited: for every allowlisted name, each BNLJ
+  build side is materialized from its logical link and its actual
+  row count at sf0.001 must stay under `_SCALAR_BUILD_BOUND` (the
+  observed scalar-class maximum is 30 — 1-row totals, ≤5-row
+  alphabet frames, ≤31-row day spines). A future edit that turns a
+  scalar broadcast into a genuine cross product fails the gate with
+  no human audit needed (VERDICT r4 "Next round" #5).
+* documented all-pairs EVAL BASELINES (`_BNLJ_EVAL_BASELINES`) are
+  the one class whose build side legitimately scales with data (the
+  brute-force head that certifies a bucketed/blocked scale path
+  elsewhere). For these the assertion is no-blowup: build rows must
+  not exceed the largest base table at that sf (a join-product build
+  would).
 
 Streaming queries are excluded: their callables run real streams to
 produce the comparison frame, so "building the plan" would execute
@@ -17,12 +27,19 @@ micro-batches; their plan shapes are pinned in their own tests.
 """
 
 import pytest
+from pyspark.sql import DataFrame
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# Largest base table at sf0.001 (lineitem ~6k rows) — the no-blowup
+# ceiling for eval-baseline builds; asserted against the real table
+# below rather than hard-coded.
+_SCALAR_BUILD_BOUND = 64
+
 # The scalar-broadcast class: every build side here is a 1-row
 # aggregate (totals/max/thresholds), a ≤centroids/≤query-vector
-# literal frame, or a ≤vocab stats frame — audited in BENCH/PLANS.md.
+# literal frame, a ≤alphabet/day-spine frame, or a ≤vocab stats
+# frame — audited in BENCH/PLANS.md AND bounded-asserted below.
 _BNLJ_ALLOWED = frozenset(
     {
         "customer_spend_deciles",
@@ -53,6 +70,10 @@ _BNLJ_ALLOWED = frozenset(
         "events_markov_stationary",
         # DiD: the CUPED-style 1-row midpoint broadcast:
         "events_did_estimator",
+        # IVM retract: the 1-row base/delta cut scalar (max(rn)+1 off
+        # the persisted rank frame), folded into the plan in round 5
+        # so building the frame no longer runs a driver-side count:
+        "events_ivm_retract",
         # power analysis: 1-row moments × 3-row MDE spine:
         "events_power_analysis",
         # burstiness: the 1-row corpus-count broadcast:
@@ -108,26 +129,99 @@ _BNLJ_ALLOWED = frozenset(
     }
 )
 
+# The documented all-pairs eval-baseline class: the build side is the
+# WHOLE (small, eval-sized) comparison frame by design — the exact
+# head whose agreement certifies the blocked/bucketed scale path
+# (blocked-swap proofs in sim_ivf_recall_curve et al.). Bounded by
+# "no larger than any single base table", not by the scalar bound.
+_BNLJ_EVAL_BASELINES = frozenset({"sim_knn_join_topk"})
 
-def test_no_cartesian_anywhere_and_bnlj_only_scalar_class(spark):
+
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def _bnlj_build_counts(spark, df) -> list[int]:
+    """Row count of every BroadcastNestedLoopJoin build side in df's
+    pre-AQE physical plan, materialized through the build node's
+    logical link (the physical subtree itself can't be executed
+    directly — it lacks the columnar→row transitions that executed-
+    plan preparation inserts)."""
+    counts = []
+    plan = df._jdf.queryExecution().sparkPlan()
+    for node in _walk(plan):
+        if node.nodeName() == "BroadcastNestedLoopJoin":
+            idx = 1 if "Right" in node.buildSide().toString() else 0
+            build = node.children().apply(idx)
+            ll = build.logicalLink()
+            assert ll.isDefined(), "BNLJ build side without logical link"
+            jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, ll.get()
+            )
+            counts.append(DataFrame(jdf, spark).count())
+    return counts
+
+
+@pytest.fixture(scope="module")
+def sweep(spark):
+    """One pass over the registry: plan strings for the class checks,
+    plus BNLJ build-side row counts for every allowlisted name."""
     import __spark_entry__ as e
 
-    offenders_cart = []
-    offenders_bnlj = []
+    cart, undocumented, build_counts = [], [], {}
     for name, fn in e.queries().items():
         if name.startswith("stream_"):
             continue
         df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().sparkPlan().toString()
         if "CartesianProduct" in plan:
-            offenders_cart.append(name)
-        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
-            offenders_bnlj.append(name)
-    assert not offenders_cart, f"CartesianProduct in: {offenders_cart}"
-    assert not offenders_bnlj, (
-        f"undocumented BroadcastNestedLoopJoin in: {offenders_bnlj} — "
+            cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan:
+            if name not in _BNLJ_ALLOWED:
+                undocumented.append(name)
+            else:
+                build_counts[name] = _bnlj_build_counts(spark, df)
+    return cart, undocumented, build_counts
+
+
+def test_no_cartesian_anywhere(sweep):
+    cart, _, _ = sweep
+    assert not cart, f"CartesianProduct in: {cart}"
+
+
+def test_bnlj_only_documented_class(sweep):
+    _, undocumented, _ = sweep
+    assert not undocumented, (
+        f"undocumented BroadcastNestedLoopJoin in: {undocumented} — "
         "either restructure the join or audit the build side and add "
         "the name to _BNLJ_ALLOWED with a PLANS.md row"
+    )
+
+
+def test_bnlj_scalar_builds_are_bounded(sweep, spark):
+    """The allowlist is self-verifying: every allowlisted BNLJ build
+    side must COUNT under the scalar bound at sf0.001 (eval baselines
+    under the largest base table). Membership alone can no longer
+    hide a regression that makes a build side data-scaled."""
+    _, _, build_counts = sweep
+    biggest_table = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    offenders = []
+    for name, counts in build_counts.items():
+        bound = (
+            biggest_table
+            if name in _BNLJ_EVAL_BASELINES
+            else _SCALAR_BUILD_BOUND
+        )
+        over = [c for c in counts if c > bound]
+        if over:
+            offenders.append((name, over, bound))
+    assert not offenders, (
+        f"BNLJ build sides over their bound at sf0.001: {offenders} — "
+        "a scalar broadcast became data-scaled (or an eval baseline "
+        "picked up a join-product blowup)"
     )
 
 
@@ -136,5 +230,7 @@ def test_bnlj_allowlist_has_no_stale_names(spark):
     otherwise the list silently stops guarding anything."""
     import __spark_entry__ as e
 
-    stale = _BNLJ_ALLOWED - set(e.queries())
+    names = set(e.queries())
+    stale = (_BNLJ_ALLOWED | _BNLJ_EVAL_BASELINES) - names
     assert not stale, f"stale allowlist entries: {sorted(stale)}"
+    assert _BNLJ_EVAL_BASELINES <= _BNLJ_ALLOWED

@@ -79,6 +79,12 @@ def main() -> None:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # each query persists its own fresh lineage; in a
+            # 256-query sweep the dead caches otherwise accumulate
+            # (MEMORY_AND_DISK grows monotonically). Safe point: the
+            # frame was just collected (or failed).
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             continue
