@@ -870,43 +870,81 @@ def q_stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     every production watermark trade (completeness vs state size) —
     this query pins that the metric means what the runbook says it
     means, batch by batch, not approximately."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from ocr_intern_spark.operators.skew import global_rank
 
     tmp = tempfile.mkdtemp(prefix="sq_late_")
     try:
         in_dir = os.path.join(tmp, "in")
         os.makedirs(in_dir)
-        rows = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .select("ts", "event_type", "value", "event_id")
-            .orderBy("ts", "event_id")
-            .collect()
-        )  # harness-side staging at test scale, not the operator path
-        n = len(rows)
-        per = (n + _N_FILES - 1) // _N_FILES
-        slices: list[list] = [[] for _ in range(_N_FILES)]
-        for i, r in enumerate(rows):
-            k = min(i // per, _N_FILES - 1)
-            if r.event_id % _LATE_DELAY_MOD == 0:
-                k = min(k + 2, _N_FILES - 1)
-            slices[k].append(r)
-        for k, chunk in enumerate(slices):
-            if not chunk:
-                continue
-            path = os.path.join(in_dir, f"part-{k:05d}.parquet")
-            pq.write_table(
-                pa.table(
-                    {
-                        "ts": [r.ts for r in chunk],
-                        "event_type": [r.event_type for r in chunk],
-                        "value": [r.value for r in chunk],
-                        "event_id": [r.event_id for r in chunk],
-                    }
+        # DISTRIBUTED staging (round-5 rework of the old collect() +
+        # pyarrow loop): the slice label is the two-pass global rank
+        # carved into _N_FILES ceil-sized batches (identical math to
+        # the old positional i // per), late rows shipped two slices
+        # later; ONE partitionBy write, repartitioned on the slice
+        # column so each slice directory holds exactly one file. The
+        # corpus never passes through the driver.
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "ts", "event_type", "value", "event_id"
+        )
+        ranked = global_rank(
+            ev, F.col("ts"), F.col("event_id"), rank_name="_r"
+        )
+        nf = ranked.agg(F.max("_r").alias("_n"))
+        sliced = (
+            ranked.crossJoin(F.broadcast(nf))
+            .withColumn(
+                "_k",
+                F.least(
+                    F.expr(
+                        f"(_r - 1) DIV ((_n + {_N_FILES - 1}) "
+                        f"DIV {_N_FILES})"
+                    ),
+                    F.lit(_N_FILES - 1),
                 ),
-                path,
             )
-            os.utime(path, (1700000000 + k * 60, 1700000000 + k * 60))
+            .withColumn(
+                "_k",
+                F.when(
+                    F.col("event_id") % _LATE_DELAY_MOD == 0,
+                    F.least(F.col("_k") + 2, F.lit(_N_FILES - 1)),
+                ).otherwise(F.col("_k")),
+            )
+            .select(
+                "ts",
+                "event_type",
+                "value",
+                "event_id",
+                F.col("_k").cast("int").alias("slice"),
+            )
+        )
+        stage_dir = os.path.join(tmp, "stage")
+        (
+            sliced.repartition(_N_FILES, "slice")
+            .write.partitionBy("slice")
+            .parquet(stage_dir)
+        )
+        # Micro-batch ORDER: Spark's file-stream source sorts pending
+        # files by modification TIMESTAMP ONLY (path is not a
+        # tie-break — verified empirically: equal mtimes scramble the
+        # batch sequence), so an explicit mtime ladder is the one
+        # reliable ordering channel. 60-second spacing makes it
+        # immune to coarse mtime granularity (second- or even
+        # 2-second-resolution filesystems preserve the order), which
+        # was the fragility of the old write-order-derived ladder.
+        for k in range(_N_FILES):
+            d = os.path.join(stage_dir, f"slice={k}")
+            if not os.path.isdir(d):
+                continue
+            parts = [
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            ]
+            assert len(parts) == 1, (
+                f"slice {k}: expected exactly one staged file, "
+                f"got {parts}"
+            )
+            dst = os.path.join(in_dir, f"part-{k:05d}.parquet")
+            os.rename(os.path.join(d, parts[0]), dst)
+            os.utime(dst, (1700000000 + k * 60, 1700000000 + k * 60))
 
         tz_key = "spark.sql.session.timeZone"
         old_tz = spark.conf.get(tz_key, None)
