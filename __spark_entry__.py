@@ -417,6 +417,11 @@ _DEFERRED: list[str] = [
     "text_rouge_neardup_audit",
     "revenue_concentration",
     "events_wau_stickiness",
+    # session-15 registration (VERDICT r4 stretch #7: the second
+    # pareto_front consumer — the (cost, quality) corpus-curation
+    # skyline) — the r5 window is reserved for backlog draining, so
+    # it enters deferred with local ×3-sf hash-exact verification:
+    "text_curation_skyline",
 ]
 # _DEFERRED names lead _BACK so their position is deterministic
 # (directly after the window) and the two lists can never drift apart.

@@ -3494,8 +3494,82 @@ ORDER BY doc_id
 """
 
 
+def q_curation_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation SKYLINE — the (cost, quality) pareto front of
+    the documents table: docs for which no other doc is at least as
+    clean AND at least as cheap with one strict. This is the curation
+    trade every data-mix owner walks (keep the highest-quality docs
+    the token budget affords); the skyline is exactly the set of
+    undominated budget choices.
+
+    Quality = alpha-character ratio in integer ppm (A-Za-z chars ·
+    10^6 DIV text length, zero-guarded — graded, unlike the coarse
+    0/0.25/0.5 composite score). Cost = whitespace token count,
+    minimized by maximizing its negation (skew.pareto_front maximizes
+    both axes). Engine path is the second consumer of
+    skew.pareto_front (after pareto_customers): per-x group max →
+    range-partitioned two-pass strict running max → semi-join; NO
+    unbounded window, no all-pairs compare. The oracle is the
+    textbook quadratic NOT EXISTS dominance predicate — hash
+    equality certifies the distributed decomposition, the same proof
+    shape as the salted-agg and LSH-swap certificates.
+
+    Scale: pass 1 is a map-side-combinable agg on quality_ppm
+    (≤ 10^6 + 1 distinct values — the skyline pass input is bounded
+    by the ppm domain, not the corpus); only a P-row partition
+    summary crosses the broadcast boundary."""
+    from ocr_intern_spark.operators.skew import pareto_front
+
+    d = _docs(spark, sf_dir)
+    pts = d.select(
+        "doc_id",
+        F.when(F.length("text") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "length(regexp_replace(text, '[^A-Za-z]', '')) * 1000000 "
+                "DIV length(text)"
+            )
+        )
+        .cast("long")
+        .alias("quality_ppm"),
+        (-token_count(F.col("text")).cast("long")).alias("neg_toks"),
+    )
+    return (
+        pareto_front(pts, "quality_ppm", "neg_toks")
+        .select(
+            "doc_id",
+            "quality_ppm",
+            (-F.col("neg_toks")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CURATION_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   * 1000000 // length(text) END AS quality_ppm,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, quality_ppm, n_tokens
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.quality_ppm >= p.quality_ppm AND q.n_tokens <= p.n_tokens
+    AND (q.quality_ppm > p.quality_ppm OR q.n_tokens < p.n_tokens)
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate_flags": (q_decontaminate_flags, _DECON_SQL),
+    "text_curation_skyline": (q_curation_skyline, _CURATION_SKYLINE_SQL),
     "text_sample_alpha": (q_sample_alpha, _SAMPLE_ALPHA_SQL),
     "text_source_kl_drift": (q_source_kl_drift, _KL_DRIFT_SQL),
     "text_source_vocab_overlap": (q_source_vocab_overlap, _VOCAB_OVERLAP_SQL),

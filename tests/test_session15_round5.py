@@ -63,6 +63,77 @@ def test_ccnet_values_unchanged_by_n_source(spark):
     assert c["head"] == 167 and c["middle"] == 167 and c["tail"] == 166
 
 
+def test_pareto_front_matches_quadratic_reference(spark):
+    """Property pin for skew.pareto_front (its second consumer,
+    text_curation_skyline, landed this round): on randomized integer
+    point sets — duplicates and axis ties included — the distributed
+    two-pass skyline equals the quadratic dominance reference, across
+    several partition counts (partition boundaries are the failure
+    surface of the range-partitioned running max)."""
+    import random
+
+    from ocr_intern_spark.operators.skew import pareto_front
+
+    rng = random.Random(1517)
+    for trial in range(6):
+        # small value domain ⇒ dense ties; equal points must ALL
+        # survive (equal points do not dominate each other)
+        pts = [
+            (i, rng.randint(0, 8), rng.randint(0, 8))
+            for i in range(rng.randint(1, 60))
+        ]
+        expect = sorted(
+            (i, x, y)
+            for (i, x, y) in pts
+            if not any(
+                qx >= x and qy >= y and (qx > x or qy > y)
+                for (_j, qx, qy) in pts
+            )
+        )
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        for parts in (1, 3, 16):
+            got = sorted(
+                (r["id"], r["x"], r["y"])
+                for r in pareto_front(
+                    df, "x", "y", partitions=parts
+                ).collect()
+            )
+            assert got == expect, (
+                f"trial {trial} partitions {parts}: {got} != {expect}"
+            )
+
+
+def test_curation_skyline_is_undominated_and_nonvacuous(spark):
+    """The registered skyline query: every returned doc is
+    undominated against the FULL corpus, and the front is non-empty
+    (the corpus always has a max-quality doc)."""
+    from ocr_intern_spark.operators.curation import q_curation_skyline
+    from pyspark.sql import functions as F  # noqa: F811
+
+    front = q_curation_skyline(spark, SF).collect()
+    assert front
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(text) = 0 THEN 0 ELSE "
+            "length(regexp_replace(text, '[^A-Za-z]', '')) * 1000000 "
+            "DIV length(text) END"
+        ).alias("q"),
+        F.expr(
+            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+            "size(split(trim(text), '\\\\s+')) END"
+        ).alias("t"),
+    )
+    all_pts = [(r["q"], r["t"]) for r in d.collect()]
+    for r in front:
+        q, t = r["quality_ppm"], r["n_tokens"]
+        dominated = any(
+            oq >= q and ot <= t and (oq > q or ot < t)
+            for (oq, ot) in all_pts
+        )
+        assert not dominated, f"{r['doc_id']} is dominated"
+
+
 def test_bench_fast_emits_compact_parseable_tail_line():
     """Driver contract: BENCH_r{N}.json records the LAST line of
     bench.py output; r4 recorded "parsed": null because the single
