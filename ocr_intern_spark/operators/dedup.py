@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -138,7 +140,11 @@ FROM documents
 """
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: "Callable[[DataFrame], DataFrame] | None" = None,
+) -> DataFrame:
     """Near-dup pairs by shingle-set Jaccard >= 0.5, via inverted
     index join (no cross join). Output: (a, b, jaccard).
 
@@ -149,15 +155,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Feature-hashing standard practice; a 64-bit collision at corpus
     scale perturbs one `common` count by 1 with probability ~n²/2⁶⁴.)
     The DuckDB oracle joins on raw shingle strings and must produce
-    the identical pair set."""
+    the identical pair set.
+
+    ``materialize`` is the index-materialization strategy: default
+    _round_checkpoint (reliable checkpoint dir on a cluster,
+    localCheckpoint here); pass
+    ``sources.storage.checkpoint_table(root, name)`` to land the
+    index as a durable, resumable TABLE instead — the 100 TB form,
+    tested identical-output in tests/test_session15_round5.py."""
     d = _docs(spark, sf_dir)
-    # The index is consumed three times (sizes, DF cut, self-join).
-    # _round_checkpoint materializes it ONCE: to the configured
-    # reliable checkpoint dir on a cluster (the 100 TB path — the
-    # index is the biggest intermediate in the pipeline and does not
-    # fit executor memory), localCheckpoint on this box. The previous
+    # The index is consumed three times (sizes, DF cut, self-join) —
+    # materialized ONCE via the injected strategy. The previous
     # .cache() was the narrated-only version of the same story.
-    sh = _round_checkpoint(
+    sh = (materialize or _round_checkpoint)(
         _shingles(d).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     )
     # per-doc shingle-set size

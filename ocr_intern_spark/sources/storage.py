@@ -235,3 +235,30 @@ class ExtractionStore:
         return os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path)
         )
+
+
+def checkpoint_table(
+    root: str, name: str
+) -> Callable[[DataFrame], DataFrame]:
+    """Materializer that lands an expensive intermediate as a DURABLE
+    TABLE instead of an executor-memory checkpoint — the 100 TB form
+    of the dedup pipeline's shingle-index materialization (the index
+    is the biggest intermediate in that pipeline and does not fit
+    executor storage; a table write is also resumable, where
+    localCheckpoint dies with the session).
+
+    Contract: first call writes ``{root}/{name}`` once and returns a
+    frame READING FROM THE TABLE (lineage truncated at the scan, like
+    checkpoint, plus durability). A later call that finds data
+    already present reuses it WITHOUT recompute — the crash-resume
+    semantics of the extraction store's result cache, applied to
+    intermediates. On a real deployment the write maps onto an
+    Iceberg table the same way ExtractionStore's commit does."""
+
+    def materialize(df: DataFrame) -> DataFrame:
+        path = os.path.join(root, name)
+        if not ExtractionStore._has_data(path):
+            df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    return materialize

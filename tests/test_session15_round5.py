@@ -134,6 +134,49 @@ def test_curation_skyline_is_undominated_and_nonvacuous(spark):
         assert not dominated, f"{r['doc_id']} is dominated"
 
 
+def test_shingle_index_checkpoint_table_swap(spark, tmp_path):
+    """VERDICT r4 stretch #8: the 'cache → checkpoint table at
+    100 TB' story for the ngram-Jaccard shingle index is a tested
+    code path, not a docstring. Running the query with the index
+    materialized through the storage adapter's durable table must
+    produce IDENTICAL pairs to the default checkpoint path, and a
+    re-run must RESUME from the existing table without rewriting it."""
+    import os
+
+    from ocr_intern_spark.operators.dedup import q_ngram_jaccard_pairs
+    from ocr_intern_spark.sources.storage import checkpoint_table
+
+    root = str(tmp_path)
+    default = sorted(
+        tuple(r) for r in q_ngram_jaccard_pairs(spark, SF).collect()
+    )
+    via_table = sorted(
+        tuple(r)
+        for r in q_ngram_jaccard_pairs(
+            spark, SF, materialize=checkpoint_table(root, "shingle_index")
+        ).collect()
+    )
+    assert via_table == default and default  # identical, non-vacuous
+
+    table_dir = os.path.join(root, "shingle_index")
+    files_before = {
+        f: os.path.getmtime(os.path.join(table_dir, f))
+        for f in os.listdir(table_dir)
+    }
+    rerun = sorted(
+        tuple(r)
+        for r in q_ngram_jaccard_pairs(
+            spark, SF, materialize=checkpoint_table(root, "shingle_index")
+        ).collect()
+    )
+    files_after = {
+        f: os.path.getmtime(os.path.join(table_dir, f))
+        for f in os.listdir(table_dir)
+    }
+    assert rerun == default
+    assert files_after == files_before, "resume path rewrote the table"
+
+
 def test_bench_fast_emits_compact_parseable_tail_line():
     """Driver contract: BENCH_r{N}.json records the LAST line of
     bench.py output; r4 recorded "parsed": null because the single
