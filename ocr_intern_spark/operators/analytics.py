@@ -5167,9 +5167,10 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE user-keyed exchange for the consecutive-pair
     window (the transition-matrix query's shape), one ≤25-cell
-    aggregate, then single-row array algebra. (The k = alphabet-size
-    probe is a driver-side metadata count — the bounded-scalar class,
-    like the MMR picks.)"""
+    aggregate, then single-row array algebra. The k = alphabet-size
+    scalar is folded into the plan as a 1-row broadcast column
+    referenced from the fold's lambdas — building the frame runs no
+    driver-side job."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
@@ -5195,7 +5196,10 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy("s")) - 1,
         )
     )
-    k = states.count()  # alphabet size: bounded domain metadata
+    # alphabet size FOLDED INTO THE PLAN as a 1-row broadcast column
+    # (kk) referenced from inside the fold's higher-order lambdas —
+    # building the frame no longer runs a driver-side states.count()
+    kdf = states.agg(F.count("*").cast("int").alias("kk"))
     cells = (
         states.select(F.col("s").alias("t1"), F.col("i").alias("i1"))
         .crossJoin(
@@ -5223,12 +5227,15 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(array_sort(collect_list(struct(i1, i2, p))), "
             "e -> e.p)"
         ).alias("pm")
-    )
+    ).crossJoin(F.broadcast(kdf))
     sum_j = (
         f"aggregate(sequence(0, {0} + kk - 1), CAST(0 AS BIGINT), "
         "(s, i) -> s + element_at(v, i + 1) "
         "* element_at(pm, i * kk + j + 1)) DIV 1000000"
     )
+    # kk resolves as the broadcast column (outer attribute references
+    # are legal inside higher-order-function lambdas), replacing the
+    # old `.replace("kk", str(k))` literal interpolation
     folded = one.select(
         F.expr(
             f"""aggregate(
@@ -5238,7 +5245,7 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
               (v, it) -> transform(sequence(0, kk - 1), j ->
                          CAST({sum_j} AS BIGINT)),
               v -> v
-            )""".replace("kk", str(k))
+            )"""
         ).alias("v")
     )
     return (
