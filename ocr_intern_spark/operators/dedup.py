@@ -516,17 +516,32 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hits = true_pairs.join(cand, ["da", "db"])
-    n_true = true_pairs.count()
-    n_cand = cand.count()
-    n_hit = hits.count()
-    return spark.createDataFrame(
-        [(
-            n_true, n_cand, n_hit,
-            round(n_hit / n_true, 6) if n_true else 1.0,
-            round(n_hit / n_cand, 6) if n_cand else 1.0,
-        )],
-        "n_true_pairs long, n_candidate_pairs long, n_hits long, "
-        "recall double, precision double",
+    # the three scalars FOLDED INTO THE PLAN (1-row aggregates,
+    # broadcast crossJoins) instead of three driver-side count jobs
+    # at frame-build time; Spark round() is HALF_UP like the oracle's
+    # SQL round (the old python round was banker's — agreement held
+    # only away from .5 boundaries)
+    t1 = true_pairs.agg(F.count("*").alias("n_true_pairs"))
+    c1 = cand.agg(F.count("*").alias("n_candidate_pairs"))
+    h1 = hits.agg(F.count("*").alias("n_hits"))
+    return (
+        t1.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(h1))
+        .select(
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_hits",
+            F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(F.col("n_hits") / F.col("n_true_pairs"), 6)
+            )
+            .alias("recall"),
+            F.when(F.col("n_candidate_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(F.col("n_hits") / F.col("n_candidate_pairs"), 6)
+            )
+            .alias("precision"),
+        )
     )
 
 

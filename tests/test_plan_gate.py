@@ -44,6 +44,10 @@ _BNLJ_ALLOWED = frozenset(
     {
         "customer_spend_deciles",
         "dedup_lsh_banding_sweep",
+        # LSH quality: the three metric scalars (true/candidate/hit
+        # pair counts) as 1-row aggregate broadcasts, folded into the
+        # plan in round 5 (previously three driver-side count jobs):
+        "dedup_lsh_quality",
         # session-13 scalar/bounded-frame broadcasts (PLANS.md
         # session-13 parts 2-4): 1-row totals (topterms, basket
         # n_orders, rfm anchor, wau bounds, concentration total +
