@@ -536,7 +536,10 @@ def main() -> None:
     # metric, per-query bests, scaling summary, and span gate.
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH"), exist_ok=True)
-    detail_path = os.path.join(
+    # overridable so test runs of --fast don't clobber the committed
+    # full-protocol artifact (which happened once: the pytest pin's
+    # sf0.001 record silently replaced the real run's JSON)
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
     )
     with open(detail_path, "w") as f:
@@ -554,7 +557,9 @@ def main() -> None:
             if k.startswith(("docs_per_sec", "scaling_efficiency"))
             or k in ("corpus_docs", "gate_violated", "trampled_draws_kept")
         }
-    compact["detail"] = "BENCH/last_run.json"
+    compact["detail"] = (
+        os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or "BENCH/last_run.json"
+    )
     print(json.dumps(compact))
 
 

@@ -183,15 +183,25 @@ def test_bench_fast_emits_compact_parseable_tail_line():
     result line outgrew the tail capture. The compact line must stay
     small and parse on its own, with the verbose record in
     BENCH/last_run.json."""
+    import os
+    import tempfile
+
+    # detail goes to a TEMP path: the default would overwrite the
+    # COMMITTED full-protocol artifact BENCH/last_run.json with this
+    # test's sf0.001 record (it did, once)
+    detail_path = os.path.join(
+        tempfile.mkdtemp(prefix="bench_detail_"), "last_run.json"
+    )
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py", "--fast"],
         capture_output=True,
         text=True,
         timeout=1800,
         env={
-            **__import__("os").environ,
+            **os.environ,
             "SPARK_GRAFT_SF_DIR": SF,
             "SPARK_GRAFT_CPUS": "4",
+            "SPARK_GRAFT_BENCH_DETAIL": detail_path,
         },
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -200,9 +210,9 @@ def test_bench_fast_emits_compact_parseable_tail_line():
     assert parsed["metric"] == "headline_queries_total_wall"
     assert "queries" in parsed and parsed["queries"]
     assert "query_attempts" not in parsed  # verbose keys stay off the line
-    assert parsed["detail"] == "BENCH/last_run.json"
+    assert parsed["detail"] == detail_path
     assert len(last) < 4000, f"compact line too long: {len(last)} bytes"
-    detail = json.load(open("/root/repo/BENCH/last_run.json"))
+    detail = json.load(open(detail_path))
     assert detail["queries"] == parsed["queries"]
     assert "query_attempts" in detail
     # north-rule span gate recorded in the bench artifact (VERDICT r4 #6)
