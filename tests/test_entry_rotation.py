@@ -17,10 +17,20 @@ def _entry():
     return m
 
 
-def _prior_rows() -> set[str]:
-    """Union of every past round's driver correctness window."""
+def _prior_rows(before_round: int | None = None) -> set[str]:
+    """Union of past rounds' driver correctness windows.
+
+    ``before_round`` restricts to rounds strictly earlier than N so a
+    test validating round-N's window composition stays green after the
+    driver deposits CORRECTNESS_r0N.json (VERDICT r5 What's-wrong #2:
+    the unbounded glob made the r5 rotation test trip on its own
+    round's artifact).
+    """
     prior: set[str] = set()
     for path in glob.glob("/root/repo/CORRECTNESS_r0*.json"):
+        rnd = int(path.rsplit("_r0", 1)[1].split(".")[0])
+        if before_round is not None and rnd >= before_round:
+            continue
         prior |= set(json.load(open(path)))
     return prior
 
@@ -55,7 +65,7 @@ def test_r5_window_is_span_gate_plus_fresh_backlog():
     the backlog instead of re-checking green names."""
     m = _entry()
     names = list(m.queries())
-    prior = _prior_rows()
+    prior = _prior_rows(before_round=5)
     assert names[0] == "extract_span_regression"
     rechecked = [n for n in names[1:50] if n in prior]
     assert not rechecked, (
