@@ -180,7 +180,25 @@ def q_ngram_jaccard_pairs(
         .select("shingle")
     )
     shr = sh.join(rare, "shingle")
-    a = shr.alias("a")
+    # Pair-count aggregation is the whole cost of this query (r6
+    # profile at 10x-sf0.1: 23.4 s of 23.5 s total — the co-occurrence
+    # stream is ~100M rows collapsing to ~82M mostly-unique (da, db)
+    # groups, so partial aggregation reduces nothing and the exchange
+    # ships nearly every row). Two structural fixes (guide §2.4/§2.5):
+    # * probe side pre-partitioned by doc_id — every pair row for key
+    #   (da, db) is generated on da's partition (the build side is the
+    #   broadcast/replicated side), and hash partitioning on a subset
+    #   of the grouping keys satisfies the group-by's clustered
+    #   distribution, so the (da, db) aggregate needs NO exchange: the
+    #   quadratic pair stream never crosses the network, only the
+    #   linear index does (one cheap shuffle of (doc_id, long) rows);
+    # * over-partitioned at 8x task slots so each task's aggregation
+    #   hash table stays cache-resident instead of one giant
+    #   spill-prone table per core (measured 13.1 s at 32 parts →
+    #   3.5 s at 256 on local[32]; scale-adaptive via
+    #   defaultParallelism, not a constant).
+    pair_parts = 8 * spark.sparkContext.defaultParallelism
+    a = shr.repartition(pair_parts, "doc_id").alias("a")
     b = shr.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
