@@ -41,7 +41,19 @@ _MODULES = (
 def derive_spans(docs: DataFrame) -> DataFrame:
     """Native derivation of the canonical spans schema from the
     driver's flat documents table: 8-word text chunks + one media span
-    + one synthesized field span per doc. Pure Catalyst — no UDFs."""
+    + one synthesized field span per doc. Pure Catalyst — no UDFs.
+
+    The chunk-building projection is the single most expensive
+    expression in the flagship path and Catalyst keeps a projection
+    BELOW any later repartition, so it would otherwise run at the
+    parquet scan's split count — measured 1 split (one core) for the
+    single-file documents table at every sf (r6 profile: 9.4 s serial
+    at 10x-sf0.1, sub-second once spread). Spread the RAW rows across
+    the cluster first when the scan is under-partitioned (guide §2.5
+    input skew; same conditional as operators' _docs helper)."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     nchunks = F.ceil(F.size(toks) / F.lit(8)).cast("int")
     chunks = F.transform(

@@ -508,8 +508,13 @@ def extract(
     # Small inputs (or few splits) would otherwise serialize the
     # CPU-heavy stages; at real scale the scan already yields many
     # splits and this round-robin shuffle of doc rows is cheap
-    # relative to the work it balances.
-    repartitioned = docs.repartition(p)
+    # relative to the work it balances. Conditional since r6: an input
+    # already at >= p partitions (e.g. derive_spans' pre-spread span
+    # frame) skips the extra exchange of the full span payload —
+    # guide §2.4, remove shuffles outright.
+    repartitioned = (
+        docs if docs.rdd.getNumPartitions() >= p else docs.repartition(p)
+    )
     flat = explode_spans(repartitioned)
     plain = transform_plain_spans(flat)
     # Python stages want exactly one partition per worker slot:
