@@ -1242,7 +1242,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift — narrow, no self-join), bigram-count aggregate, pair join
     on the bigram key, context-count join on w1, V via a 1-row
     broadcast. Same float-portability discipline as the unigram
-    query: one final avg rounded to 6."""
+    query: one final avg rounded to 6.
+
+    r6: V is derived from the aggregates' key sets (set(w1) = c1's
+    keys, set(w2) = c2's distinct w2) instead of a corpus-wide
+    union+distinct — identical value by construction, but the input
+    is the tiny model table instead of a 4th full pass over the
+    bigram stream (guide §1.2: don't compute things twice). An
+    explicit localCheckpoint of the stream was tried and REVERTED:
+    its eager barrier cost as much as the recomputes it saved (A/B
+    at 10x-sf0.1, three alternating draws each)."""
     d = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     pairs = F.zip_with(
@@ -1258,8 +1267,11 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab_n = bg.select("w2").union(bg.select("w1")).distinct().agg(
-        F.count("*").alias("v")
+    vocab_n = (
+        c2.select(F.col("w2").alias("w"))
+        .union(c1.select(F.col("w1").alias("w")))
+        .distinct()
+        .agg(F.count("*").alias("v"))
     )
     nll = -F.log(
         (F.col("c2") + F.lit(BIGRAM_K))

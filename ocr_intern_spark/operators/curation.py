@@ -1410,10 +1410,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joined in exactly the same plan position.
 
     Scale shape: gram explosion is a narrow codegen'd projection
-    (split + zip_with, no UDF); hashing and weight lookup are
-    per-row expressions; the only exchange is the final doc_id
-    hash aggregate with map-side SUM/COUNT partials. Integer logits —
-    no float summation-order hazard between engines."""
+    (split + zip_with, no UDF); the only exchanges are the tiny
+    distinct-gram dictionary aggregate and the final doc_id hash
+    aggregate with map-side SUM/COUNT partials. Integer logits —
+    no float summation-order hazard between engines.
+
+    r6: the FNV-1a fold is an interpreted per-codepoint aggregate()
+    — the most expensive expression in this module — and gram TYPES
+    repeat massively across occurrences (natural Zipf + the fixed
+    synthetic vocab), so weights are computed once per DISTINCT gram
+    and joined back to the occurrence stream instead of hashed per
+    occurrence (twice — bucket then weight). Identical weights by
+    construction (w is a pure function of g); the dictionary is tiny
+    relative to the stream at every scale, and the planner picks
+    broadcast vs shuffled join itself. Measured 3.4 s -> ~1.9 s at
+    10x-sf0.1 (guide §1.2: fix per-task work after plan shape)."""
     from ocr_intern_spark.operators.dedup import fnv1a64_spark
 
     d = _docs(spark, sf_dir)
@@ -1434,9 +1445,14 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pmod({fnv1a64_spark(chr(39) + 'w|' + chr(39) + ' || CAST(b AS STRING)')},"
         f" {QC_WSPAN}) - 1000"
     )
+    wdict = (
+        g.select("g")
+        .distinct()
+        .select("g", bucket.alias("b"))
+        .select("g", weight.alias("w"))
+    )
     return (
-        g.select("doc_id", bucket.alias("b"))
-        .select("doc_id", weight.alias("w"))
+        g.join(wdict, "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
