@@ -167,22 +167,30 @@ def xycut_reading_order(tokens: DataFrame) -> DataFrame:
             yield _order_docs(carry)
 
     def _order_docs(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for doc_id, g in pdf.groupby("doc_id", sort=False):
-            perm = xycut_order(
-                g["x"].to_numpy(), g["y"].to_numpy(),
-                g["w"].to_numpy(), g["h"].to_numpy(),
-                g["is_ar"].to_numpy(),
-            )
-            ordered = g.iloc[perm]
-            outs.append(pd.DataFrame(
-                {
-                    "doc_id": ordered["doc_id"].to_numpy(),
-                    "ord": np.arange(len(ordered), dtype=np.int32),
-                    "word": ordered["text"].to_numpy(),
-                }
-            ))
-        return pd.concat(outs, ignore_index=True)
+        # Docs are CONTIGUOUS here (partition-locally sorted upstream,
+        # batch cuts healed by the carry), so group boundaries come
+        # from one vector compare — no pandas groupby, and ONE output
+        # frame per batch instead of one per doc + concat (the per-doc
+        # frame builds dominated this stage's Python time: ~100 µs of
+        # pandas overhead per 24-token doc).
+        doc = pdf["doc_id"].to_numpy()
+        x, y = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        w, h = pdf["w"].to_numpy(), pdf["h"].to_numpy()
+        ar = pdf["is_ar"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        ends = np.r_[starts[1:], len(doc)]
+        perm = np.empty(len(doc), dtype=np.int64)
+        ordv = np.empty(len(doc), dtype=np.int32)
+        for s, e in zip(starts, ends):
+            perm[s:e] = s + xycut_order(x[s:e], y[s:e], w[s:e], h[s:e], ar[s:e])
+            ordv[s:e] = np.arange(e - s, dtype=np.int32)
+        return pd.DataFrame(
+            {
+                "doc_id": doc[perm],
+                "ord": ordv,
+                "word": pdf["text"].to_numpy()[perm],
+            }
+        )
 
     return parted.mapInPandas(stage, schema=ORDERED_DDL)
 
