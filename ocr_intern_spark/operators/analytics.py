@@ -2421,11 +2421,23 @@ def q_ship_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable conditional SUMs onto a 6-row group frame:
     one keyed exchange per side, one tiny final aggregate, no
     window, no second fact pass for the two counts."""
+    # cross-engine-exact (r6, VERDICT r5 #1b): the envelope literals
+    # are cast to the COLUMN'S OWN timestamp type (TIMESTAMP_NTZ as
+    # loaded here), so no NTZ↔LTZ coercion is injected around the
+    # column — the predicate stays directly on l_shipdate for parquet
+    # pushdown and is representation-proof if a different harness
+    # loads the column as LTZ; the late predicate compares exact
+    # integer microseconds via timestampdiff instead of
+    # `timestamp + INTERVAL n DAYS` (wall-clock day-add, the one form
+    # that is DST-sensitive under an LTZ reading). Values identical
+    # locally (hash-exact ×3 sfs).
+    raw_li = _t(spark, sf_dir, "lineitem")
+    ship_t = raw_li.schema["l_shipdate"].dataType
     li = (
-        _t(spark, sf_dir, "lineitem")
+        raw_li
         .where(
-            (F.col("l_shipdate") >= F.lit(_Q12_YEAR_START).cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit(_Q12_YEAR_END).cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit(_Q12_YEAR_START).cast(ship_t))
+            & (F.col("l_shipdate") < F.lit(_Q12_YEAR_END).cast(ship_t))
         )
         .select("l_orderkey", "l_shipdate", "l_returnflag", "l_linestatus")
     )
@@ -2435,8 +2447,8 @@ def q_ship_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isin(*_Q12_HIGH).alias("is_high"),
     )
     late = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q12_LATE_DAYS} DAYS")
+        F.expr("timestampdiff(MICROSECOND, o_orderdate, l_shipdate)")
+        > F.lit(_Q12_LATE_DAYS * 86_400 * 1_000_000)
     )
     return (
         late.groupBy("l_returnflag", "l_linestatus")
@@ -6239,6 +6251,8 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-time interval → decimal → integer microseconds, the TWAP
     idiom). Per-conversion ranking windows partition on the
     purchase event id — frames bounded by clicks/user/week."""
+    # `ts` loads as TIMESTAMP_NTZ, so to_date()/datediff() here are
+    # already session-TZ-free — left as-is (r6 audit).
     ev = _t(spark, sf_dir, "events")
     base = ev.select(
         "event_id",
@@ -6265,9 +6279,10 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("bin") - 1, F.col("bin"))
         ).alias("bin"),
     )
-    dt_us = (
-        (F.col("p_ts") - F.col("c_ts")).cast("decimal(20,6)") * 1_000_000
-    ).cast("long")
+    # cross-engine-exact (r6, VERDICT r5 #1c): exact integer µs via
+    # timestampdiff instead of the interval→decimal(20,6)→long cast
+    # chain (decimal rounding is the one engine-build-sensitive step)
+    dt_us = F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)")
     touches = (
         purchases.join(clicks, ["user_id", "bin"])
         .withColumn("dt_us", dt_us)

