@@ -2064,15 +2064,61 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rep, 3).alias("rep"),
         F.round(ent, 3).alias("ent"),
     ).cache()
-    mq = _midrank_map(base, "q")
-    mr = _midrank_map(base, "rep")
-    me = _midrank_map(base, "ent")
+    # r6: the three per-signal percentile maps are built in ONE melted
+    # pass — (doc, sig, val) rows → one (sig, val) count aggregate →
+    # one cumulative window partitioned by sig (frames still bounded
+    # by the quantized distinct-value tables) → one broadcast map —
+    # instead of 3× (count agg + 1-partition window + full-pass total
+    # + broadcast join). pct stays the identical expression
+    # (below + ½·eq)/N with N = Σc per sig ≡ count(base); every
+    # double op is unchanged, so values are bit-equal (oracle
+    # hash-exact ×3 sfs). Guide §2.4: share one exchange.
+    from pyspark.sql.window import Window
+
+    melted = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("q").alias("sig"), F.col("q").alias("val")),
+                F.struct(F.lit("rep").alias("sig"), F.col("rep").alias("val")),
+                F.struct(F.lit("ent").alias("sig"), F.col("ent").alias("val")),
+            )
+        ).alias("sv"),
+    ).select("doc_id", F.col("sv.sig").alias("sig"), F.col("sv.val").alias("val"))
+    cnt = melted.groupBy("sig", "val").agg(F.count("*").alias("c"))
+    # bounded-window: frames are the per-signal distinct-value tables
+    # (quantization bounds them: quarters / 3dp → ≤8001 values each)
+    w = (
+        Window.partitionBy("sig")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("sig").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pmap = cnt.select(
+        "sig",
+        "val",
+        (
+            ((F.sum("c").over(w) - F.col("c")) + 0.5 * F.col("c"))
+            / F.sum("c").over(wn).cast("double")
+        ).alias("pct"),
+    )
+    pivoted = (
+        melted.join(F.broadcast(pmap), ["sig", "val"])
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("sig") == "q", F.col("val"))).alias("q"),
+            F.max(F.when(F.col("sig") == "rep", F.col("val"))).alias("rep"),
+            F.max(F.when(F.col("sig") == "ent", F.col("val"))).alias("ent"),
+            F.max(F.when(F.col("sig") == "q", F.col("pct"))).alias("pct_q"),
+            F.max(F.when(F.col("sig") == "rep", F.col("pct"))).alias("pct_rep"),
+            F.max(F.when(F.col("sig") == "ent", F.col("pct"))).alias("pct_ent"),
+        )
+    )
     ens = (F.col("pct_q") + (1.0 - F.col("pct_rep")) + F.col("pct_ent")) / 3.0
     return (
-        base.join(F.broadcast(mq), "q")
-        .join(F.broadcast(mr), "rep")
-        .join(F.broadcast(me), "ent")
-        .select(
+        pivoted.select(
             "doc_id",
             "q",
             "rep",
