@@ -1154,9 +1154,14 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     join stays linear-ish, exactly the SemDeDup paper's trick. One
     exchange for assignment, one cell-keyed exchange for the join."""
     e = _emb(spark, sf_dir)
+    # r6: per-vector norm hoisted out of the intra-cell pair loop
+    # (same bit-identical dot/(na·nb) rewrite as q_knn_join_topk)
     assigned = e.join(
         _ivf_assign(e, _ivf_centroids(e)), "vec_id"
-    ).select("vec_id", "cell", "ccos", "embedding")
+    ).select(
+        "vec_id", "cell", "ccos", "embedding",
+        l2norm(F.col("embedding")).alias("nrm"),
+    )
 
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -1167,7 +1172,11 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & keeper_beats)
         .where(
-            _cos_expr(F.col("a.embedding"), F.col("b.embedding"))
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            )
             >= SEMDEDUP_TAU
         )
         .select(F.col("a.vec_id").alias("vec_id"))
