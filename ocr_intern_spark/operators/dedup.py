@@ -192,12 +192,17 @@ def q_ngram_jaccard_pairs(
     #   distribution, so the (da, db) aggregate needs NO exchange: the
     #   quadratic pair stream never crosses the network, only the
     #   linear index does (one cheap shuffle of (doc_id, long) rows);
-    # * over-partitioned at 8x task slots so each task's aggregation
-    #   hash table stays cache-resident instead of one giant
-    #   spill-prone table per core (measured 13.1 s at 32 parts →
-    #   3.5 s at 256 on local[32]; scale-adaptive via
-    #   defaultParallelism, not a constant).
-    pair_parts = 8 * spark.sparkContext.defaultParallelism
+    # * over-partitioned so each task's aggregation hash table stays
+    #   cache-resident instead of one giant spill-prone table per core
+    #   (measured 13.1 s at 32 parts → 3.5 s at 256 on local[32] at
+    #   10x-sf0.1). The width is DATA-adaptive — ~10k index rows per
+    #   partition, floored at task slots and capped at 8x slots — via
+    #   a count on the already-materialized checkpoint (reads cached
+    #   blocks, ~60-150 ms; a fixed 8x width measured +1.2 s of empty-
+    #   task overhead at sf0.1, the "tuned for one scale" trap the
+    #   bench contract forbids).
+    dp = spark.sparkContext.defaultParallelism
+    pair_parts = max(dp, min(8 * dp, int(sh.count() // 10_000)))
     a = shr.repartition(pair_parts, "doc_id").alias("a")
     b = shr.alias("b")
     common = (
