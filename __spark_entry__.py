@@ -291,8 +291,13 @@ def _q_span_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      builder-recorded ×3-sf local hash-exact check and a serial
 #      reference pin in tests/test_session1N_queries.py).
 # All 50 r4-window names (hash-green in CORRECTNESS_r04.json) rotate to
-# _BACK. Union of r01..r05 driver rows then covers 193/256 names; the
-# remaining 63 stay in _DEFERRED with local ×3-sf verification.
+# _BACK. Union of r01..r05 driver rows then covers 193/257 names; the
+# remaining 64 stay in _DEFERRED with local ×3-sf verification (the
+# 257th, text_curation_skyline, registered in r5 straight to
+# _DEFERRED). r6 is the optimization round: the registry and this
+# window are FROZEN — the four r5 driver reds are already inside it
+# (slots 4/42/46/48), so their canonicalized forms re-certify without
+# a rotation.
 _FRONT = [
     # (1) the north-rule span-sequence regression gate:
     "extract_span_regression",
@@ -351,7 +356,7 @@ _FRONT = [
 
 # Names intentionally outside this round's 50-slot window: the driver
 # checks 50 of 256 per round, and 113 names entered r5 with no driver
-# row, so 63 necessarily remain deferred. Each carries a DuckDB oracle
+# row, so 64 necessarily remain deferred. Each carries a DuckDB oracle
 # verified hash-exact locally at sf0.001/0.01/0.1 (tools/check_oracle.py
 # sweeps recorded in COVERAGE.md: 247/247 and 255/255 full-registry
 # runs) plus a serial reference pin in its session test file. Ordering

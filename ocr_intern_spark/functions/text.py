@@ -2503,8 +2503,11 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram-LM scoring subtree to ONE execution (exchange reuse is an
     # optimization, not a guarantee — VERDICT r4 flagged the old
     # base.agg(count) branch as a potential 2× of the dominant pass).
-    # Empty-corpus edge: ranked empty → n1 empty → crossJoin emits 0
-    # rows, same as the old 1-row n=0 path joined against 0 rows.
+    # Empty-corpus edge: ranked empty → n1 is ONE row with NULL max
+    # (an aggregate without GROUP BY always emits a row); the result
+    # is still 0 rows because the crossJoin's LEFT side (ranked) is
+    # empty — do not rely on n1 being empty if joining it elsewhere
+    # (ADVICE r5).
     n1 = ranked.agg(F.max("rk").alias("n"))
     bucket_idx = F.expr("((rk - 1) * 3) div n")
     return (

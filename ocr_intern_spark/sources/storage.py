@@ -257,7 +257,15 @@ def checkpoint_table(
 
     def materialize(df: DataFrame) -> DataFrame:
         path = os.path.join(root, name)
-        if not ExtractionStore._has_data(path):
+        # Reuse is gated on the _SUCCESS marker, not on "any part file
+        # present": Spark writes _SUCCESS only at JOB COMMIT, so a
+        # crash mid-write leaves part files but no marker and the
+        # table is rewritten instead of trusted (ADVICE r5 — a partial
+        # set would silently yield wrong dedup pairs).
+        committed = os.path.isfile(
+            os.path.join(path, "_SUCCESS")
+        ) and ExtractionStore._has_data(path)
+        if not committed:
             df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
 

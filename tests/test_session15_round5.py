@@ -177,6 +177,39 @@ def test_shingle_index_checkpoint_table_swap(spark, tmp_path):
     assert files_after == files_before, "resume path rewrote the table"
 
 
+def test_checkpoint_table_rewrites_uncommitted_partial(spark, tmp_path):
+    """ADVICE r5 (medium): a crash mid-write leaves part files but no
+    _SUCCESS marker — the resume check must REWRITE such a table, not
+    trust it (a partial shingle index silently yields wrong pairs).
+    Reuse is gated on the job-commit marker."""
+    import os
+
+    from ocr_intern_spark.sources.storage import checkpoint_table
+
+    root = str(tmp_path)
+    table_dir = os.path.join(root, "t")
+    os.makedirs(table_dir)
+    # simulate the crash artifact: one orphan part file, NO _SUCCESS
+    with open(os.path.join(table_dir, "part-00000-dead.parquet"), "wb") as f:
+        f.write(b"\x00")
+    df = spark.range(5).withColumnRenamed("id", "v")
+    out = checkpoint_table(root, "t")(df)
+    assert sorted(r["v"] for r in out.collect()) == [0, 1, 2, 3, 4]
+    assert os.path.isfile(os.path.join(table_dir, "_SUCCESS"))
+    # and a committed table IS reused: drop a sentinel mtime check
+    before = {
+        f: os.path.getmtime(os.path.join(table_dir, f))
+        for f in os.listdir(table_dir)
+    }
+    again = checkpoint_table(root, "t")(df)
+    assert sorted(r["v"] for r in again.collect()) == [0, 1, 2, 3, 4]
+    after = {
+        f: os.path.getmtime(os.path.join(table_dir, f))
+        for f in os.listdir(table_dir)
+    }
+    assert after == before, "committed table was rewritten"
+
+
 def test_bench_fast_emits_compact_parseable_tail_line():
     """Driver contract: BENCH_r{N}.json records the LAST line of
     bench.py output; r4 recorded "parsed": null because the single
