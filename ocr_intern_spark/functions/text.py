@@ -285,120 +285,120 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_repetition_ratio so duplicated 5/6-grams exist in the
     synthetic word-soup corpus.
 
-    Scale shape (r6): the whole statistic is per-document, so it is
-    computed per-document — ZERO exchanges (guide §2.4). For each n
-    the gram multiset is sorted (array_sort, binary UTF8 order — the
-    same total order the previous min-encoding and the DuckDB oracle
-    use) and a single run-length fold (F.aggregate) extracts the top
-    run by (cnt desc, gram asc) and the duplicated-char mass; the
-    query plans as one WholeStageCodegen projection over the scan.
-    The previous shape exploded (n, gram) pairs into a corpus-wide
-    hash aggregate — ~37M mostly-unique rows through 3 exchanges at
-    10x-sf0.1, measured 10.1 s vs 3.4 s for this form, identical
-    output (oracle hash-exact ×3 sfs)."""
-    d = _docs(spark, sf_dir)
+    Scale shape (r6): grams for ALL five n come from ONE codegen'd
+    lead()-window over the exploded token stream (lead(w,1..5) +
+    concat_ws — NULL leads at the doc tail drop out of concat_ws
+    exactly like the oracle's short tail slices), and every
+    aggregation after it is keyed by doc_id prefixes over data
+    already hash-clustered by doc, so the plan has exactly ONE
+    exchange: the doc-row repartition feeding the window. That one
+    doc-keyed corpus shuffle buys fully codegen'd gram construction;
+    both zero-exchange alternatives ran interpreted and were
+    measured slower at every size (higher-order-function fold 5.4 s,
+    original 3-exchange explode+hash-agg 10.1 s, this form 2.1 s at
+    10x-sf0.1 on local[32]). Identical output (oracle hash-exact
+    ×3 sfs); the window frame is per-doc and row-bounded."""
+    from pyspark.sql.window import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # window needs doc-clustered rows; spread fine-grained so the
+    # per-task sort/aggregate state stays small (never narrower than
+    # the scan)
+    parts = max(
+        4 * spark.sparkContext.defaultParallelism,
+        d.rdd.getNumPartitions(),
+    )
+    ns = (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
     probe = F.when(
         F.col("doc_id") % 5 == 0,
         F.concat(F.col("text"), F.lit(" "), F.col("text")),
     ).otherwise(F.col("text"))
     toks = F.split(F.trim(F.lower(probe)), r"\s+")
-    base = d.select(
+    base = d.repartition(parts, "doc_id").select(
         "doc_id",
         toks.alias("toks"),
         F.length(F.array_join(toks, " ")).alias("total_chars"),
     )
-    tc = F.col("toks")
-
-    def _grams(n: int) -> Column:
-        # identical gram construction to the oracle: one gram per
-        # window start 0..max(len-n, 0), short tail grams included
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tc) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(tc, i + 1, n), " "),
-        )
-
-    # Run-length fold over the sorted gram array: counts per distinct
-    # gram are the run lengths; top gram = max by (run desc, gram asc)
-    # which under ascending scan order is a strict-greater update;
-    # dup_chars accumulates run*length(gram) for runs >= 2. The
-    # accumulator closes the open run in the finish lambda.
-    def _stats(n: int) -> Column:
-        def close(acc: Column) -> Column:
-            best = F.when(
-                acc["run"] > acc["bestcnt"],
-                F.struct(
-                    acc["run"].alias("bestcnt"), acc["prev"].alias("bestg")
-                ),
-            ).otherwise(
-                F.struct(
-                    acc["bestcnt"].alias("bestcnt"), acc["bestg"].alias("bestg")
-                )
-            )
-            dup = acc["dup"] + F.when(
-                acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
-            ).otherwise(F.lit(0).cast("long"))
-            return best, dup
-
-        def merge(acc: Column, g: Column) -> Column:
-            best, dup = close(acc)
-            same = acc["prev"].isNotNull() & (g == acc["prev"])
-            return F.when(
-                same,
-                F.struct(
-                    acc["prev"].alias("prev"),
-                    (acc["run"] + 1).alias("run"),
-                    acc["bestcnt"].alias("bestcnt"),
-                    acc["bestg"].alias("bestg"),
-                    acc["dup"].alias("dup"),
-                ),
-            ).otherwise(
-                F.struct(
-                    g.alias("prev"),
-                    F.lit(1).cast("long").alias("run"),
-                    best["bestcnt"].alias("bestcnt"),
-                    best["bestg"].alias("bestg"),
-                    dup.alias("dup"),
-                )
-            )
-
-        def finish(acc: Column) -> Column:
-            best, dup = close(acc)
-            return F.struct(
-                (best["bestcnt"] * F.length(best["bestg"]))
-                .cast("long")
-                .alias("top_chars"),
-                dup.alias("dup_chars"),
-            )
-
-        init = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("bestcnt"),
-            F.lit("").alias("bestg"),
-            F.lit(0).cast("long").alias("dup"),
-        )
-        # prev is NULL only before the first element; run=0 there, and
-        # close() then adds nothing (run > bestcnt is 0 > 0 = false,
-        # run >= 2 false), so the null prev never reaches length().
-        return F.aggregate(F.array_sort(_grams(n)), init, merge, finish)
-
-    stats = base.select(
+    tokrows = base.select(
         "doc_id",
         "total_chars",
+        F.size("toks").alias("len"),
+        F.posexplode("toks").alias("i", "w"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("i")
+    leads = tokrows.select(
+        "doc_id",
+        "total_chars",
+        "len",
+        "i",
+        "w",
+        *[F.lead("w", k).over(wspec).alias(f"w{k}") for k in range(1, max(ns))],
+    )
+    # gram for n starts at positions 0..max(len-n, 0) — same range as
+    # the oracle's slice loop, including the one short tail gram of a
+    # too-short doc (concat_ws skips the NULL leads)
+    gram_structs = F.array(
         *[
-            _stats(n).alias(f"s{n}")
-            for n in (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
-        ],
+            F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", "w", *[f"w{k}" for k in range(1, n)]
+                ).alias("g"),
+                (F.col("i") <= F.greatest(F.col("len") - n, F.lit(0))).alias(
+                    "ok"
+                ),
+            )
+            for n in ns
+        ]
+    )
+    exploded = (
+        leads.select("doc_id", "total_chars", F.explode(gram_structs).alias("p"))
+        .where(F.col("p.ok"))
+        .select(
+            "doc_id",
+            "total_chars",
+            F.col("p.n").alias("n"),
+            F.col("p.g").alias("g"),
+        )
+    )
+    counts = exploded.groupBy("doc_id", "total_chars", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # Top gram by (cnt desc, g asc) without a second window: the order
+    # is encoded into one string — 12-digit zero-padded (MAX - cnt)
+    # prefix, gram suffix — whose lexicographic min IS the wanted
+    # order (binary UTF8 comparison on both engines).
+    _CNT_MAX = 999_999_999_999
+    enc = F.concat(
+        F.lpad((F.lit(_CNT_MAX) - F.col("cnt")).cast("string"), 12, "0"),
+        F.col("g"),
+    )
+    per_n = counts.groupBy("doc_id", "total_chars", "n").agg(
+        F.min(enc).alias("top_enc"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+    ).select(
+        "doc_id",
+        "total_chars",
+        "n",
+        (
+            (F.lit(_CNT_MAX) - F.substring("top_enc", 1, 12).cast("bigint"))
+            * (F.length("top_enc") - 12)
+        ).alias("top_chars"),
+        "dup_chars",
     )
 
     def _frac(num: Column) -> Column:
         return num.cast("double") / F.col("total_chars").cast("double")
 
     top_cols = {
-        n: _frac(F.col(f"s{n}")["top_chars"]) for n in GOPHER_TOP_NS
+        n: _frac(F.sum(F.when(F.col("n") == n, F.col("top_chars")).otherwise(F.lit(0))))
+        for n in GOPHER_TOP_NS
     }
     dup_cols = {
-        n: _frac(F.col(f"s{n}")["dup_chars"]) for n in GOPHER_DUP_NS
+        n: _frac(F.sum(F.when(F.col("n") == n, F.col("dup_chars")).otherwise(F.lit(0))))
+        for n in GOPHER_DUP_NS
     }
     flag = None
     for n, c in top_cols.items():
@@ -406,11 +406,15 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag = e if flag is None else (flag | e)
     for n, c in dup_cols.items():
         flag = flag | (c > GOPHER_DUP_THRESH[n])
-    return stats.select(
-        "doc_id",
+    return per_n.groupBy("doc_id", "total_chars").agg(
         *[F.round(c, 6).alias(f"top{n}gram_frac") for n, c in top_cols.items()],
         *[F.round(c, 6).alias(f"dup{n}gram_frac") for n, c in dup_cols.items()],
         flag.alias("gopher_flag"),
+    ).select(
+        "doc_id",
+        *[f"top{n}gram_frac" for n in GOPHER_TOP_NS],
+        *[f"dup{n}gram_frac" for n in GOPHER_DUP_NS],
+        "gopher_flag",
     )
 
 
