@@ -1397,6 +1397,25 @@ QC_WSPAN = 2001      # weight quantization: integer milli-units in
                      # so the score is bit-portable across engines
 
 
+def _fnv1a64_py(s: str) -> int:
+    """Exact pure-Python FNV-1a-64 over codepoints, signed-64 result —
+    byte-for-byte the semantics of hashing.fnv1a64_spark/_duckdb
+    (pinned over the full bucket domain by the weight-table test)."""
+    h = 14695981039346656037
+    for ch in s:
+        h = ((h ^ ord(ch)) * 0x100000001B3) % (1 << 64)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _qc_weight_table() -> list[int]:
+    """bucket id → integer milli-weight, the closed-domain constant
+    fold of pmod(fnv('w|'||b), QC_WSPAN) - 1000 (python % on a
+    positive modulus IS pmod)."""
+    return [
+        _fnv1a64_py(f"w|{b}") % QC_WSPAN - 1000 for b in range(QC_BUCKETS)
+    ]
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering, the fastText-classifier shape
     used by CCNet/LLaMA data pipelines (Joulin et al. 2016 linear
@@ -1416,15 +1435,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float summation-order hazard between engines.
 
     r6: the FNV-1a fold is an interpreted per-codepoint aggregate()
-    — the most expensive expression in this module — and gram TYPES
-    repeat massively across occurrences (natural Zipf + the fixed
-    synthetic vocab), so weights are computed once per DISTINCT gram
-    and joined back to the occurrence stream instead of hashed per
-    occurrence (twice — bucket then weight). Identical weights by
-    construction (w is a pure function of g); the dictionary is tiny
-    relative to the stream at every scale, and the planner picks
-    broadcast vs shuffled join itself. Measured 3.4 s -> ~1.9 s at
-    10x-sf0.1 (guide §1.2: fix per-task work after plan shape)."""
+    — the most expensive expression in this module — and it ran
+    TWICE per gram occurrence (bucket, then weight-of-bucket). The
+    weight is a pure function of the bucket id over a CLOSED
+    {QC_BUCKETS}-value domain, so the bucket→weight table is
+    constant-folded into ONE array literal (computed by the exact
+    signed-64 FNV reimplementation below; equality with the SQL
+    expression over the full domain is pinned by
+    tests/test_session11_queries.py) and the per-occurrence work
+    drops to one fold + one array index. A distinct-gram dictionary
+    JOIN was tried first and REVERTED: its join strategy flapped
+    between broadcast and SMJ run-to-run (bimodal 1.9 s / 5.2 s at
+    10x-sf0.1) and a forced broadcast would be scale-unsafe (gram
+    vocabulary is corpus-sized on a real crawl). Measured old
+    {3.45, 2.89, 3.22, 3.11} vs this form below; same values
+    (oracle hash-exact ×3 sfs)."""
     from ocr_intern_spark.operators.dedup import fnv1a64_spark
 
     d = _docs(spark, sf_dir)
@@ -1441,18 +1466,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.concat(toks, bi)).alias("g"))
     )
     bucket = F.expr(f"pmod({fnv1a64_spark('g')}, {QC_BUCKETS})")
-    weight = F.expr(
-        f"pmod({fnv1a64_spark(chr(39) + 'w|' + chr(39) + ' || CAST(b AS STRING)')},"
-        f" {QC_WSPAN}) - 1000"
-    )
-    wdict = (
-        g.select("g")
-        .distinct()
-        .select("g", bucket.alias("b"))
-        .select("g", weight.alias("w"))
+    weight = F.element_at(
+        F.lit(_qc_weight_table()), (F.col("b") + 1).cast("int")
     )
     return (
-        g.join(wdict, "g")
+        g.select("doc_id", bucket.alias("b"))
+        .select("doc_id", weight.alias("w"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
