@@ -1397,25 +1397,6 @@ QC_WSPAN = 2001      # weight quantization: integer milli-units in
                      # so the score is bit-portable across engines
 
 
-def _fnv1a64_py(s: str) -> int:
-    """Exact pure-Python FNV-1a-64 over codepoints, signed-64 result —
-    byte-for-byte the semantics of hashing.fnv1a64_spark/_duckdb
-    (pinned over the full bucket domain by the weight-table test)."""
-    h = 14695981039346656037
-    for ch in s:
-        h = ((h ^ ord(ch)) * 0x100000001B3) % (1 << 64)
-    return h - (1 << 64) if h >= (1 << 63) else h
-
-
-def _qc_weight_table() -> list[int]:
-    """bucket id → integer milli-weight, the closed-domain constant
-    fold of pmod(fnv('w|'||b), QC_WSPAN) - 1000 (python % on a
-    positive modulus IS pmod)."""
-    return [
-        _fnv1a64_py(f"w|{b}") % QC_WSPAN - 1000 for b in range(QC_BUCKETS)
-    ]
-
-
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering, the fastText-classifier shape
     used by CCNet/LLaMA data pipelines (Joulin et al. 2016 linear
@@ -1434,22 +1415,17 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with map-side SUM/COUNT partials. Integer logits —
     no float summation-order hazard between engines.
 
-    r6: the FNV-1a fold is an interpreted per-codepoint aggregate()
-    — the most expensive expression in this module — and it ran
-    TWICE per gram occurrence (bucket, then weight-of-bucket). The
-    weight is a pure function of the bucket id over a CLOSED
-    {QC_BUCKETS}-value domain, so the bucket→weight table is
-    constant-folded into ONE array literal (computed by the exact
-    signed-64 FNV reimplementation below; equality with the SQL
-    expression over the full domain is pinned by
-    tests/test_session11_queries.py) and the per-occurrence work
-    drops to one fold + one array index. A distinct-gram dictionary
-    JOIN was tried first and REVERTED: its join strategy flapped
-    between broadcast and SMJ run-to-run (bimodal 1.9 s / 5.2 s at
-    10x-sf0.1) and a forced broadcast would be scale-unsafe (gram
-    vocabulary is corpus-sized on a real crawl). Measured old
-    {3.45, 2.89, 3.22, 3.11} vs this form below; same values
-    (oracle hash-exact ×3 sfs)."""
+    r6 audit: two rewrites of the double FNV fold were tried and BOTH
+    REVERTED on measurement — (a) weights per DISTINCT gram joined
+    back: the join strategy flapped between broadcast and SMJ run to
+    run (bimodal 1.9 s / 5.2 s at 10x-sf0.1, and a forced broadcast
+    is scale-unsafe on a real crawl vocabulary); (b) the
+    bucket→weight map constant-folded to a 4096-entry array literal:
+    faster in an isolated alternating A/B but consistently ~2×
+    SLOWER inside the bench harness itself (2.15-2.4 s vs ~1.0 s at
+    sf0.1, reproduced solo and in two full bench runs) — cause not
+    isolated within the round budget, so the proven r5 form stands.
+    Details in OPTIMIZATION_r06.md."""
     from ocr_intern_spark.operators.dedup import fnv1a64_spark
 
     d = _docs(spark, sf_dir)
@@ -1466,8 +1442,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.concat(toks, bi)).alias("g"))
     )
     bucket = F.expr(f"pmod({fnv1a64_spark('g')}, {QC_BUCKETS})")
-    weight = F.element_at(
-        F.lit(_qc_weight_table()), (F.col("b") + 1).cast("int")
+    weight = F.expr(
+        f"pmod({fnv1a64_spark(chr(39) + 'w|' + chr(39) + ' || CAST(b AS STRING)')},"
+        f" {QC_WSPAN}) - 1000"
     )
     return (
         g.select("doc_id", bucket.alias("b"))

@@ -178,33 +178,3 @@ def test_gopher_quality_flags_matches_python_reference(spark):
     }
     assert big == {True, False}
 
-
-def test_qc_weight_table_equals_sql_fnv_over_full_domain(spark):
-    """r6: the classifier's bucket→weight map is constant-folded into
-    a literal array (_qc_weight_table). This pin proves the fold over
-    the ENTIRE closed domain: the python FNV reimplementation must
-    equal the SQL fnv1a64_spark expression for every bucket id."""
-    from pyspark.sql import functions as F
-
-    from ocr_intern_spark.functions.hashing import fnv1a64_spark
-    from ocr_intern_spark.operators.curation import (
-        QC_BUCKETS,
-        QC_WSPAN,
-        _qc_weight_table,
-    )
-
-    table = _qc_weight_table()
-    assert len(table) == QC_BUCKETS
-    sql = (
-        spark.range(QC_BUCKETS)
-        .select(
-            "id",
-            F.expr(
-                f"pmod({fnv1a64_spark(chr(39) + 'w|' + chr(39) + ' || CAST(id AS STRING)')},"
-                f" {QC_WSPAN}) - 1000"
-            ).alias("w"),
-        )
-        .collect()
-    )
-    for r in sql:
-        assert table[r["id"]] == r["w"], r["id"]
